@@ -1,0 +1,87 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a QuerySpec's Spark builder and its DuckDB oracle on the same
+parquet tables, then compares row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted
+by their full stringified tuple).  Stricter than needed — exact equality
+on the stringified values — so that passing here strongly implies passing
+the driver's hash check.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr of a double is bit-faithful; both engines must agree bitwise
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(v[k])}" for k in sorted(v)) + "}"
+    if hasattr(v, "asDict"):  # pyspark Row (struct)
+        d = v.asDict()
+        return "{" + ",".join(f"{k}:{_norm_cell(d[k])}" for k in sorted(d)) + "}"
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(spark, sf_dir: str, spec) -> tuple[bool, str]:
+    sdf = spec.builder(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    if spec.oracle is None:
+        return (True, f"rows-only: {len(s_rows)} rows")
+
+    con = duckdb_con(sf_dir)
+    res = con.execute(spec.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+
+    if sorted(s_cols) != sorted(o_cols):
+        return (False, f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    if len(s_rows) != len(o_rows):
+        return (False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    sn = _normalize(s_rows, s_cols)
+    on = _normalize(o_rows, o_cols)
+    if sn != on:
+        diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+        return (False, f"value mismatch ({sum(1 for a, b in zip(sn, on) if a != b)} rows), first: {diffs}")
+    return (True, f"match: {len(s_rows)} rows")

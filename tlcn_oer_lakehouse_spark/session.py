@@ -1,0 +1,74 @@
+"""SparkSession factory — single place where execution knobs live.
+
+Replaces the reference's per-job session builders
+(``airflow/src/silver/transformer.py:1201-1256``,
+``airflow/src/gold_analytics.py:96-121``, ``airflow/src/create_schema.py:60-90``)
+which re-declared S3A credentials, Iceberg catalogs and shuffle tuning in
+every entry point.  Here one factory produces a local or cluster profile;
+warehouse layout is plain partitioned Parquet (lakehouse-format agnostic —
+Iceberg/Delta jars are not on this classpath, so MERGE semantics are
+implemented in :mod:`tlcn_oer_lakehouse_spark.sinks.merge`).
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting means
+  we do not hand-tune ``shuffle.partitions`` per query (the reference pinned
+  it to 8, which serializes any real cluster).
+- Arrow enabled: every pandas-UDF boundary is vectorized.
+- UTC session timezone: required for oracle parity and sane lakehouse
+  semantics across writer timezones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tlcn_oer_lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so tests,
+    bench and the driver's verify all share one profile; on a real cluster
+    pass ``master=None`` with ``spark.master`` provided by spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{cpus}]")
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # local mode: keep the UI off and the JVM quiet
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        # parquet scan sizing for the local profile; a cluster deployment
+        # overrides via spark-defaults
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
