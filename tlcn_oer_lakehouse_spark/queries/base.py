@@ -54,3 +54,30 @@ class QuerySpec:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with nanosecond-timestamp handling.
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL); ``spark.sql.legacy.parquet.nanosAsLong``
+    reads it as epoch-nanosecond BIGINT.  We set the conf at runtime so
+    the driver's own session works too, then derive:
+
+    - ``ts_ns``  — raw epoch nanoseconds (BIGINT)
+    - ``ts_sec`` — epoch seconds via integer division (``div`` keeps the
+      math in BIGINT; double division would lose precision at 1.7e18)
+    - ``ts``     — second-truncated TIMESTAMP
+
+    DuckDB oracle equivalents: ``epoch_ns(ts)``, ``epoch_ns(ts)//1000000000``,
+    ``make_timestamp((epoch_ns(ts)//1000000000) * 1000000)``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
+    )

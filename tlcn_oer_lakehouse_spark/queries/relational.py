@@ -1,0 +1,720 @@
+"""Relational operator inventory — one QuerySpec per SURVEY §2 operator.
+
+Covers scans (S1/S3/S4/S6), projection & predicates (P1-P6), the full join
+surface (J1-J9 incl. left-anti and broadcast), aggregation (A1-A8 incl.
+collect_list-struct), windows (W1 + ranking/analytic/frame extensions),
+sorts/limits/set-ops (O1-O6), and the scalar function surface (§2.7:
+hash ids, string, null handling, date/time, JSON, math/casts).
+
+Determinism rules from ``queries.base`` apply throughout.  Each builder is
+pure DataFrame API; the oracle re-expresses the same semantics in DuckDB
+SQL so the two engines check each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load, load_events
+
+# ---------------------------------------------------------------------------
+# S — scans / sources
+# ---------------------------------------------------------------------------
+
+
+def s1_json_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    """S1: schema-on-read JSON ingestion (transformer.py:1440-1444) —
+    here the JSON payload column `events.props` is parsed with
+    get_json_object; aggregates validate the extracted field."""
+    ev = load_events(spark, sf)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+S1_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def s4_local_collection(spark: SparkSession, sf: str) -> DataFrame:
+    """S4: createDataFrame from a local collection (transformer.py:1358-1361)
+    — a static mapping table joined against a scanned table."""
+    seg_tiers = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "tier1"),
+            ("BUILDING", "tier1"),
+            ("FURNITURE", "tier2"),
+            ("HOUSEHOLD", "tier2"),
+            ("MACHINERY", "tier3"),
+        ],
+        "c_mktsegment string, tier string",
+    )
+    cust = load(spark, sf, "customer")
+    return (
+        cust.join(F.broadcast(seg_tiers), "c_mktsegment", "left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+S4_SQL = """
+WITH seg_tiers(c_mktsegment, tier) AS (
+  VALUES ('AUTOMOBILE','tier1'), ('BUILDING','tier1'), ('FURNITURE','tier2'),
+         ('HOUSEHOLD','tier2'), ('MACHINERY','tier3')
+)
+SELECT tier, COUNT(*) AS n_customers
+FROM customer LEFT JOIN seg_tiers USING (c_mktsegment)
+GROUP BY tier
+"""
+
+
+def s6_range_source(spark: SparkSession, sf: str) -> DataFrame:
+    """S6: range source (gold_analytics.py:399) — synthetic sequence joined
+    to nothing; used as a date spine generator."""
+    return spark.range(0, 30).select(
+        F.col("id").alias("seq"),
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+
+
+S6_SQL = """
+SELECT CAST(i AS BIGINT) AS seq, CAST(DATE '1995-01-01' + CAST(i AS INTEGER) AS DATE) AS d
+FROM range(0, 30) t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P — projection / derived columns / predicates
+# ---------------------------------------------------------------------------
+
+
+def p2_derived_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """P2: withColumn derivation chains (transformer.py:1603-1608) —
+    path-style splitting, extension extraction, lower/trim/length."""
+    part = load(spark, sf, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.element_at(words, -1).alias("last_word"),
+        F.element_at(words, 1).alias("first_word"),
+        F.size(words).alias("n_words"),
+        F.lower(F.col("p_brand")).alias("brand_lower"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+P2_SQL = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[-1] AS last_word,
+       string_split(p_name, ' ')[1] AS first_word,
+       len(string_split(p_name, ' ')) AS n_words,
+       lower(p_brand) AS brand_lower,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       length(p_name) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+def p3_nullsafe_incremental_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P3+J1: the incremental change filter (transformer.py:1538-1557) —
+    incoming batch left-joined to the existing table; keep rows that are
+    new OR whose fingerprint differs, with null-safe comparison.
+
+    'Existing' is simulated deterministically: orders with o_orderkey%3!=0
+    are present, and those with o_orderkey%5==0 carry a stale fingerprint.
+    """
+    orders = load(spark, sf, "orders")
+    fp = F.md5(F.concat_ws("||", F.col("o_orderkey"), F.col("o_totalprice")))
+    incoming = orders.select("o_orderkey", fp.alias("fingerprint"))
+    existing = (
+        orders.filter(F.col("o_orderkey") % 3 != 0)
+        .select(
+            F.col("o_orderkey").alias("e_orderkey"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.md5(F.concat_ws("||", F.lit("stale"), F.col("o_orderkey"))))
+            .otherwise(fp)
+            .alias("e_fingerprint"),
+        )
+    )
+    joined = incoming.join(
+        existing, incoming.o_orderkey == existing.e_orderkey, "left"
+    )
+    changed = joined.filter(
+        F.col("e_orderkey").isNull()
+        | ~F.col("fingerprint").eqNullSafe(F.col("e_fingerprint"))
+    )
+    return changed.select(
+        "o_orderkey",
+        "fingerprint",
+        F.col("e_orderkey").isNull().alias("is_new"),
+    )
+
+
+P3_SQL = """
+WITH incoming AS (
+  SELECT o_orderkey, md5(concat_ws('||', o_orderkey, o_totalprice)) AS fingerprint
+  FROM orders
+), existing AS (
+  SELECT o_orderkey AS e_orderkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN md5(concat_ws('||', 'stale', o_orderkey))
+              ELSE md5(concat_ws('||', o_orderkey, o_totalprice)) END AS e_fingerprint
+  FROM orders WHERE o_orderkey % 3 != 0
+)
+SELECT o_orderkey, fingerprint, (e_orderkey IS NULL) AS is_new
+FROM incoming LEFT JOIN existing ON o_orderkey = e_orderkey
+WHERE e_orderkey IS NULL OR fingerprint IS DISTINCT FROM e_fingerprint
+"""
+
+
+def p6_conditional_ladder(spark: SparkSession, sf: str) -> DataFrame:
+    """P6: when/otherwise ladders (gold_analytics.py:437-444, 714-720) —
+    value normalization + bucketing with a fallback branch."""
+    cust = load(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.when(F.col("c_acctbal") > 1, F.col("c_acctbal") / 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("normalized_score"),
+    )
+
+
+P6_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS balance_band,
+       CASE WHEN c_acctbal > 1 THEN c_acctbal / 10.0 ELSE c_acctbal END AS normalized_score
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+
+def j4_left_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: left-anti join — deleted-asset detection (transformer.py:1705).
+    Customers with no order since 1998 (restricted so the result is
+    non-empty at every SF — a 0-row match is a vacuous check)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+J4_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+"""
+
+
+def j_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (EXISTS) — complement of J4; suppliers that shipped
+    at least one 'R' returned line."""
+    supp = load(spark, sf, "supplier")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+J_SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+"""
+
+
+def j5_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: explicit broadcast hash join (elasticsearch_sync.py:194) —
+    region/nation dims broadcast against the customer table."""
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+J5_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def j8_fk_validation(spark: SparkSession, sf: str) -> DataFrame:
+    """J8: FK existence validation (gold_analytics.py:588-592) — count fact
+    rows whose FK does / does not resolve against the dim."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 7 != 0)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("n_orphans"),
+    )
+
+
+J8_SQL = """
+SELECT COUNT(*) AS n_fact_rows,
+       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+FROM orders o
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 7 != 0) c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A — aggregation
+# ---------------------------------------------------------------------------
+
+
+def a1_grouped_multi_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: groupBy + countDistinct/max multi-agg (gold_analytics.py:455-462)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+    )
+
+
+A1_SQL = """
+SELECT l_suppkey,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(MAX(l_shipdate) AS DATE) AS last_ship,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def a5_distinct_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: dropDuplicates on a projection (gold_analytics.py:352-354) —
+    the dim-build distinct pattern."""
+    orders = load(spark, sf, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+A5_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def a6_collect_list_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: collect_list(struct(...)) per group (saf_exporter.py:217-233) —
+    serialized to JSON for a canonical cross-engine representation; sorted
+    so the aggregation is order-independent."""
+    orders = load(spark, sf, "orders").filter(F.col("o_custkey") % 100 == 0)
+    item = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.to_json(F.sort_array(F.collect_list(item))).alias("orders_json"),
+             F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+
+
+A6_SQL = """
+SELECT o_custkey,
+       to_json(array_agg(struct_pack(k := o_orderkey, s := o_orderstatus) ORDER BY o_orderkey)) AS orders_json,
+       array_agg(o_orderkey ORDER BY o_orderkey) AS order_keys
+FROM orders WHERE o_custkey % 100 = 0
+GROUP BY o_custkey
+"""
+
+
+def a_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup (capability beyond the reference — SURVEY §2.4 'not present';
+    free in Spark): subtotal lattice over returnflag/linestatus."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        )
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def a_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (beyond reference): quantity by returnflag pivoted on
+    linestatus values."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+A_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# W — windows
+# ---------------------------------------------------------------------------
+
+
+def w1_latest_record_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: latest-record dedup via row_number (transformer.py:1509-1514) —
+    keep the most recent lineitem per order with deterministic tie-breaks."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc_nulls_last(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship_date"))
+    )
+
+
+W1_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_orderkey
+    ORDER BY l_shipdate DESC NULLS LAST, l_linenumber DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def w2_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K per group (retrieval top-k pattern, chatbot_api.py:244-274):
+    3 highest-value orders per customer."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+W2_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def w3_running_and_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic windows (beyond reference's single row_number): running
+    revenue + lag over a unique total order per supplier."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 10)
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order_cols)
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(qty_dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_qty"),
+        F.lag("l_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.lead("l_orderkey", 1).over(w).alias("next_orderkey"),
+    )
+
+
+W3_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty,
+       lag(l_orderkey, 1) OVER w AS prev_orderkey,
+       lead(l_orderkey, 1) OVER w AS next_orderkey
+FROM lineitem
+WHERE l_suppkey <= 10
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# O — sorts / limits / set ops / explode
+# ---------------------------------------------------------------------------
+
+
+def o2_top1_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """O2: orderBy().limit() state-lookup pattern (transformer.py:1338-1346)."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+O2_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+"""
+
+
+def o5_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """O4/O5: union + unionByName with missing columns
+    (transformer.py:2544, gold_analytics.py:389-400)."""
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("entity_kind"),
+    )
+    supp = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.lit("supplier").alias("entity_kind"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
+
+
+O5_SQL = """
+SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS entity_kind FROM customer
+UNION ALL BY NAME
+SELECT s_suppkey AS entity_key, 'supplier' AS entity_kind FROM supplier
+"""
+
+
+def o6_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    """O6: posexplode (transformer.py:1600) — p_name words with ordinal,
+    the asset_order pattern."""
+    part = load(spark, sf, "part").filter(F.col("p_partkey") <= 200)
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey", F.posexplode(words).alias("pos", "word")
+    )
+
+
+O6_SQL = """
+SELECT p_partkey, pos - 1 AS pos, words[pos] AS word
+FROM (
+  SELECT p_partkey, string_split(p_name, ' ') AS words,
+         unnest(generate_series(1, len(string_split(p_name, ' ')))) AS pos
+  FROM part WHERE p_partkey <= 200
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F — scalar function surface (§2.7)
+# ---------------------------------------------------------------------------
+
+
+def f_hash_identities(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 hash/ID surface: sha2-256 resource_uid (transformer.py:1608),
+    md5, and the surrogate-key-from-hash pattern (gold_analytics.py:258-263
+    uses xxhash64; here a portable md5-prefix key so the oracle can agree)."""
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") <= 500)
+    natural = F.concat_ws("||", F.col("c_custkey").cast("string"), F.col("c_name"))
+    return cust.select(
+        "c_custkey",
+        F.sha2(natural, 256).alias("uid_sha256"),
+        F.md5(natural).alias("uid_md5"),
+        F.conv(F.substring(F.md5(natural), 1, 8), 16, 10)
+        .cast("long")
+        .alias("surrogate_key"),
+    )
+
+
+F_HASH_SQL = """
+SELECT c_custkey,
+       sha256(concat_ws('||', CAST(c_custkey AS VARCHAR), c_name)) AS uid_sha256,
+       md5(concat_ws('||', CAST(c_custkey AS VARCHAR), c_name)) AS uid_md5,
+       CAST(('0x' || substring(md5(concat_ws('||', CAST(c_custkey AS VARCHAR), c_name)), 1, 8)) AS BIGINT) AS surrogate_key
+FROM customer WHERE c_custkey <= 500
+"""
+
+
+def f_datetime_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 date/time surface — the dim_date attribute build
+    (gold_analytics.py:389-416): date_key, year/quarter/month/day,
+    day_of_week, week_of_year, month/day names."""
+    orders = load(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(d.alias("d"))
+        .dropDuplicates()
+        .select(
+            "d",
+            F.date_format("d", "yyyyMMdd").cast("int").alias("date_key"),
+            F.year("d").alias("year"),
+            F.quarter("d").alias("quarter"),
+            F.month("d").alias("month"),
+            F.dayofmonth("d").alias("day"),
+            F.dayofweek("d").alias("day_of_week"),
+            F.weekofyear("d").alias("week_of_year"),
+            F.date_format("d", "MMMM").alias("month_name"),
+            F.date_format("d", "EEEE").alias("day_name"),
+        )
+    )
+
+
+F_DATETIME_SQL = """
+SELECT d,
+       CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+       CAST(year(d) AS BIGINT)    AS year,
+       CAST(quarter(d) AS BIGINT) AS quarter,
+       CAST(month(d) AS BIGINT)   AS month,
+       CAST(day(d) AS BIGINT)     AS day,
+       CAST(dayofweek(d) + 1 AS BIGINT) AS day_of_week,
+       CAST(weekofyear(d) AS BIGINT)    AS week_of_year,
+       monthname(d) AS month_name,
+       dayname(d)   AS day_name
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+"""
+
+
+def f_null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 null surface — coalesce ladders (transformer.py:1544-1554),
+    nullif, isnull flags over sparsely-populated derived columns."""
+    ev = load_events(spark, sf)
+    maybe = F.when(F.col("event_id") % 3 == 0, F.col("value")).otherwise(F.lit(None))
+    maybe2 = F.when(F.col("event_id") % 5 == 0, F.col("value") * 2.0).otherwise(F.lit(None))
+    return ev.select(
+        "event_id",
+        F.coalesce(maybe, maybe2, F.lit(-1.0)).alias("first_present"),
+        maybe.isNull().alias("a_missing"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+    )
+
+
+F_NULL_SQL = """
+SELECT event_id,
+       coalesce(CASE WHEN event_id % 3 = 0 THEN value END,
+                CASE WHEN event_id % 5 = 0 THEN value * 2.0 END,
+                -1.0) AS first_present,
+       (CASE WHEN event_id % 3 = 0 THEN value END) IS NULL AS a_missing,
+       nullif(event_type, 'error') AS type_or_null
+FROM events
+"""
+
+
+SPECS = [
+    QuerySpec("s1_json_extraction", s1_json_extraction, S1_SQL,
+              ref="transformer.py:1440-1444 (S1 schema-on-read JSON)",
+              doc="JSON field extraction + agg", tags=("scan", "json")),
+    QuerySpec("s4_local_collection", s4_local_collection, S4_SQL,
+              ref="transformer.py:1358-1361 (S4 createDataFrame)",
+              doc="local collection source joined to scan", tags=("scan",)),
+    QuerySpec("s6_range_source", s6_range_source, S6_SQL,
+              ref="gold_analytics.py:399 (S6 range source)",
+              doc="range → date spine", tags=("scan",)),
+    QuerySpec("p2_derived_columns", p2_derived_columns, P2_SQL,
+              ref="transformer.py:1603-1608 (P2 withColumn chains)",
+              doc="string derivation chain", tags=("project",)),
+    QuerySpec("p3_nullsafe_incremental_filter", p3_nullsafe_incremental_filter, P3_SQL,
+              ref="transformer.py:1538-1557 (P3/J1 incremental change filter)",
+              doc="null-safe fingerprint diff", tags=("filter", "join", "incremental")),
+    QuerySpec("p6_conditional_ladder", p6_conditional_ladder, P6_SQL,
+              ref="gold_analytics.py:437-444,714-720 (P6 when/otherwise)",
+              doc="case ladder + normalization", tags=("project",)),
+    QuerySpec("j4_left_anti", j4_left_anti, J4_SQL,
+              ref="transformer.py:1705 (J4 left-anti deleted detection)",
+              doc="anti join", tags=("join",)),
+    QuerySpec("j_semi_exists", j_semi, J_SEMI_SQL,
+              ref="complement of J4; Spark left_semi",
+              doc="semi join (EXISTS)", tags=("join",)),
+    QuerySpec("j5_broadcast_dim", j5_broadcast_dim, J5_SQL,
+              ref="elasticsearch_sync.py:194 (J5 broadcast hash join)",
+              doc="broadcast dims + agg", tags=("join",)),
+    QuerySpec("j8_fk_validation", j8_fk_validation, J8_SQL,
+              ref="gold_analytics.py:588-592 (J8 FK validation)",
+              doc="orphan FK counting", tags=("join",)),
+    QuerySpec("a1_grouped_multi_agg", a1_grouped_multi_agg, A1_SQL,
+              ref="gold_analytics.py:455-462 (A1 countDistinct/max agg)",
+              doc="grouped multi-agg", tags=("agg",)),
+    QuerySpec("a5_distinct_dedup", a5_distinct_dedup, A5_SQL,
+              ref="gold_analytics.py:352-354 (A5 dropDuplicates)",
+              doc="distinct projection", tags=("agg",)),
+    QuerySpec("a6_collect_list_struct", a6_collect_list_struct, A6_SQL,
+              ref="saf_exporter.py:217-233 (A6 collect_list struct)",
+              doc="struct list agg (JSON-canonical)", tags=("agg",)),
+    QuerySpec("a_rollup", a_rollup, A_ROLLUP_SQL,
+              ref="beyond reference (SURVEY §2.4: rollup absent)",
+              doc="rollup subtotal lattice", tags=("agg", "extension")),
+    QuerySpec("a_pivot", a_pivot, A_PIVOT_SQL,
+              ref="beyond reference (SURVEY §2.4: pivot absent)",
+              doc="pivot on linestatus", tags=("agg", "extension")),
+    QuerySpec("w1_latest_record_dedup", w1_latest_record_dedup, W1_SQL,
+              ref="transformer.py:1509-1514 (W1 row_number dedup)",
+              doc="latest-record dedup", tags=("window",)),
+    QuerySpec("w2_topk_per_group", w2_topk_per_group, W2_SQL,
+              ref="chatbot_api.py:244-274 (top-k pattern)",
+              doc="top-3 per group", tags=("window",)),
+    QuerySpec("w3_running_and_lag", w3_running_and_lag, W3_SQL,
+              ref="beyond reference (SURVEY §2.5: no analytic windows)",
+              doc="running sum + lag/lead", tags=("window", "extension")),
+    QuerySpec("o2_top1_limit", o2_top1_limit, O2_SQL,
+              ref="transformer.py:1338-1346 (O2 orderBy.limit)",
+              doc="global top-5", tags=("sort",)),
+    QuerySpec("o5_union_by_name", o5_union_by_name, O5_SQL,
+              ref="transformer.py:2544 (O5 unionByName)",
+              doc="union by name w/ missing cols", tags=("setop",)),
+    QuerySpec("o6_posexplode", o6_posexplode, O6_SQL,
+              ref="transformer.py:1600 (O6 posexplode pdf_paths)",
+              doc="posexplode with ordinal", tags=("setop",)),
+    QuerySpec("f_hash_identities", f_hash_identities, F_HASH_SQL,
+              ref="transformer.py:1608, gold_analytics.py:258-263 (§2.7 hash ids)",
+              doc="sha2/md5/surrogate keys", tags=("function",)),
+    QuerySpec("f_datetime_dim", f_datetime_dim, F_DATETIME_SQL,
+              ref="gold_analytics.py:389-416 (§2.7 date/time; dim_date)",
+              doc="date attribute derivation", tags=("function",)),
+    QuerySpec("f_null_handling", f_null_handling, F_NULL_SQL,
+              ref="transformer.py:1544-1554 (§2.7 null handling)",
+              doc="coalesce/nullif/isnull", tags=("function",)),
+]
