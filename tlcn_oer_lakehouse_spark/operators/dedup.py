@@ -1,0 +1,244 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine. The scale-path family a 100 TB training-data pipeline
+needs; the reference only has exact-fingerprint incremental dedup
+(transformer.py:310-337 record_fingerprint + W1 latest-wins window).
+
+All operators are DataFrame→DataFrame compositions of built-in functions —
+hashing via md5 expressions (portable: the same signatures are computable
+in any engine, so every operator is oracle-verifiable), aggregation via
+hash-agg, candidate generation via equi-joins on hash buckets.
+
+Scale design:
+- exact:   one groupBy(fingerprint) shuffle; fingerprints are uniformly
+           distributed so no skew.
+- minhash: explode(shingles) → groupBy(doc) [shuffle 1] → explode(bands)
+           → self-join on (band, band_hash) [shuffle 2, bucket-sized] →
+           verify only candidates. Never all-pairs.
+- simhash: one groupBy(doc) for the signature; candidate pairing joins on
+           signature prefix bands (here: all-pairs fallback below a row
+           threshold, prefix-band join above it).
+- ngram-jaccard: exact verify path; pairs come from a shared-shingle
+           equi-join, not a cross join.
+- embedding: all-pairs only within sign-buckets (see similarity.py) —
+           brute force is the correctness baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.text import fingerprint, shingles, tokens
+from tlcn_oer_lakehouse_spark.functions.vectors import cosine
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one row per duplicate group with
+    the canonical (minimum) id, member list, and group size."""
+    return (
+        df.select(F.col(id_col).alias("member_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("member_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("member_id")).alias("member_ids"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def _minhash_value(i: int, shingle: Column) -> Column:
+    """Portable hash family: h_i(s) = int(md5(i ':' s)[0:8], 16)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(i), shingle)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature: num_hashes min-values over the
+    document's distinct word shingles. One explode + one groupBy."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("shingle"),
+        )
+    )
+    aggs = [F.min(_minhash_value(i, F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes // bands`` rows, hash each band, and equi-join documents
+    sharing any band hash. Returns distinct (doc_a, doc_b) with
+    doc_a < doc_b. The join key is (band_no, band_hash) — bucket-sized,
+    never a cross product."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_no"),
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col("doc"), F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc", "band.band_no", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs:
+    |A∩B| via a shared-shingle join, |A∪B| = |A|+|B|-|A∩B|. Integer
+    counts → double division: deterministic."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
+    pairs → exact Jaccard verify → threshold filter."""
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    cands = minhash_lsh_candidate_pairs(sigs, num_hashes, bands)
+    verified = jaccard_verify(df, cands, id_col, text_col, shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
+    shingle (equi-join on shingle, not a cross join), then exact Jaccard.
+    The no-false-negative verify baseline for minhash."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("shingle"),
+    )
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    return jaccard_verify(df, pairs, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, nbits: int = 32
+) -> DataFrame:
+    """Per-document SimHash: each token hashes to a 32-bit value; bit j of
+    the signature is the sign of Σ_tokens (±1 per token's bit j).
+    Portable md5-based token hash; one explode + one groupBy."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(nbits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(nbits):
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bit_sums.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, nbits: int = 32
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Candidate strategy: all-pairs below ~10k docs (correctness baseline,
+    what runs here); at scale, band the signature into (max_hamming+1)
+    segments and equi-join on any equal segment (pigeonhole: a pair within
+    the radius shares ≥1 exact segment) — same shape as minhash banding."""
+    sigs = simhash_signatures(df, id_col, text_col, nbits)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. All-pairs fold — the correctness
+    baseline; the scale path blocks on sign_bucket first (similarity.py)."""
+    a, b = df.alias("a"), df.alias("b")
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -7,6 +7,8 @@ from tlcn_oer_lakehouse_spark.queries.base import QuerySpec
 _MODULES = (
     "tpch",
     "relational",
+    "textops",
+    "vectorops",
 )
 
 

@@ -1,0 +1,311 @@
+"""Training-data text operators as verifiable queries: exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, text stats / quality / language-ID /
+fingerprinting — all over the ``documents`` table.
+
+The sf0.01 corpus has no natural duplicates (500 distinct texts), so the
+dedup queries operate on a deterministically AUGMENTED corpus built inside
+the query: the base documents, plus exact copies (doc_id+100000 for
+doc_id%10==0) and near-copies with the last 3 tokens dropped
+(doc_id+200000 for doc_id%10==5).  Both engines construct the same corpus,
+so every operator exercises real duplicate/near-duplicate structure.
+
+Oracle SQL for the signature operators (16 minhash mins, 32 simhash bit
+sums) is generated programmatically to keep the two implementations
+honestly independent in structure but identical in the hash family
+(md5-prefix integers — portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    fingerprint,
+    normalize_text,
+    quality_score,
+    token_count,
+    tokens,
+)
+from tlcn_oer_lakehouse_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+
+# ---------------------------------------------------------------------------
+# shared augmented corpus
+# ---------------------------------------------------------------------------
+
+
+def augmented_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 3)).alias("text"),
+    )
+    return docs.unionByName(copies).unionByName(near)
+
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 3], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 5
+)
+"""
+
+# Distinct 3-gram shingle sets per document (DuckDB side).
+SHINGLES_SQL = """
+toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (SELECT doc, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text stats / fingerprint / quality / language id
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + fingerprinting (transformer.py:860, 310-337)."""
+    docs = load(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+       len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars_measured,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def text_quality_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring (transformer.py:340-368) + heuristic language ID
+    (chatbot_api.py:69-89), both as pure column expressions."""
+    docs = load(spark, sf, "documents")
+    from tlcn_oer_lakehouse_spark.functions.text import lang_id
+
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 9).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        "lang",
+    )
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, ms in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in ms)
+        score_exprs.append(
+            f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)  # iteration order of the Spark argmax loop
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    ladder = " ".join(f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs)
+    stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, tk, {', '.join(score_exprs)},
+         len(tk) AS n,
+         len(list_distinct(tk)) AS nd,
+         len(list_filter(tk, t -> list_contains([{stop_list}], t))) AS nstop
+  FROM base
+)
+SELECT doc_id,
+       round(CASE WHEN n > 0 THEN
+         0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n) + 0.3 * (1.0 - nstop / n)
+       ELSE 0.0 END, 9) AS quality,
+       CASE WHEN {m} <= 0 THEN 'und' {ladder} END AS lang_pred,
+       lang
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family over the augmented corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_duplicate_groups(augmented_corpus(spark, sf), "doc_id", "text").select(
+        "fp", "canonical_id", "member_ids", "group_size"
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {CORPUS_SQL.strip()}
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS canonical_id,
+       array_agg(doc_id ORDER BY doc_id) AS member_ids,
+       COUNT(*) AS group_size
+FROM corpus
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_near_duplicates(
+        augmented_corpus(spark, sf), "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, threshold=0.5,
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(CAST('0x' || substring(md5(concat_ws(':', {i}, shingle)), 1, 8) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc, {b} AS band_no, md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip()},
+sigs AS (
+  SELECT doc, {mins}
+  FROM sh GROUP BY doc
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.doc < b.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON sa.doc = cand.doc_a
+  JOIN sh sb ON sb.doc = cand.doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc = i.doc_a
+JOIN sizes nb ON nb.doc = i.doc_b
+WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= {threshold}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        augmented_corpus(spark, sf), "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip()},
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON sa.doc = cand.doc_a
+  JOIN sh sb ON sb.doc = cand.doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc = i.doc_a
+JOIN sizes nb ON nb.doc = i.doc_b
+WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_near_duplicates(
+        augmented_corpus(spark, sf), "doc_id", "text", max_hamming=6, nbits=32
+    )
+
+
+def _simhash_oracle(nbits: int = 32, max_hamming: int = 6) -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(nbits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(nbits)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+tok AS (
+  SELECT doc_id AS doc,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM corpus
+),
+hashed AS (SELECT doc, CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+bits AS (
+  SELECT doc, {bit_sums}
+  FROM hashed GROUP BY doc
+),
+sig AS (SELECT doc, {assemble} AS simhash FROM bits)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SPECS = [
+    QuerySpec("text_stats", text_stats, TEXT_STATS_SQL,
+              ref="transformer.py:860 (token count), 310-337 (fingerprint)",
+              doc="token/char stats + content fingerprint", tags=("text",)),
+    QuerySpec("text_quality_langid", text_quality_langid, _langid_oracle(),
+              ref="transformer.py:340-368 (quality), chatbot_api.py:69-89 (lang id)",
+              doc="quality score + heuristic language id", tags=("text",)),
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL,
+              ref="transformer.py:310-337 (fingerprint dedup); scale op",
+              doc="exact duplicate groups (augmented corpus)", tags=("dedup",)),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
+              ref="scale op (SURVEY §7.7); minhash k=16, 4 bands, J>=0.5",
+              doc="MinHash+LSH near-dup pairs", tags=("dedup", "bench")),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL,
+              ref="scale op; exact 3-gram Jaccard via shared-shingle join",
+              doc="n-gram Jaccard near-dup pairs", tags=("dedup",)),
+    QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(),
+              ref="scale op; 32-bit simhash, hamming<=6",
+              doc="SimHash near-dup pairs", tags=("dedup",)),
+]

@@ -1,0 +1,175 @@
+"""Vector similarity queries over the ``embeddings`` table: brute-force
+kNN (the correctness baseline), sign-bucket ANN (the pruned scale path),
+and embedding-cosine near-dup detection.
+
+Reproduces SURVEY §2.10 Q2's rebuild mapping (kNN vector search →
+fold-based cosine + orderBy/limit) without Elasticsearch.  All math is a
+sequential double-precision fold (functions/vectors.py) that matches
+DuckDB's ``list_sum(list_transform(...))`` bit-for-bit.
+
+The raw embeddings are near-random (max pairwise cosine ≈ 0.51), so the
+near-dup query augments the corpus deterministically with exact copies
+(vec_id+100000) and first-component-jittered copies (vec_id+200000,
+x0 += 0.2 → cosine ≈ 0.98 to the original) — giving real positives at a
+0.95 threshold while every cross pair stays far below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.vectors import cosine, sign_bucket
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+
+DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        DOT_SQL.format(a=a, b=b)
+        + " / ("
+        + NORM_SQL.format(a=a)
+        + " * "
+        + NORM_SQL.format(a=b)
+        + ")"
+    )
+
+
+def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-10 nearest neighbours (cosine) of vec_id=0's embedding.
+    Query vector arrives via a 1-row broadcast cross join — no literal
+    vectors, no driver collect. Ranking on round(cos, 9) with id
+    tie-break keeps top-k membership engine-stable."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 9).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+KNN_SQL = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('embedding', 'q_emb')}, 9) AS cos_sim
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def ann_sign_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-bucket ANN: candidates = rows whose first-4-component sign
+    pattern equals the query's; exact cosine only inside the bucket.
+    At scale the bucket is a partition/cluster key → scan pruning."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        sign_bucket(F.col("embedding"), 4).alias("q_bucket"),
+    )
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("bucket", sign_bucket(F.col("embedding"), 4))
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+    )
+    scored = cands.select(
+        "vec_id",
+        "bucket",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 9).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+BUCKET_EXPR = (
+    "(CASE WHEN {e}[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN {e}[2] >= 0 THEN 2 ELSE 0 END)"
+    " + (CASE WHEN {e}[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN {e}[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+ANN_SQL = f"""
+WITH q AS (
+  SELECT embedding AS q_emb, {BUCKET_EXPR.format(e='embedding')} AS q_bucket
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, {BUCKET_EXPR.format(e='embedding')} AS bucket,
+       round({_cos_sql('embedding', 'q_emb')}, 9) AS cos_sim
+FROM embeddings, q
+WHERE vec_id != 0 AND {BUCKET_EXPR.format(e='embedding')} = q_bucket
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _augmented_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("vec"))
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), as_double.alias("vec")
+    )
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") + 0.2).otherwise(x.cast("double")),
+    )
+    jittered = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), jitter.alias("vec")
+    )
+    return base.unionByName(copies).unionByName(jittered)
+
+
+AUG_EMB_SQL = """
+corpus AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.2
+               ELSE CAST(embedding[i] AS DOUBLE) END for i in generate_series(1, 64)] AS vec
+  FROM embeddings WHERE vec_id % 10 = 5
+)
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.95 over the augmented
+    corpus. All-pairs here (correctness baseline); the scale path blocks
+    on sign_bucket before the fold."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import embedding_near_duplicates
+
+    corpus = _augmented_embeddings(spark, sf)
+    return embedding_near_duplicates(corpus, "vec_id", "vec", threshold=0.95).select(
+        "id_a", "id_b", F.round(F.col("cos_sim"), 9).alias("cos_sim")
+    )
+
+
+DEDUP_EMB_SQL = f"""
+WITH {AUG_EMB_SQL.strip()}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.vec', 'b.vec')}, 9) AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.vec', 'b.vec')} >= 0.95
+"""
+
+
+SPECS = [
+    QuerySpec("knn_bruteforce", knn_bruteforce, KNN_SQL,
+              ref="chatbot_api.py:227-242 (Q2 kNN) → SURVEY §2.10 rebuild mapping",
+              doc="exact cosine top-10", tags=("vector", "bench")),
+    QuerySpec("ann_sign_bucket", ann_sign_bucket, ANN_SQL,
+              ref="scale path for Q2 (SURVEY §7.7: LSH at scale)",
+              doc="sign-bucket pruned ANN top-10", tags=("vector",)),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL,
+              ref="scale op: embedding near-dup (augmented corpus)",
+              doc="cosine>=0.95 near-dup pairs", tags=("vector", "dedup")),
+]
