@@ -9,6 +9,7 @@ _MODULES = (
     "relational",
     "textops",
     "vectorops",
+    "retrieval",
 )
 
 

@@ -1,0 +1,212 @@
+"""Retrieval queries: BM25 lexical scoring, kNN is in vectorops, and
+hybrid lexical+vector score fusion — the Spark-native re-expression of
+the reference's Elasticsearch serving path (SURVEY §2.10).
+
+Reference parity:
+- Q1 BM25 lexical search   — chatbot_api.py:202-217 (ES ``match`` query);
+  re-expressed as exact Okapi BM25 (k1=1.2, b=0.75) computed with pure
+  column expressions.
+- Q3 hybrid score fusion   — chatbot_api.py:37-40, 244-274 (per-branch
+  max-normalization then weighted sum, 0.5/0.5 for EN).
+
+Scale design (100 TB): per-term tf is a JVM-side array expression over
+each row's tokens — embarrassingly parallel, zero shuffle.  Corpus stats
+(N, avgdl, per-term df) reduce to ONE row via a partial-aggregated scalar
+agg, then rejoin via broadcast cross-join — no driver collect, no literal
+embedding of data in the plan.  The only shuffle in the whole query is
+the final top-k (TakeOrdered, O(k) per partition).  For batched query
+workloads (many queries at once) the same shape generalizes: explode the
+query set, broadcast-join terms, aggregate scores by (query_id, doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.text import tokens
+from tlcn_oer_lakehouse_spark.functions.vectors import cosine
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+
+QUERY_TERMS = ("spark", "merge", "vector")
+K1 = 1.2
+B = 0.75
+
+
+def _tf(toks, term: str):
+    """Occurrences of ``term`` in the token array.  (A ``term=term``
+    lambda default would make PySpark treat it as a two-arg
+    (value, index) higher-order lambda — hence the factory.)"""
+    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+
+def _scored_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + per-query-term tf columns + doc length."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(toks, term).alias(f"tf_{i}") for i, term in enumerate(QUERY_TERMS)],
+    )
+    return out
+
+
+def bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 of the fixed query against every document.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))           [Robertson-Sparck-Jones]
+    score  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Stats (N, avgdl, df_t) are a 1-row aggregate broadcast back — the
+    plan is scan → scalar agg (tiny) → broadcast nested loop join →
+    per-row math. avgdl is computed as exact-int SUM(dl)/COUNT so both
+    engines divide the same two integers.
+    """
+    scored = _scored_docs(spark, sf)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    j = scored.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = F.lit(0.0)
+    for i in range(len(QUERY_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * F.col("dl") / avgdl))
+        score = score + idf * norm
+    return j.select("doc_id", score.alias("bm25_raw"))
+
+
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    s = bm25_scores(spark, sf)
+    return (
+        s.select("doc_id", F.round(F.col("bm25_raw"), 9).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _tf_sql(term: str) -> str:
+    return f"len(list_filter(tk, t -> t = '{term}'))"
+
+
+def _bm25_sql_core() -> str:
+    """Shared DuckDB CTEs computing bm25_raw per doc_id, mirroring the
+    Spark expression tree term-for-term (same association order)."""
+    tf_cols = ",\n         ".join(f"{_tf_sql(t)} AS tf_{i}" for i, t in enumerate(QUERY_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {K1 + 1.0}"
+        f" / (CAST(tf_{i} AS DOUBLE) + {K1} * (1.0 - {B} + {B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+        for i in range(len(QUERY_TERMS))
+    )
+    return f"""
+scored AS (
+  SELECT doc_id, len(tk) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM scored
+),
+bm25 AS (
+  SELECT doc_id, (0.0 + {score}) AS bm25_raw
+  FROM scored, stats
+)
+"""
+
+
+BM25_SQL = f"""
+WITH {_bm25_sql_core().strip()}
+SELECT doc_id, round(bm25_raw, 9) AS bm25
+FROM bm25
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid fusion (chatbot_api.py:244-274): lexical branch = BM25 over
+    documents; vector branch = (cosine+1) of each embedding vs the
+    vec_id=0 query vector (ES ``cosineSimilarity(...)+1`` convention,
+    chatbot_api.py:233). Each branch max-normalized via a 1-row broadcast
+    agg, then fused 0.5/0.5; top-10.
+
+    documents.doc_id and embeddings.vec_id share the 0..N id space — the
+    equi-join is the only real shuffle, and at scale it co-partitions by
+    the shared key (or bucket-by doc_id at write time).
+    """
+    lex = bm25_scores(spark, sf)
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    vec = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (cosine(F.col("embedding"), F.col("q_emb")) + F.lit(1.0)).alias("vec_raw"),
+        )
+    )
+    joined = lex.join(vec, "doc_id")
+    maxes = joined.agg(
+        F.max("bm25_raw").alias("max_lex"), F.max("vec_raw").alias("max_vec")
+    )
+    fused = joined.crossJoin(F.broadcast(maxes)).select(
+        "doc_id",
+        F.round(
+            F.lit(0.5) * (F.col("bm25_raw") / F.col("max_lex"))
+            + F.lit(0.5) * (F.col("vec_raw") / F.col("max_vec")),
+            9,
+        ).alias("hybrid_score"),
+    )
+    return fused.orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+_COS_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))"
+)
+_COS_NORM_A = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_COS_NORM_Q = "sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+HYBRID_SQL = f"""
+WITH {_bm25_sql_core().strip()},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         ({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q})) + 1.0 AS vec_raw
+  FROM embeddings, q
+),
+joined AS (
+  SELECT b.doc_id, b.bm25_raw, v.vec_raw
+  FROM bm25 b JOIN vec v ON b.doc_id = v.doc_id
+),
+maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined)
+SELECT doc_id,
+       round(0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec), 9) AS hybrid_score
+FROM joined, maxes
+ORDER BY hybrid_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+SPECS = [
+    QuerySpec("q1_bm25_topk", bm25_topk, BM25_SQL,
+              ref="chatbot_api.py:202-217 (Q1 BM25 match) → SURVEY §2.10",
+              doc="Okapi BM25 top-10, pure column exprs + 1-row stats broadcast",
+              tags=("retrieval", "bench")),
+    QuerySpec("q3_hybrid_fusion", hybrid_search, HYBRID_SQL,
+              ref="chatbot_api.py:37-40, 244-274 (Q3 max-norm weighted fusion)",
+              doc="hybrid BM25+cosine fusion top-10", tags=("retrieval",)),
+]
