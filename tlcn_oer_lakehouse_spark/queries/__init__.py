@@ -10,6 +10,7 @@ _MODULES = (
     "textops",
     "vectorops",
     "retrieval",
+    "lakehouse",
 )
 
 

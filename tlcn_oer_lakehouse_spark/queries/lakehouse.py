@@ -1,0 +1,356 @@
+"""Lakehouse pipeline queries: silver normalization (U1), MERGE
+upsert/delete semantics (K1/K2), and the gold star schema
+(dims / facts / coverage — SURVEY §1.4) re-expressed over the synthetic
+star schema.
+
+The silver/gold capability mapping:
+- ``silver_normalize``      ≙ U1 record normalizer (transformer.py:479-567):
+  JSON prop extraction, deterministic uid (sha2), content fingerprint,
+  derived columns, null-safe coalescing — all pure column expressions
+  (the reference did this row-at-a-time in RDD mapPartitions).
+- ``k1_merge_upsert``       ≙ K1 MERGE INTO (transformer.py:2427-2458):
+  the merged-table result of upserting a modified batch.
+- ``k2_merge_delete``       ≙ K2 MERGE DELETE (transformer.py:2460-2484):
+  survivors after stale-key cleanup, summarized per nation.
+- ``gold_fact_coverage``    ≙ fact_program_coverage (gold_analytics.py:494-607):
+  the headline business aggregate (coverage % per program → per nation).
+- ``gold_dim_customer``     ≙ dim_oer_resources (gold_analytics.py:418-492):
+  dim enriched with grouped countDistinct joins + surrogate keys + SCD cols.
+- ``gold_bridge_weighted``  ≙ bridge_oer_subjects (gold_analytics.py:725-774):
+  M:N bridge with similarity weight and referential-integrity inner joins.
+
+Scale notes: coverage and dim builds aggregate BEFORE joining (small
+grouped sides, broadcastable); the bridge aggregates lineitem on its
+natural join key so the shuffle is one hash-partition pass over the fact
+table; surrogate keys are computed, not sequenced — no driver coordination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.operators.incremental import changed_rows, merge_upsert
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load, load_events
+
+# ---------------------------------------------------------------------------
+# U1 silver normalizer over events
+# ---------------------------------------------------------------------------
+
+
+def silver_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf)
+    uid = F.sha2(F.concat_ws("||", F.lit("ev"), F.col("event_id").cast("string")), 256)
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.col("value").cast("string"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    return ev.select(
+        F.col("event_id"),
+        uid.alias("event_uid"),
+        F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type_norm"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+        F.to_date(F.col("ts")).alias("event_date"),
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        fp.alias("record_fingerprint"),
+    )
+
+
+SILVER_NORMALIZE_SQL = """
+SELECT event_id,
+       sha256(concat_ws('||', 'ev', CAST(event_id AS VARCHAR))) AS event_uid,
+       coalesce(event_type, 'unknown') AS event_type_norm,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       CAST(make_timestamp((epoch_ns(ts) // 1000000000) * 1000000) AS DATE) AS event_date,
+       CASE WHEN value >= 100 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS value_band,
+       md5(concat_ws('|', coalesce(event_type, ''), CAST(value AS VARCHAR), CAST(user_id AS VARCHAR))) AS record_fingerprint
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# K1 / K2 merge semantics
+# ---------------------------------------------------------------------------
+
+
+def _orders_versions(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """existing = orders with key%3!=0; incoming batch = keys%2==0 where
+    every 4th key got a price bump (changed) and the rest are identical
+    re-sends (must be skipped by change detection)."""
+    orders = load(spark, sf, "orders")
+    fp = F.md5(F.concat_ws("|", F.col("o_orderstatus"), F.col("o_totalprice").cast("string")))
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    existing = base.filter(F.col("o_orderkey") % 3 != 0)
+    incoming = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    add_fp = lambda df: df.withColumn("record_fingerprint", fp)  # noqa: E731
+    return add_fp(existing), add_fp(incoming)
+
+
+def k1_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    existing, incoming = _orders_versions(spark, sf)
+    changed = changed_rows(incoming, existing, "o_orderkey")
+    merged = merge_upsert(existing, changed, "o_orderkey")
+    return merged.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+K1_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+existing AS (SELECT * FROM base WHERE o_orderkey % 3 != 0),
+incoming AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 2 = 0
+)
+SELECT e.o_orderkey, e.o_custkey, e.o_orderstatus, e.o_totalprice
+FROM existing e ANTI JOIN incoming i ON e.o_orderkey = i.o_orderkey
+UNION ALL
+SELECT * FROM incoming
+"""
+
+
+def k2_merge_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete customers no longer present upstream (no orders), then
+    summarize survivors per nation — exercising J4 + K2 + post-merge agg."""
+    cust = load(spark, sf, "customer")
+    current = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    from tlcn_oer_lakehouse_spark.operators.incremental import deleted_keys
+
+    stale = deleted_keys(cust, current, "c_custkey")
+    survivors = cust.join(stale, "c_custkey", "left_anti")
+    return (
+        survivors.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+K2_SQL = """
+WITH survivors AS (
+  SELECT * FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM survivors
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# gold star schema
+# ---------------------------------------------------------------------------
+
+
+def gold_fact_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Coverage fact (gold_analytics.py:537-567): per nation — how many
+    customers exist, how many have ≥1 order, coverage %, totals.
+    Aggregate orders per customer first (one shuffle on o_custkey), then
+    join the small per-customer counts and aggregate per nation."""
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    j = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+    fact = (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("total_customers"),
+            F.sum(F.when(F.col("order_cnt") > 0, 1).otherwise(0)).alias(
+                "customers_with_orders"
+            ),
+            F.sum(F.coalesce(F.col("order_cnt"), F.lit(0))).alias("total_orders"),
+        )
+        .select(
+            "c_nationkey",
+            "total_customers",
+            "customers_with_orders",
+            F.round(
+                F.col("customers_with_orders") * 100.0 / F.col("total_customers"), 9
+            ).alias("coverage_pct"),
+            "total_orders",
+            F.round(F.col("total_orders") / F.col("total_customers"), 9).alias(
+                "avg_orders_per_customer"
+            ),
+        )
+    )
+    return fact.orderBy("c_nationkey")
+
+
+GOLD_COVERAGE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS order_cnt FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_nationkey, p.order_cnt
+  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+)
+SELECT c_nationkey,
+       COUNT(*) AS total_customers,
+       SUM(CASE WHEN order_cnt > 0 THEN 1 ELSE 0 END) AS customers_with_orders,
+       round(SUM(CASE WHEN order_cnt > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 9) AS coverage_pct,
+       SUM(coalesce(order_cnt, 0)) AS total_orders,
+       round(SUM(coalesce(order_cnt, 0)) * 1.0 / COUNT(*), 9) AS avg_orders_per_customer
+FROM j
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def gold_dim_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Enriched dimension (gold_analytics.py:418-492): descriptive
+    attributes + per-entity counts from two grouped joins + md5-prefix
+    surrogate key + degenerate SCD-2 columns (always-current)."""
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") <= 1000)
+    orders = load(spark, sf, "orders")
+    items = load(spark, sf, "lineitem")
+    order_counts = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderkey").alias("order_count")
+    )
+    item_counts = (
+        items.join(
+            orders.select("o_orderkey", "o_custkey"),
+            items.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("lineitem_count"))
+    )
+    natural = F.concat_ws("||", F.col("c_custkey").cast("string"), F.col("c_name"))
+    return (
+        cust.join(order_counts, cust.c_custkey == order_counts.o_custkey, "left")
+        .drop("o_custkey")
+        .join(item_counts, cust.c_custkey == item_counts.o_custkey, "left")
+        .drop("o_custkey")
+        .select(
+            F.conv(F.substring(F.md5(natural), 1, 8), 16, 10)
+            .cast("long")
+            .alias("customer_key"),
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
+            F.coalesce(F.col("lineitem_count"), F.lit(0)).alias("lineitem_count"),
+            F.lit("2020-01-01").cast("date").alias("effective_from"),
+            F.lit(None).cast("date").alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+GOLD_DIM_SQL = """
+WITH order_counts AS (
+  SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS order_count FROM orders GROUP BY o_custkey
+),
+item_counts AS (
+  SELECT o.o_custkey, COUNT(*) AS lineitem_count
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+)
+SELECT CAST(('0x' || substring(md5(concat_ws('||', CAST(c_custkey AS VARCHAR), c_name)), 1, 8)) AS BIGINT) AS customer_key,
+       c_custkey, c_name, c_mktsegment,
+       coalesce(oc.order_count, 0) AS order_count,
+       coalesce(ic.lineitem_count, 0) AS lineitem_count,
+       DATE '2020-01-01' AS effective_from,
+       CAST(NULL AS DATE) AS effective_to,
+       TRUE AS is_current
+FROM customer c
+LEFT JOIN order_counts oc ON c.c_custkey = oc.o_custkey
+LEFT JOIN item_counts ic ON c.c_custkey = ic.o_custkey
+WHERE c_custkey <= 1000
+ORDER BY c_custkey
+"""
+
+
+def gold_bridge_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """M:N bridge (gold_analytics.py:725-774): customer↔part with an
+    exact quantity weight, referential integrity enforced by inner joins
+    against both dimensions.  lineitem aggregates on its natural key
+    before the dimension joins — one fact-table shuffle, small sides after."""
+    items = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf, "customer").select("c_custkey")
+    part = load(spark, sf, "part").select("p_partkey")
+    pairs = (
+        items.join(orders, items.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_weight"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        pairs.join(cust, pairs.o_custkey == cust.c_custkey)
+        .join(part, pairs.l_partkey == part.p_partkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+            "qty_weight",
+            "n_lines",
+        )
+    )
+
+
+GOLD_BRIDGE_SQL = """
+WITH pairs AS (
+  SELECT o.o_custkey, l.l_partkey,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_weight,
+         COUNT(*) AS n_lines
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+)
+SELECT p.o_custkey AS custkey, p.l_partkey AS partkey, p.qty_weight, p.n_lines
+FROM pairs p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN part pt ON p.l_partkey = pt.p_partkey
+"""
+
+
+SPECS = [
+    QuerySpec("silver_normalize", silver_normalize, SILVER_NORMALIZE_SQL,
+              ref="transformer.py:479-567 (U1) as pure column expressions",
+              doc="JSON extraction + uid/fingerprint + derived cols", tags=("silver",)),
+    QuerySpec("k1_merge_upsert", k1_merge_upsert, K1_SQL,
+              ref="transformer.py:2427-2458 (K1 MERGE upsert semantics)",
+              doc="merged table after change-detected upsert", tags=("sink",)),
+    QuerySpec("k2_merge_delete", k2_merge_delete, K2_SQL,
+              ref="transformer.py:2460-2484 (K2 MERGE delete semantics)",
+              doc="survivors after stale-key delete, per-nation summary", tags=("sink",)),
+    QuerySpec("gold_fact_coverage", gold_fact_coverage, GOLD_COVERAGE_SQL,
+              ref="gold_analytics.py:494-607 (fact_program_coverage)",
+              doc="coverage % fact per nation", tags=("gold", "bench")),
+    QuerySpec("gold_dim_customer", gold_dim_customer, GOLD_DIM_SQL,
+              ref="gold_analytics.py:418-492 (dim_oer_resources build)",
+              doc="dim with grouped-join counts + surrogate key + SCD cols",
+              tags=("gold",)),
+    QuerySpec("gold_bridge_weighted", gold_bridge_weighted, GOLD_BRIDGE_SQL,
+              ref="gold_analytics.py:725-774 (bridge_oer_subjects)",
+              doc="M:N weighted bridge with RI inner joins", tags=("gold",)),
+]

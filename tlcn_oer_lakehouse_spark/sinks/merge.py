@@ -1,0 +1,156 @@
+"""Parquet-backed mergeable table — the physical layer for the
+reference's Iceberg MERGE sinks (K1 upsert transformer.py:2427-2458,
+K2 delete :2460-2484, K6 schema evolution :2421-2425) on a classpath
+without lakehouse-format jars.
+
+Semantics, matching the reference write path:
+- ``merge_upsert``: latest-wins dedup of the source batch (W1) →
+  change-detection against the current table (J1/P3, skips no-op rows)
+  → survivors ∪ changed written back.  Idempotent by construction:
+  re-merging the same batch detects zero changes and leaves the table
+  untouched (no write at all).
+- ``merge_delete``: anti-join survivors written back.
+- Schema evolution: source columns absent from the table are added
+  (as nulls on old rows); table columns absent from the source are
+  null-filled on new rows — the DataFrame analog of
+  ``ALTER TABLE ADD COLUMN`` before MERGE.
+
+Scale notes: on a real deployment this class is swapped for Delta/Iceberg
+``MERGE INTO`` (ACID, partition-level conflict detection); the
+transformation layer (operators/incremental.py) is shared and format
+agnostic.  The emulation stages the merged snapshot to a sibling
+directory and atomically renames, so readers never observe a half
+written table and a crashed merge leaves the previous snapshot intact.
+Writes are partitioned (``partition_by``) so downstream scans prune;
+the changed-set filter keeps write amplification proportional to the
+changed rows, not the batch size.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.operators.incremental import (
+    changed_rows,
+    deleted_keys,
+    latest_wins,
+    merge_upsert,
+)
+
+
+class ParquetMergeTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        fingerprint_col: str = "record_fingerprint",
+        ts_col: str | None = None,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.fingerprint_col = fingerprint_col
+        self.ts_col = ts_col
+        self.partition_by = tuple(partition_by)
+
+    # -- state ------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- writes -----------------------------------------------------------
+
+    def _write_snapshot(self, df: DataFrame) -> None:
+        """Stage the full snapshot next to the table, then atomic-rename."""
+        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
+        backup = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, backup)
+        os.rename(staging, self.path)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+
+    def create(self, df: DataFrame) -> None:
+        self._write_snapshot(latest_wins(df, self.key, self._order_cols(df)))
+
+    def _order_cols(self, df: DataFrame) -> list[str]:
+        return [self.ts_col] if self.ts_col and self.ts_col in df.columns else [self.key]
+
+    @staticmethod
+    def _align(df: DataFrame, columns: list[str], schema) -> DataFrame:
+        """Project onto ``columns``; missing ones become typed nulls (K6)."""
+        by_name = {f.name: f for f in schema.fields}
+        return df.select(
+            *[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(by_name[c].dataType).alias(c)
+                for c in columns
+            ]
+        )
+
+    def merge_upsert(self, source: DataFrame) -> int:
+        """MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT.  Returns the
+        number of upserted rows (0 → no write happened)."""
+        batch = latest_wins(source, self.key, self._order_cols(source))
+        if not self.exists():
+            self._write_snapshot(batch)
+            return batch.count()
+
+        existing = self.read()
+        all_cols = list(existing.columns) + [
+            c for c in batch.columns if c not in existing.columns
+        ]
+        union_schema = batch.select(
+            *[
+                F.col(c) if c in batch.columns else F.lit(None).alias(c)
+                for c in all_cols
+            ]
+        ).schema
+        existing_aligned = self._align(existing, all_cols, union_schema)
+        batch_aligned = self._align(batch, all_cols, union_schema)
+
+        changed = changed_rows(
+            batch_aligned,
+            existing_aligned,
+            self.key,
+            fingerprint_col=self.fingerprint_col,
+            ts_col=self.ts_col,
+        ).persist()
+        n_changed = changed.count()
+        if n_changed == 0 and all_cols == list(existing.columns):
+            changed.unpersist()
+            return 0
+        merged = merge_upsert(existing_aligned, changed, self.key)
+        self._write_snapshot(merged)
+        changed.unpersist()
+        return n_changed
+
+    def merge_delete(self, current_keys: DataFrame) -> int:
+        """MERGE WHEN MATCHED THEN DELETE for keys absent from
+        ``current_keys`` (the reference's stale-row cleanup)."""
+        if not self.exists():
+            return 0
+        existing = self.read()
+        stale = deleted_keys(existing, current_keys, self.key).persist()
+        n_stale = stale.count()
+        if n_stale:
+            survivors = existing.join(stale, self.key, "left_anti")
+            self._write_snapshot(survivors)
+        stale.unpersist()
+        return n_stale
