@@ -1,0 +1,103 @@
+"""Hierarchical-chunking invariants — the tests the reference designed
+but never wrote (HIERARCHICAL_CHUNKING_DESIGN.md:906-1003 via SURVEY §5):
+exactly one tier-1 chunk per doc, tier-3 count ≥ tier-2 count, every
+parent_chunk_id resolves, chunk ids are content-addressed and stable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.operators.chunking import (
+    char_budget_chunks,
+    hierarchical_chunks,
+    token_window_chunks,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def hier(docs):
+    return hierarchical_chunks(docs, "doc_id", "text").persist()
+
+
+def test_exactly_one_tier1_per_doc(docs, hier):
+    n_docs = docs.count()
+    t1 = hier.filter(F.col("chunk_tier") == 1)
+    assert t1.count() == n_docs
+    assert t1.select("doc_id").distinct().count() == n_docs
+
+
+def test_tier3_at_least_tier2(hier):
+    t2 = hier.filter(F.col("chunk_tier") == 2).count()
+    t3 = hier.filter(F.col("chunk_tier") == 3).count()
+    assert t3 >= t2 > 0
+
+
+def test_parent_links_resolve(hier):
+    children = hier.filter(F.col("chunk_tier").isin(2, 3)).select(
+        "parent_chunk_id"
+    )
+    parents = hier.select(F.col("chunk_id").alias("parent_chunk_id"))
+    orphans = children.join(parents, "parent_chunk_id", "left_anti")
+    assert orphans.count() == 0
+
+
+def test_tier1_has_no_parent(hier):
+    assert (
+        hier.filter((F.col("chunk_tier") == 1) & F.col("parent_chunk_id").isNotNull()).count()
+        == 0
+    )
+
+
+def test_chunk_ids_unique_and_stable(docs, hier):
+    total = hier.count()
+    assert hier.select("chunk_id").distinct().count() == total
+    # content-addressed: a second run yields the identical id set
+    again = hierarchical_chunks(docs, "doc_id", "text")
+    assert again.select("chunk_id").subtract(hier.select("chunk_id")).count() == 0
+
+
+def test_token_windows_cover_all_tokens(docs):
+    """Window/stride 50/40: consecutive windows overlap by 10 tokens and
+    the last window reaches the final token."""
+    from tlcn_oer_lakehouse_spark.functions.text import tokens
+
+    chunks = token_window_chunks(docs, "doc_id", "text", window=50, stride=40)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("chunk_order").alias("max_order"), F.count(F.lit(1)).alias("n")
+    )
+    lens = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    j = per_doc.join(lens, "doc_id")
+    # n_windows == len(sequence(1, max(1, n-49), 40)) == floor((max(1,n-49)-1)/40)+1
+    bad = j.filter(
+        F.col("n")
+        != F.floor((F.greatest(F.lit(1), F.col("n_tok") - 49) - 1) / 40) + 1
+    )
+    assert bad.count() == 0
+
+
+def test_char_budget_reassembles_text(docs):
+    """Concatenating chunks in order reproduces the normalized text."""
+    from tlcn_oer_lakehouse_spark.functions.text import normalize_text
+
+    chunks = char_budget_chunks(docs, "doc_id", "text", max_chars=240)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_no", "chunk_text"))),
+                    lambda s: s.getField("chunk_text"),
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    mismatch = rebuilt.join(orig, "doc_id").filter(F.col("rebuilt") != F.col("norm"))
+    assert mismatch.count() == 0

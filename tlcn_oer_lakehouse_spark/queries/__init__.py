@@ -11,6 +11,7 @@ _MODULES = (
     "vectorops",
     "retrieval",
     "lakehouse",
+    "chunking",
 )
 
 
