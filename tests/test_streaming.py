@@ -1,0 +1,126 @@
+"""Structured Streaming: landing-dir ingest → foreachBatch MERGE, and
+stream/batch window-aggregation parity (unified semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+from tlcn_oer_lakehouse_spark.streaming.ingest import (
+    landing_stream,
+    merge_ingest,
+    windowed_counts_stream,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("val", StringType()),
+        StructField("record_fingerprint", StringType()),
+    ]
+)
+
+
+def _write_batch(spark, landing, rows, name):
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{landing}/{name}")
+
+
+def test_merge_ingest_two_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    table = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, landing, [(1, "a", "f1"), (2, "b", "f2")], "b1")
+    stream = landing_stream(spark, f"{landing}/*", SCHEMA)
+    q = merge_ingest(stream, table, ckpt)
+    q.awaitTermination(120)
+    assert sorted((r.id, r.val) for r in table.read().collect()) == [(1, "a"), (2, "b")]
+
+    # second landing file: update id=2, insert id=3; checkpoint ensures
+    # only the new file is read
+    _write_batch(spark, landing, [(2, "B", "f2x"), (3, "c", "f3")], "b2")
+    q2 = merge_ingest(landing_stream(spark, f"{landing}/*", SCHEMA), table, ckpt)
+    q2.awaitTermination(120)
+    assert sorted((r.id, r.val) for r in table.read().collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """The watermarked streaming aggregation over a finite file stream
+    produces exactly the batch tumbling-window result."""
+    ev_schema = StructType(
+        [
+            StructField("ts", LongType()),  # ns (nanosAsLong)
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    landing = str(tmp_path / "ev")
+    src.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    stream_src = (
+        spark.readStream.schema(src.schema).parquet(landing)
+    )
+    agg = windowed_counts_stream(
+        stream_src, ts_col="ts", key_col="event_type", window_duration="1 day"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in (
+            src.groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """Crash-replay safety: merging the same micro-batch twice leaves the
+    table unchanged (foreachBatch + change detection)."""
+    table = ParquetMergeTable(spark, str(tmp_path / "t"), key="id")
+    batch = spark.createDataFrame([(1, "a", "f1")], SCHEMA)
+    assert table.merge_upsert(batch) == 1
+    assert table.merge_upsert(batch) == 0
+    assert [(r.id, r.val) for r in table.read().collect()] == [(1, "a")]

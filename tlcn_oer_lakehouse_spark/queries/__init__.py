@@ -12,6 +12,7 @@ _MODULES = (
     "retrieval",
     "lakehouse",
     "chunking",
+    "windows",
 )
 
 

@@ -1,0 +1,138 @@
+"""Event-time window queries over ``events`` — tumbling, sliding and
+session windows, the batch twins of the Structured Streaming operators in
+streaming/ingest.py (unified batch/streaming: same grouping, same
+measures; the stream adds a watermark).
+
+The reference has no streaming/window capability at all (SURVEY §2.9) —
+these are the north-star additions, oracle-verified via date-bucket /
+gaps-and-islands SQL.
+
+Scale notes: tumbling/sliding aggs shuffle once on (window, key) with
+map-side partial aggregation; session windows shuffle on user and sort
+within partitions — at 100 TB the user key is high-cardinality so
+partitions stay balanced; in streaming mode the same plans run with
+bounded watermark state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load_events
+
+_DUCK_TS = "make_timestamp((epoch_ns(ts) // 1000000000) * 1000000)"
+
+
+def tumbling_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """1-day tumbling windows per event_type: count + exact value sum."""
+    ev = load_events(spark, sf)
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT CAST(date_trunc('day', {_DUCK_TS}) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def sliding_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """2-hour windows sliding every 1 hour — each event lands in exactly
+    two windows."""
+    ev = load_events(spark, sf)
+    return (
+        ev.groupBy(F.window(F.col("ts"), "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+SLIDING_SQL = f"""
+WITH shifted AS (
+  SELECT date_trunc('hour', {_DUCK_TS}) - INTERVAL (off) HOUR AS window_start
+  FROM events, unnest([0, 1]) AS t(off)
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM shifted
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session windows with a 6-hour inactivity gap
+    (``F.session_window`` — the streaming-native stateful operator, run
+    in batch mode). Emits one row per session: start, end (last event +
+    gap), event count."""
+    ev = load_events(spark, sf)
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "6 hours"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_SQL = f"""
+WITH ts_ev AS (
+  SELECT user_id, {_DUCK_TS} AS t FROM events
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > INTERVAL 6 HOUR
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ts_ev
+),
+sessions AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(t) AS session_start,
+       MAX(t) + INTERVAL 6 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+SPECS = [
+    QuerySpec("st_tumbling_window", tumbling_event_counts, TUMBLING_SQL,
+              ref="new capability (SURVEY §2.9: reference has none); streaming twin in streaming/ingest.py",
+              doc="1-day tumbling windows per event_type", tags=("streaming", "bench")),
+    QuerySpec("st_sliding_window", sliding_event_counts, SLIDING_SQL,
+              ref="new capability (SURVEY §2.9)",
+              doc="2h/1h sliding windows", tags=("streaming",)),
+    QuerySpec("st_session_window", session_windows, SESSION_SQL,
+              ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
+              doc="6h-gap session windows per user", tags=("streaming",)),
+]

@@ -1,0 +1,91 @@
+"""Streaming ingest: landing-directory file stream → foreachBatch MERGE.
+
+This is the Auto-Loader-style pattern SURVEY §7.6 calls for: new files
+appearing under a landing prefix are discovered incrementally (file-source
+checkpointing tracks what's been read), each micro-batch is upserted into
+the same :class:`ParquetMergeTable` the batch pipeline writes, so batch
+and streaming share one sink, one change-detection predicate, and one
+idempotence guarantee.  Late data is bounded with an event-time watermark
+before any stateful aggregation.
+
+Scale notes: file discovery is O(new files) per trigger
+(``maxFilesPerTrigger`` bounds batch size); foreachBatch MERGE keeps
+write amplification proportional to changed rows; watermark state is
+per-key bounded and spills via RocksDB state store on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+
+
+def landing_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (S1's streaming twin)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(landing_dir)
+
+
+def merge_ingest(
+    stream_df: DataFrame,
+    table: ParquetMergeTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Upsert every micro-batch into ``table`` (K1 as a streaming sink).
+
+    foreachBatch gives exactly-once-per-batch semantics together with the
+    sink's change detection: a replayed batch after a crash re-merges and
+    detects zero changes — idempotent end-to-end."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_upsert(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of
+    queries/windows.py:tumbling_event_counts (same grouping keys, same
+    measures), usable with append output mode once the watermark passes."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
