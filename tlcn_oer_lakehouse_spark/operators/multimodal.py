@@ -1,0 +1,148 @@
+"""Multimodal asset operators: opaque ``binary`` payload columns with
+typed metadata, plus Arrow-batched ``mapInPandas`` decode / feature /
+frame-sample stages.
+
+The reference stores raw PDFs in object storage and stats/reads them
+per-row inside RDD partitions (S7 — transformer.py:570-609, 662-683;
+U4/U5).  Here the payload travels as a first-class ``binary`` column
+(``spark.read.format("binaryFile")`` at ingest in production; synthetic
+UTF-8 payloads in tests), metadata extraction is pure column expressions,
+and the Python-side stages are Arrow-vectorized ``mapInPandas`` UDFs —
+the idiomatic replacement for the reference's per-row Python loops.
+
+Real image/audio decode libraries are not in this container, so
+``decode_asset`` gates them behind ``NotImplementedError`` while
+``fake_image_features`` / ``frame_sample`` implement deterministic
+byte-level semantics end-to-end — the Spark plumbing (schemas, Arrow
+binary round-trip, 1→N row fan-out, per-batch vectorization) is real
+and oracle-verified.
+
+Scale notes: binary payloads stay columnar through Arrow; mapInPandas
+processes ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows per
+batch with zero driver involvement; frame fan-out multiplies rows inside
+the task, so no shuffle is introduced by any stage here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC_MIME = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"%PDF": "application/pdf",
+    b"RIFF": "audio/wav",
+}
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    In production the payload comes from ``binaryFile`` ingestion; here it
+    is the UTF-8 encoding of a text column, which keeps every downstream
+    byte-level operator oracle-checkable (ASCII codes == bytes)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "asset_meta",
+        F.struct(
+            F.length(payload).alias("size_bytes"),
+            F.md5(payload).alias("checksum"),
+            F.lit("text/plain").alias("mime_type"),
+        ),
+    )
+
+
+def sniff_mime(payload):
+    """Magic-byte mime sniffing as a when-ladder over the binary prefix
+    (the column-expression analog of the reference's mimetypes guess,
+    transformer.py:1641-1652)."""
+    expr = F.lit("application/octet-stream")
+    for magic, mime in MAGIC_MIME.items():
+        expr = F.when(
+            F.substring(payload, 1, len(magic)) == F.lit(magic), F.lit(mime)
+        ).otherwise(expr)
+    return expr
+
+
+def decode_asset(df: DataFrame, kind: str) -> DataFrame:
+    """Real media decode — requires codec libraries absent from this
+    environment.  Kept as an explicit, tested stub so the API surface is
+    stable; swap the body for PIL/librosa/pyav on a cluster image."""
+    raise NotImplementedError(
+        f"real {kind} decode requires codec libraries not present in this "
+        "container; use fake_image_features/frame_sample for the "
+        "deterministic byte-level path"
+    )
+
+
+def fake_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 'decode': width/height from the first two payload
+    bytes, brightness = mean byte value (µ over the full payload).
+    Arrow-batched mapInPandas — one Python call per Arrow batch, not per
+    row."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [int(p[0]) if len(p) > 0 else 0 for p in payloads],
+                    "height": [int(p[1]) if len(p) > 1 else 0 for p in payloads],
+                    # exact int-sum / int-len double division — no Python
+                    # round() (banker's) vs SQL round() (half-away) skew
+                    "brightness": [
+                        sum(p) / len(p) if len(p) else 0.0 for p in payloads
+                    ],
+                    "size_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _features,
+        schema=f"{id_col} long, width int, height int, brightness double, size_bytes long",
+    )
+
+
+def frame_sample(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 4, frame_bytes: int = 64
+) -> DataFrame:
+    """UDTF-like 1→N frame sampler: ``n_frames`` evenly spaced
+    ``frame_bytes``-byte slices per payload (video frame-sampling shape),
+    each fingerprinted.  Fan-out happens inside the task — no shuffle."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, offsets, fps = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                n = len(p)
+                if n == 0:
+                    continue
+                step = max(1, n // n_frames)
+                for f in range(n_frames):
+                    off = f * step
+                    if off >= n:
+                        break
+                    sl = p[off : off + frame_bytes]
+                    ids.append(i)
+                    frame_nos.append(f)
+                    offsets.append(off)
+                    fps.append(hashlib.md5(sl).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(frame_nos, dtype="int32"),
+                    "byte_offset": pd.Series(offsets, dtype="int64"),
+                    "frame_md5": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _frames,
+        schema=f"{id_col} long, frame_no int, byte_offset long, frame_md5 string",
+    )

@@ -13,6 +13,7 @@ _MODULES = (
     "lakehouse",
     "chunking",
     "windows",
+    "multimodal",
 )
 
 
