@@ -47,26 +47,65 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-def _minhash_value(i: int, shingle: Column) -> Column:
-    """Portable hash family: h_i(s) = int(md5(i ':' s)[0:8], 16)."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(i), shingle)), 1, 8), 16, 10
-    ).cast("long")
+# Affine universal-hash family over one md5 base hash:
+#   h_i(s) = (A_i * base(s) + B_i) mod P,  base(s) = int(md5(s)[0:8], 16)
+# One md5 per shingle instead of num_hashes md5s; the affine step is
+# integer codegen.  P = 2^31-1 keeps every product < 2^63 (A_i < 2^17,
+# base < 2^32).  Portable: the same arithmetic runs in any SQL engine.
+# (At production scale swap base() for xxhash64 — same structure, no
+# cross-engine-oracle constraint there.)
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_a(i: int) -> int:
+    return i * 4097 + 1
+
+
+def _minhash_b(i: int) -> int:
+    return i * 12289
+
+
+def _base_hash(shingle: Column) -> Column:
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-document MinHash signature: num_hashes min-values over the
-    document's distinct word shingles. One explode + one groupBy."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("shingle"),
-        )
+    """Per-document MinHash signature as ONE array-fold per row — no
+    explode, no shuffle; signatures materialize at scan speed.
+
+    The fold runs over the base-hash array (one md5 per distinct
+    shingle, staged in its own projection so it is computed once), and
+    the accumulator is the running elementwise min of the
+    ``num_hashes`` affine hashes — ``zip_with(acc, affines(h), least)``.
+    Documents with no shingles (fewer than ``shingle_n`` tokens) are
+    excluded, matching the explode+groupBy formulation."""
+    base_arr = F.transform(
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)), _base_hash
     )
-    aggs = [F.min(_minhash_value(i, F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
-    return sh.groupBy("doc").agg(*aggs)
+
+    def _affines(h: Column) -> Column:
+        return F.array(
+            *[
+                (h * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
+                for i in range(num_hashes)
+            ]
+        )
+
+    acc0 = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+    sig = F.aggregate(
+        F.col("__bh"),
+        acc0,
+        lambda acc, h: F.zip_with(acc, _affines(h), lambda x, y: F.least(x, y)),
+    )
+    staged = df.select(F.col(id_col).alias("doc"), base_arr.alias("__bh")).filter(
+        F.size("__bh") > 0
+    )
+    packed = staged.select("doc", sig.alias("__sig"))
+    return packed.select(
+        "doc", *[F.col("__sig")[i].alias(f"h{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_candidate_pairs(
@@ -102,16 +141,27 @@ def minhash_lsh_candidate_pairs(
     )
 
 
-def jaccard_verify(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
+    """Exploded distinct shingles per document: (doc, shingle, bh) where
+    bh is the md5-prefix base hash.  The shared intermediate of the
+    minhash pipeline — computed (and persisted) ONCE, then reused by
+    signature aggregation, candidate banding and exact verify, instead of
+    re-deriving the tokenize→shingle→distinct→md5 chain per consumer."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("shingle"),
+    ).withColumn("bh", _base_hash(F.col("shingle")))
+
+
+def jaccard_verify_from(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs:
     |A∩B| via a shared-shingle join, |A∪B| = |A|+|B|-|A∩B|. Integer
-    counts → double division: deterministic."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("shingle"),
-    )
+    counts → double division: deterministic.  ``sh`` is a (doc, shingle)
+    DataFrame, ideally persisted by the caller."""
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
@@ -145,11 +195,19 @@ def minhash_near_duplicates(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
-    pairs → exact Jaccard verify → threshold filter."""
-    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    """Full MinHash+LSH near-dup pipeline: shared shingle set (persisted
+    once) → affine-min signatures → banded candidate pairs → exact
+    Jaccard verify → threshold filter."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+
+    def _sig(i: int) -> Column:
+        return F.min(
+            (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
+        ).alias(f"h{i}")
+
+    sigs = sh.groupBy("doc").agg(*[_sig(i) for i in range(num_hashes)])
     cands = minhash_lsh_candidate_pairs(sigs, num_hashes, bands)
-    verified = jaccard_verify(df, cands, id_col, text_col, shingle_n)
+    verified = jaccard_verify_from(sh, cands)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -159,10 +217,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
     shingle (equi-join on shingle, not a cross join), then exact Jaccard.
     The no-false-negative verify baseline for minhash."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("shingle"),
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
     pairs = (
         sh.alias("a")
         .join(
@@ -172,9 +227,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates()
     )
-    return jaccard_verify(df, pairs, id_col, text_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_verify_from(sh, pairs).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(

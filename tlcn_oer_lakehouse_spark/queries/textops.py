@@ -43,7 +43,12 @@ from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
 
 
 def augmented_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents").select("doc_id", "text")
+    # The documents file is a single parquet row group → 1 scan partition,
+    # which would serialize the md5-heavy dedup pipelines downstream.
+    # Fan out to spark.sql.shuffle.partitions — the per-deployment
+    # parallelism knob — a tiny shuffle relative to the compute it unlocks.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load(spark, sf, "documents").select("doc_id", "text").repartition(n_part)
     toks = F.split(F.col("text"), " ")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
@@ -183,9 +188,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    # affine family over one md5 base hash — must mirror
+    # operators/dedup.py: h_i = (A_i*base + B_i) % P
     rows = num_hashes // bands
+    base = "CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT)"
     mins = ",\n         ".join(
-        f"MIN(CAST('0x' || substring(md5(concat_ws(':', {i}, shingle)), 1, 8) AS BIGINT)) AS h{i}"
+        f"MIN(({base} * {i * 4097 + 1} + {i * 12289}) % 2147483647) AS h{i}"
         for i in range(num_hashes)
     )
     band_selects = "\n  UNION ALL\n".join(
