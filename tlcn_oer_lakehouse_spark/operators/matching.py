@@ -1,0 +1,97 @@
+"""Subject matching — U2 (transformer.py:371-476), the reference's
+TF-IDF/lexical curriculum matcher, re-expressed as a broadcast-join
+scoring pipeline.
+
+The reference scored each resource against every curriculum subject
+row-at-a-time in Python (exact-code ≥0.99, name hits 0.92-0.94,
+token-overlap/TF-IDF cosine fallback, threshold 0.55, top-5).  The
+engine-native shape: explode document shingles once, broadcast-join the
+(small) subject dimension on the shingle key, aggregate per
+(doc, subject), score = subject-shingle frequency / doc shingle count,
+threshold + per-doc top-k via one window.
+
+Scale: the subjects dim broadcasts (it is inherently small — a
+curriculum); the only shuffle is the (doc, subject) aggregation, keyed
+by doc so it co-partitions with every other per-doc operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.text import shingles, tokens
+
+
+def lexical_subject_match(
+    docs: DataFrame,
+    subjects: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    subject_id_col: str = "subject_id",
+    subject_name_col: str = "subject_name",
+    shingle_n: int = 2,
+    threshold: float = 0.0,
+    top_k: int = 3,
+) -> DataFrame:
+    """Match every document to its ``top_k`` best subjects.
+
+    score(doc, subject) = (occurrences of the subject's name as a word
+    ``shingle_n``-gram in the doc) / (total doc ``shingle_n``-grams) —
+    an exact integer ratio, deterministic across engines.  Ties break on
+    subject_id; rows below ``threshold`` drop before ranking."""
+    doc_shingles = docs.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    doc_sizes = doc_shingles.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        doc_shingles.join(
+            F.broadcast(
+                subjects.select(
+                    F.col(subject_id_col).alias("subject_id"),
+                    F.col(subject_name_col).alias("shingle"),
+                )
+            ),
+            "shingle",
+        )
+        .groupBy(id_col, "subject_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    scored = hits.join(doc_sizes, id_col).select(
+        id_col,
+        "subject_id",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 9).alias("similarity"),
+    ).filter(F.col("similarity") > threshold)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("similarity").desc(), F.col("subject_id").asc()
+    )
+    return (
+        scored.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") <= top_k)
+    )
+
+
+def top_ngram_subjects(
+    docs: DataFrame, text_col: str = "text", shingle_n: int = 2, k: int = 10
+) -> DataFrame:
+    """Derive a synthetic subject dimension: the ``k`` most frequent word
+    ``shingle_n``-grams by document frequency (ties alphabetical).
+    Stands in for the reference's curriculum reference_subjects table."""
+    df_counts = (
+        docs.select(
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+            ).alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+    return (
+        df_counts.withColumn("subject_id", F.row_number().over(w))
+        .filter(F.col("subject_id") <= k)
+        .select("subject_id", F.col("shingle").alias("subject_name"), "doc_freq")
+    )

@@ -14,6 +14,7 @@ _MODULES = (
     "chunking",
     "windows",
     "multimodal",
+    "mlops",
 )
 
 
