@@ -1,0 +1,58 @@
+"""applyInPandasWithState: per-user running totals accumulate across
+micro-batches and survive query restarts through the checkpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from tlcn_oer_lakehouse_spark.streaming.stateful import running_user_totals
+
+SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("value", DoubleType())]
+)
+
+
+def _run_once(spark, landing, ckpt, sink_name):
+    # foreachBatch sink: supports checkpoint recovery (memory sink does
+    # not); batches collect into a driver-side dict in local mode
+    out: dict = {}
+
+    def _collect(batch_df, batch_id):
+        for r in batch_df.collect():
+            out[r.user_id] = (r.n_events, r.value_total)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{landing}/*")
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def test_state_accumulates_across_restarts(spark, tmp_path):
+    landing, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], SCHEMA
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+    got1 = _run_once(spark, landing, ckpt, "stateful_t1")
+    assert got1 == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # second batch in a fresh query run: state restored from checkpoint
+    spark.createDataFrame(
+        [(1, 1.0), (3, 7.0)], SCHEMA
+    ).coalesce(1).write.parquet(f"{landing}/b2")
+    got2 = _run_once(spark, landing, ckpt, "stateful_t2")
+    assert got2[1] == (3, 16.0)   # accumulated across runs
+    assert got2[3] == (1, 7.0)
+    assert 2 not in got2          # untouched key not re-emitted in update mode
