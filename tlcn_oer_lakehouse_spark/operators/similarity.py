@@ -41,6 +41,70 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF cluster assignment: each vector joins the (small, broadcast)
+    centroid set, scores all centroids, and keeps the argmax-cosine one
+    (round-9 + id tie-break keeps assignment engine-stable).  The classic
+    inverted-file partitioning step — at scale the assigned cluster id
+    becomes the table's partition/cluster key so probes prune scans."""
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id_col),
+        F.round(cosine(F.col(vec_col), F.col(centroid_vec_col)), 9).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col(centroid_id_col).alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: assign corpus and query to centroid clusters, probe
+    the query's ``n_probe`` nearest clusters, exact-score only candidates
+    inside them.  ``query`` is a 1-row (q_emb) DataFrame — no literal
+    vectors, no driver collect anywhere in the plan."""
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    probe = (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            F.round(cosine(F.col("q_emb"), F.col("centroid_vec")), 9).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("cluster_id").asc())
+        .limit(n_probe)
+        .select("cluster_id")
+    )
+    cands = assigned.join(F.broadcast(probe), "cluster_id")
+    scored = cands.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.round(cosine(F.col(vec_col), F.col("q_emb")), 9).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def bucketed_ann_topk(
     df: DataFrame,
     id_col: str,

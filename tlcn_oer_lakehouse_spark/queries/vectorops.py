@@ -162,7 +162,57 @@ WHERE {_cos_sql('a.vec', 'b.vec')} >= 0.95
 """
 
 
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: 8 centroids (vec_id 100-107), assign every vector to its
+    argmax-cosine centroid, probe the query's top-2 clusters, exact
+    cosine inside them.  The cluster id is the scale-path partition key."""
+    from tlcn_oer_lakehouse_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id").between(100, 107)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return ivf_topk(corpus, "vec_id", "embedding", centroids, query, k=10, n_probe=2)
+
+
+ANN_IVF_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql('e.embedding', 'c.centroid_vec')}, 9) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+    WHERE e.vec_id != 0
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT centroid_id AS cluster_id
+  FROM centroids, q
+  ORDER BY round({_cos_sql('centroid_vec', 'q_emb')}, 9) DESC, centroid_id ASC
+  LIMIT 2
+)
+SELECT a.vec_id, a.cluster_id,
+       round({_cos_sql('a.embedding', 'q_emb')}, 9) AS cos_sim
+FROM assigned a JOIN probe p ON a.cluster_id = p.cluster_id, q
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
 SPECS = [
+    QuerySpec("ann_ivf_topk", ann_ivf, ANN_IVF_SQL,
+              ref="scale path for Q2: IVF inverted-file ANN (SURVEY §2.10)",
+              doc="8-centroid IVF, n_probe=2, exact rescoring", tags=("vector",)),
     QuerySpec("knn_bruteforce", knn_bruteforce, KNN_SQL,
               ref="chatbot_api.py:227-242 (Q2 kNN) → SURVEY §2.10 rebuild mapping",
               doc="exact cosine top-10", tags=("vector", "bench")),
