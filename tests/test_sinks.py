@@ -87,3 +87,24 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition pruning visible in the physical plan of a filtered read
     plan = t.read().filter(F.col("part") == "p1")._jdf.queryExecution().executedPlan().toString()
     assert "p1" in plan or t.read().filter(F.col("part") == "p1").count() == 1
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["id", "val"])))
+    # several merges accrete files
+    for batch_start in (100, 200, 300):
+        t.merge_upsert(
+            _fp(
+                spark.createDataFrame(
+                    [(batch_start + i, f"n{i}") for i in range(50)], ["id", "val"]
+                )
+            )
+        )
+    import glob
+
+    before = len(glob.glob(f"{t.path}/**/*.parquet", recursive=True))
+    n_after = t.compact(target_files_per_partition=1)
+    assert n_after <= before
+    assert n_after == 1
+    assert t.read().count() == 250

@@ -141,6 +141,29 @@ class ParquetMergeTable:
         changed.unpersist()
         return n_changed
 
+    def compact(self, target_files_per_partition: int = 1) -> int:
+        """Small-file compaction (the OPTIMIZE analog): rewrite the
+        snapshot with ``target_files_per_partition`` files per table
+        partition.  Incremental MERGEs accrete files; without periodic
+        compaction scan task counts grow unboundedly at 100 TB.  Returns
+        the number of data files after compaction."""
+        if not self.exists():
+            return 0
+        df = self.read()
+        if self.partition_by:
+            df = df.repartition(
+                target_files_per_partition, *[F.col(c) for c in self.partition_by]
+            )
+        else:
+            df = df.coalesce(target_files_per_partition)
+        self._write_snapshot(df)
+        return sum(
+            1
+            for _, _, files in os.walk(self.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     def merge_delete(self, current_keys: DataFrame) -> int:
         """MERGE WHEN MATCHED THEN DELETE for keys absent from
         ``current_keys`` (the reference's stale-row cleanup)."""
