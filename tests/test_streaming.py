@@ -124,3 +124,33 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert table.merge_upsert(batch) == 1
     assert table.merge_upsert(batch) == 0
     assert [(r.id, r.val) for r in table.read().collect()] == [(1, "a")]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exact dedup on a stream: duplicate ids arriving within the
+    watermark are emitted once (state-bounded streaming dedup — the
+    streaming twin of dedup_exact)."""
+    from pyspark.sql.types import StructType, StructField, LongType, TimestampType
+    import datetime as dt
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("ts", TimestampType())]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, t0), (2, t0), (1, t0 + dt.timedelta(minutes=1)),
+            (3, t0), (2, t0 + dt.timedelta(minutes=2))]
+    landing = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{landing}/b1")
+
+    stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.table("dedup_stream").collect())
+    assert got == [1, 2, 3]

@@ -201,7 +201,117 @@ LIMIT 10
 """
 
 
+def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The Spark-native BM25 index: one posting row per term — document
+    frequency, total tf, sorted posting list.  This is the build side of
+    replacing the reference's Elasticsearch index with engine tables
+    (elasticsearch_sync.py:277-335); at scale it writes bucketed by term
+    so query-time term lookups are partition-pruned point reads."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    posting = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        posting.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_tf"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH posting AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       COUNT(*) AS total_tf,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM posting
+GROUP BY term
+ORDER BY term
+"""
+
+
+# Rabin-style rolling hash over 4-token windows; anchors where the hash
+# ≡ 0 (mod 8) give content-defined chunk boundaries (the rolling-hash
+# fingerprinting a CDC dedup pipeline uses).
+_CDC_B = 1_000_003
+_CDC_P = 2_147_483_647
+_CDC_W = 4
+_CDC_DIV = 8
+
+
+def cdc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from tlcn_oer_lakehouse_spark.operators.dedup import _base_hash
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    bh = F.transform(tokens(F.col("text")), _base_hash)
+    staged = docs.select("doc_id", bh.alias("bh"))
+    n = F.size("bh")
+
+    def _rh(i):
+        acc = F.lit(0).cast("long")
+        for j in range(_CDC_W):
+            acc = (acc * _CDC_B + F.element_at(F.col("bh"), i + j)) % _CDC_P
+        return acc
+
+    rolled = staged.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(1), F.greatest(F.lit(1), n - (_CDC_W - 1))), _rh).alias(
+            "rh"
+        ),
+    )
+    anchors = F.filter(F.col("rh"), lambda h: h % _CDC_DIV == 0)
+    return rolled.select(
+        "doc_id",
+        F.size(anchors).alias("n_anchors"),
+        F.md5(
+            F.concat_ws(",", F.transform(anchors, lambda h: h.cast("string")))
+        ).alias("cdc_fp"),
+    )
+
+
+def _cdc_sql() -> str:
+    acc = "0"
+    for j in range(_CDC_W):
+        acc = f"(({acc}) * {_CDC_B} + bh[i + {j}]) % {_CDC_P}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                        t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS bh
+  FROM documents
+),
+rolled AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(1, len(bh) - {_CDC_W - 1})),
+                        i -> {acc}) AS rh
+  FROM toks
+),
+anch AS (
+  SELECT doc_id, list_filter(rh, h -> h % {_CDC_DIV} = 0) AS anchors FROM rolled
+)
+SELECT doc_id,
+       len(anchors) AS n_anchors,
+       md5(coalesce(array_to_string(list_transform(anchors, h -> CAST(h AS VARCHAR)), ','), '')) AS cdc_fp
+FROM anch
+"""
+
+
 SPECS = [
+    QuerySpec("q1_inverted_index", inverted_index, INVERTED_INDEX_SQL,
+              ref="elasticsearch_sync.py:277-335 (index build) → engine-native posting lists",
+              doc="term → (df, tf, sorted postings) index table", tags=("retrieval",)),
+    QuerySpec("text_cdc_fingerprint", cdc_fingerprint, _cdc_sql(),
+              ref="scale op: Rabin rolling-hash content-defined chunk anchors",
+              doc="4-token rolling hash, mod-8 anchors, anchor-set fingerprint",
+              tags=("text",)),
     QuerySpec("q1_bm25_topk", bm25_topk, BM25_SQL,
               ref="chatbot_api.py:202-217 (Q1 BM25 match) → SURVEY §2.10",
               doc="Okapi BM25 top-10, pure column exprs + 1-row stats broadcast",
