@@ -304,7 +304,64 @@ FROM anch
 """
 
 
+def hybrid_lang_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 with the reference's language-dependent fusion weights
+    (chatbot_api.py:37-40): EN docs fuse 0.5 lexical / 0.5 vector, every
+    other language 0.2 / 0.8 (the reference's VI weighting, generalized:
+    BM25 is least trustworthy off-English)."""
+    lex = bm25_scores(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    vec = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        (cosine(F.col("embedding"), F.col("q_emb")) + F.lit(1.0)).alias("vec_raw"),
+    )
+    joined = lex.join(vec, "doc_id").join(docs, "doc_id")
+    maxes = joined.agg(
+        F.max("bm25_raw").alias("max_lex"), F.max("vec_raw").alias("max_vec")
+    )
+    w_lex = F.when(F.col("lang") == "en", 0.5).otherwise(0.2)
+    fused = joined.crossJoin(F.broadcast(maxes)).select(
+        "doc_id",
+        "lang",
+        F.round(
+            w_lex * (F.col("bm25_raw") / F.col("max_lex"))
+            + (F.lit(1.0) - w_lex) * (F.col("vec_raw") / F.col("max_vec")),
+            9,
+        ).alias("hybrid_score"),
+    )
+    return fused.orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+HYBRID_LANG_SQL = f"""
+WITH {_bm25_sql_core().strip()},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         ({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q})) + 1.0 AS vec_raw
+  FROM embeddings, q
+),
+joined AS (
+  SELECT b.doc_id, b.bm25_raw, v.vec_raw, d.lang
+  FROM bm25 b JOIN vec v ON b.doc_id = v.doc_id
+  JOIN documents d ON b.doc_id = d.doc_id
+),
+maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined)
+SELECT doc_id, lang,
+       round((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END) * (bm25_raw / max_lex)
+             + (1.0 - (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)) * (vec_raw / max_vec), 9)
+         AS hybrid_score
+FROM joined, maxes
+ORDER BY hybrid_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 SPECS = [
+    QuerySpec("q3_hybrid_lang_weighted", hybrid_lang_weighted, HYBRID_LANG_SQL,
+              ref="chatbot_api.py:37-40 (language-dependent fusion weights)",
+              doc="hybrid fusion, EN .5/.5 vs other .2/.8", tags=("retrieval",)),
     QuerySpec("q1_inverted_index", inverted_index, INVERTED_INDEX_SQL,
               ref="elasticsearch_sync.py:277-335 (index build) → engine-native posting lists",
               doc="term → (df, tf, sorted postings) index table", tags=("retrieval",)),
