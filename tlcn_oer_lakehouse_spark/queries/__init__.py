@@ -7,6 +7,7 @@ from tlcn_oer_lakehouse_spark.queries.base import QuerySpec
 _MODULES = (
     "tpch",
     "tpch_ext",
+    "tpch_deep",
     "subqueries",
     "relational",
     "textops",
