@@ -358,7 +358,156 @@ LIMIT 10
 """
 
 
+def keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 query preprocessing (chatbot_api.py:69-119): stopword-filtered
+    keyword extraction.  The reference skips short queries (≤5 words) and
+    strips a stopword list before building the ES match query; here the
+    same pipeline runs corpus-side, keeping each document's top-3
+    keywords by term frequency.
+
+    Scale: explode → two-level agg keyed by (doc_id, term); the window
+    ranks inside each doc's partition — partial aggregation does the
+    heavy lifting map-side and the rank never sees more than one doc's
+    terms at once."""
+    from pyspark.sql import Window
+
+    from tlcn_oer_lakehouse_spark.functions.text import EN_STOPWORDS
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    eligible = docs.filter(F.size(toks) > 5)
+    posting = eligible.select(
+        "doc_id",
+        F.explode(F.filter(toks, lambda t: ~t.isin(*EN_STOPWORDS))).alias("term"),
+    )
+    counted = posting.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        counted.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "kw_rank", "term", "tf")
+        .orderBy("doc_id", "kw_rank")
+    )
+
+
+_STOP_SQL = "('the','a','and','of','to','in','is','it','for','on')"
+
+KEYWORD_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+posting AS (
+  SELECT doc_id, unnest(list_filter(toks, t -> t NOT IN {_STOP_SQL})) AS term
+  FROM tk WHERE len(toks) > 5
+),
+counted AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM posting GROUP BY doc_id, term
+)
+SELECT doc_id, kw_rank, term, tf FROM (
+  SELECT doc_id, term, tf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS kw_rank
+  FROM counted
+) WHERE kw_rank <= 3
+ORDER BY doc_id, kw_rank
+"""
+
+
+def context_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5 context filter + relevance gate (chatbot_api.py:277-343,
+    480-489): drop too-short chunks (<60 chars) and code-heavy chunks
+    (≥3 code-indicator characters), then an all-or-nothing gate — results
+    are returned only when the mean top-10 BM25 score clears 0.15.
+
+    Both the top-10 and the gate are tiny 1-row broadcasts; the base scan
+    is the same single-shuffle BM25 plan as q1_bm25_topk."""
+    scored = bm25_scores(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    code_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[{};=<>]"), 0))
+    kept = (
+        scored.join(docs, "doc_id")
+        .filter((F.col("n_chars") >= 60) & (code_hits < 3))
+        .select("doc_id", F.round(F.col("bm25_raw"), 9).alias("score"))
+    )
+    top = kept.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    gate = top.agg(F.avg("score").alias("avg_score"))
+    return (
+        top.crossJoin(F.broadcast(gate))
+        .filter(F.col("avg_score") >= 0.15)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+
+
+CONTEXT_RERANK_SQL = f"""
+WITH {_bm25_sql_core().strip()},
+kept AS (
+  SELECT b.doc_id, round(b.bm25_raw, 9) AS score
+  FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+  WHERE d.n_chars >= 60
+    AND len(regexp_extract_all(d.text, '[{{}};=<>]')) < 3
+),
+top AS (
+  SELECT doc_id, score FROM kept ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+gate AS (SELECT AVG(score) AS avg_score FROM top)
+SELECT doc_id, score
+FROM top, gate
+WHERE avg_score >= 0.15
+ORDER BY score DESC, doc_id ASC
+LIMIT 5
+"""
+
+
+def index_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 incremental index diff (elasticsearch_sync.py:343-395): the
+    reference scans every ``_id`` already in Elasticsearch and skips
+    those chunks.  Engine-native: the index state is a table, the skip is
+    a left-anti join (J4), and each new row carries its content
+    fingerprint (the id scheme of oer_chunks, transformer.py:861).
+
+    Index state here: every doc except multiples of 5 is already
+    indexed, so the diff emits exactly the doc_id % 5 == 0 rows."""
+    from tlcn_oer_lakehouse_spark.functions.text import fingerprint
+
+    docs = load(spark, sf, "documents")
+    indexed = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("indexed_id")
+    )
+    return (
+        docs.join(indexed, docs.doc_id == indexed.indexed_id, "left_anti")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"), "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+INDEX_DIFF_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0)
+ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("q4_keyword_extract", keyword_extract, KEYWORD_SQL,
+              ref="chatbot_api.py:69-119 (stopword keyword extraction)",
+              doc="top-3 stopword-filtered keywords per document", tags=("retrieval",)),
+    QuerySpec("q5_context_rerank", context_rerank, CONTEXT_RERANK_SQL,
+              ref="chatbot_api.py:277-343, 480-489 (context filter + relevance gate)",
+              doc="length/code filters + avg-score gated top-5", tags=("retrieval",)),
+    QuerySpec("q7_index_diff", index_diff, INDEX_DIFF_SQL,
+              ref="elasticsearch_sync.py:343-395 (incremental index skip-scan)",
+              doc="left-anti diff of docs vs index state, with fingerprints",
+              tags=("retrieval",)),
     QuerySpec("q3_hybrid_lang_weighted", hybrid_lang_weighted, HYBRID_LANG_SQL,
               ref="chatbot_api.py:37-40 (language-dependent fusion weights)",
               doc="hybrid fusion, EN .5/.5 vs other .2/.8", tags=("retrieval",)),
