@@ -157,12 +157,18 @@ def shingle_rows(
     ).withColumn("bh", _base_hash(F.col("shingle")))
 
 
-def jaccard_verify_from(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_verify_from(
+    sh: DataFrame, pairs: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs:
     |A∩B| via a shared-shingle join, |A∪B| = |A|+|B|-|A∩B|. Integer
     counts → double division: deterministic.  ``sh`` is a (doc, shingle)
-    DataFrame, ideally persisted by the caller."""
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    DataFrame, ideally persisted by the caller.  ``sizes`` (doc,
+    n_shingles) may be supplied when the caller already aggregated per
+    doc (e.g. alongside minhash signatures) — saves one wide shuffle
+    over the shingle table."""
+    if sizes is None:
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(
@@ -196,8 +202,9 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shared shingle set (persisted
-    once) → affine-min signatures → banded candidate pairs → exact
-    Jaccard verify → threshold filter."""
+    once) → affine-min signatures (+ per-doc shingle counts in the SAME
+    shuffle) → banded candidate pairs → exact Jaccard verify → threshold
+    filter."""
     sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
 
     def _sig(i: int) -> Column:
@@ -205,9 +212,12 @@ def minhash_near_duplicates(
             (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
         ).alias(f"h{i}")
 
-    sigs = sh.groupBy("doc").agg(*[_sig(i) for i in range(num_hashes)])
+    sigs = sh.groupBy("doc").agg(
+        *[_sig(i) for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("n_shingles"),
+    ).persist()
     cands = minhash_lsh_candidate_pairs(sigs, num_hashes, bands)
-    verified = jaccard_verify_from(sh, cands)
+    verified = jaccard_verify_from(sh, cands, sizes=sigs.select("doc", "n_shingles"))
     return verified.filter(F.col("jaccard") >= threshold)
 
 
