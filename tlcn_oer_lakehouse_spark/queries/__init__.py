@@ -18,6 +18,7 @@ _MODULES = (
     "windows",
     "multimodal",
     "mlops",
+    "traindata",
 )
 
 

@@ -1,0 +1,302 @@
+"""Training-data pipeline operators — the corpus-preparation layer a
+100 TB pretraining pipeline needs on top of dedup/quality (which live in
+``textops``/``dedup``): deterministic splits, stratified sampling,
+weighted corpus mixing, token-budget sharding, vocabulary coverage, and
+train→test contamination detection.
+
+Everything is hash-deterministic (md5-prefix integers, portable across
+engines) — no ``rand()``, so results are reproducible run-to-run and
+hash-verifiable against the DuckDB oracle.  That is not a test
+convenience but the production property: resumable pipelines must
+re-derive identical splits/samples after partial failure.
+
+Scale design:
+- split/sample/mix are map-only column expressions — zero shuffle; they
+  run at scan speed and compose with partition pruning.
+- token-budget sharding is one window prefix-sum; at 100 TB shard
+  assignment runs per partition-range (sort within date/source partition)
+  rather than one global window — the global-order variant here is the
+  correctness oracle for that.
+- contamination joins train→test on shingle hash — bucket-sized
+  equi-join, never all-pairs (same topology as minhash banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.text import shingles, token_count, tokens
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+
+
+def _bucket(c: F.Column, mod: int) -> F.Column:
+    """Deterministic uniform bucket in [0, mod): md5-prefix integer of the
+    stringified column — the portable engine-agnostic hash."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % mod
+    )
+
+
+def _bucket_sql(expr: str, mod: int) -> str:
+    return f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT) % {mod}"
+
+
+def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """80/10/10 train/val/test split keyed on doc_id hash, summarized per
+    (split, lang).  Map-only; the same expression at 100 TB never
+    shuffles and survives re-runs bit-identically."""
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+SPLIT_SQL = f"""
+SELECT CASE WHEN {_bucket_sql('doc_id', 100)} < 80 THEN 'train'
+            WHEN {_bucket_sql('doc_id', 100)} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language stratified sample: languages are kept at
+    different rates (en 20%, others 50%) via a hash gate keyed on
+    (lang, doc_id) so rates are independent across strata."""
+    docs = load(spark, sf, "documents")
+    gate = _bucket(F.concat_ws("|", F.col("lang"), F.col("doc_id")), 100)
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    return (
+        docs.filter(gate < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_bucket_sql("lang || '|' || CAST(doc_id AS VARCHAR)", 100)}
+      < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+ORDER BY doc_id
+"""
+
+
+def corpus_mixing(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted epoch mixing: high-quality sources (src0-src4) repeat for
+    2 epochs, the rest for 1 — the static-weight corpus mixture of a
+    pretraining run, expressed as explode(sequence(1, weight)).  Output
+    is the per-source epoch manifest."""
+    docs = load(spark, sf, "documents")
+    weight = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 2
+    ).otherwise(1)
+    exploded = docs.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), weight)).alias("epoch")
+    )
+    return (
+        exploded.groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "epoch")
+    )
+
+
+MIXING_SQL = """
+SELECT source, epoch, COUNT(*) AS n_docs
+FROM (
+  SELECT doc_id, source,
+         unnest(generate_series(1, CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                                        THEN 2 ELSE 1 END)) AS epoch
+  FROM documents
+)
+GROUP BY source, epoch
+ORDER BY source, epoch
+"""
+
+
+def token_budget_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard assignment by cumulative token budget (5,000 tokens/shard):
+    prefix-sum window over doc_id order, shard = floor(cumsum / budget).
+    The global-order correctness oracle for the per-partition variant
+    used at scale (sort within source/date partition)."""
+    budget = 5000
+    docs = load(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "shard_id", ((F.col("cum_tokens") - 1) / budget).cast("long")
+        )
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+SHARDS_SQL = """
+SELECT doc_id, n_tokens, cum_tokens, CAST(floor((cum_tokens - 1) / 5000) AS BIGINT) AS shard_id
+FROM (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+         SUM(len(regexp_extract_all(text, '\\w+')))
+           OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 vocabulary terms with cumulative corpus-coverage fraction —
+    the tokenizer-vocabulary sizing curve.  Term counts aggregate
+    map-side; the cumulative window runs over only the top-k rows."""
+    docs = load(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = counts.agg(F.sum("tf").alias("total_tf"))
+    top = (
+        counts.orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(20)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        "term",
+        "tf",
+        F.round(
+            F.sum("tf").over(w).cast("double") / F.col("total_tf"), 9
+        ).alias("cum_coverage"),
+    ).orderBy(F.col("tf").desc(), F.col("term").asc())
+
+
+VOCAB_SQL = """
+WITH counts AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+agg AS (SELECT term, COUNT(*) AS tf FROM counts GROUP BY term),
+total AS (SELECT SUM(tf) AS total_tf FROM agg),
+top AS (SELECT term, tf FROM agg ORDER BY tf DESC, term ASC LIMIT 20)
+SELECT term, tf,
+       round(CAST(SUM(tf) OVER (ORDER BY tf DESC, term ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / total_tf, 9) AS cum_coverage
+FROM top, total
+ORDER BY tf DESC, term ASC
+"""
+
+
+def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Train→test contamination: for each test doc (hash split as in
+    train_test_split), how many of its distinct 5-gram shingles also
+    appear in any train doc.  Equi-join on shingle — bucket-sized like
+    minhash banding, never all-pairs.  At 100 TB the shingle column is
+    hashed to a long and the train side is a bloom-filter or bucketed
+    table; the exact string join here is the correctness oracle."""
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    with_split = docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("text")), 5))
+        ).alias("shingle"),
+    )
+    train = with_split.filter(F.col("split") == "train").select("shingle").distinct()
+    test = with_split.filter(F.col("split") == "test").select("doc_id", "shingle")
+    test_sizes = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        test.join(train, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        test_sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"), 9
+            ).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN {_bucket_sql('doc_id', 100)} < 80 THEN 'train'
+              WHEN {_bucket_sql('doc_id', 100)} < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, split, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, split, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+test AS (SELECT doc_id, shingle FROM sh WHERE split = 'test'),
+test_sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM test WHERE shingle IN (SELECT shingle FROM train)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       round(COALESCE(h.n_contaminated, 0) / s.n_shingles, 9) AS contamination_rate
+FROM test_sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY s.doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("td_train_test_split", train_test_split, SPLIT_SQL,
+              ref="new capability (training-data pipeline; hash-deterministic split)",
+              doc="80/10/10 hash split summarized per split × lang",
+              tags=("traindata",)),
+    QuerySpec("td_stratified_sample", stratified_sample, STRATIFIED_SQL,
+              ref="new capability (per-stratum deterministic sampling)",
+              doc="per-language hash-gated sample (en 20%, others 50%)",
+              tags=("traindata",)),
+    QuerySpec("td_corpus_mixing", corpus_mixing, MIXING_SQL,
+              ref="new capability (weighted epoch mixing)",
+              doc="2-epoch upsampling of high-quality sources",
+              tags=("traindata",)),
+    QuerySpec("td_token_budget_shards", token_budget_shards, SHARDS_SQL,
+              ref="new capability (token-budget packing; prefix-sum window)",
+              doc="5k-token shard assignment by cumulative count",
+              tags=("traindata",)),
+    QuerySpec("td_vocab_coverage", vocab_coverage, VOCAB_SQL,
+              ref="new capability (tokenizer vocabulary sizing curve)",
+              doc="top-20 terms with cumulative coverage fraction",
+              tags=("traindata",)),
+    QuerySpec("td_contamination_check", contamination_check, CONTAMINATION_SQL,
+              ref="new capability (train->test 5-gram contamination)",
+              doc="per-test-doc contaminated-shingle rate vs train set",
+              tags=("traindata", "bench")),
+]
