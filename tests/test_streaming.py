@@ -15,6 +15,8 @@ from pyspark.sql.types import (
 
 from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
 from tlcn_oer_lakehouse_spark.streaming.ingest import (
+    enrich_stream,
+    interval_join_streams,
     landing_stream,
     merge_ingest,
     windowed_counts_stream,
@@ -124,6 +126,97 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert table.merge_upsert(batch) == 1
     assert table.merge_upsert(batch) == 0
     assert [(r.id, r.val) for r in table.read().collect()] == [(1, "a")]
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join produces exactly the batch join."""
+    ev_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    rows = [(1, 10.0), (2, 20.0), (3, 30.0), (1, 40.0)]
+    landing = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ev_schema).coalesce(1).write.parquet(f"{landing}/b1")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+
+    stream = spark.readStream.schema(ev_schema).parquet(f"{landing}/*")
+    joined = enrich_stream(stream, dim, "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.value, r.tier) for r in spark.table("enrich_test").collect()
+    )
+    want = sorted(
+        (r.user_id, r.value, r.tier)
+        for r in spark.createDataFrame(rows, ev_schema)
+        .join(F.broadcast(dim), "user_id", "left")
+        .collect()
+    )
+    assert got == want
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Watermarked stream-stream join keeps only right events inside
+    (left_ts, left_ts + 5 min] per key — verified against the batch
+    interval join on the same finite input."""
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    imp_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("imp_ts", TimestampType()),
+            StructField("imp_id", LongType()),
+        ]
+    )
+    clk_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("clk_ts", TimestampType()),
+            StructField("clk_id", LongType()),
+        ]
+    )
+    imps = [
+        (1, t0, 100),
+        (1, t0 + dt.timedelta(minutes=20), 101),
+        (2, t0, 102),
+    ]
+    clks = [
+        (1, t0 + dt.timedelta(minutes=3), 200),   # joins imp 100
+        (1, t0 + dt.timedelta(minutes=21), 201),  # joins imp 101 only
+        (2, t0 + dt.timedelta(minutes=9), 202),   # outside 5-min gap
+        (3, t0 + dt.timedelta(minutes=1), 203),   # no impression
+    ]
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imps, imp_schema).coalesce(1).write.parquet(f"{imp_dir}/b")
+    spark.createDataFrame(clks, clk_schema).coalesce(1).write.parquet(f"{clk_dir}/b")
+
+    joined = interval_join_streams(
+        spark.readStream.schema(imp_schema).parquet(f"{imp_dir}/*"),
+        spark.readStream.schema(clk_schema).parquet(f"{clk_dir}/*"),
+        key="user_id",
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.imp_id, r.clk_id) for r in spark.table("ssjoin_test").collect())
+    assert got == [(100, 200), (101, 201)]
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):

@@ -65,6 +65,47 @@ def merge_ingest(
     return writer.start()
 
 
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment (J5/J6's streaming twin): the
+    static side re-reads per micro-batch, so dimension updates are picked
+    up between triggers without restarting the query.  Broadcast keeps it
+    shuffle-free — the stream side never repartitions."""
+    return stream_df.join(F.broadcast(dim_df), key, how)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_gap: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events within
+    ``(left_ts, left_ts + max_gap]`` of a matching-key left event — the
+    click-after-impression attribution shape.  Both sides carry
+    watermarks so join state is bounded and evicted once the watermark
+    passes the interval (the late-data contract SURVEY §2.9 requires).
+
+    Column names must be disjoint except for ``key``; the caller aliases
+    beforehand.  State scales with key cardinality × max_gap — the knob
+    to size the RocksDB store at 100 TB/day stream rates."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def windowed_counts_stream(
     stream_df: DataFrame,
     ts_col: str = "ts",
