@@ -108,3 +108,49 @@ def test_compact_reduces_files(spark, tmp_path):
     assert n_after <= before
     assert n_after == 1
     assert t.read().count() == 250
+
+
+def test_time_travel_versions_and_read(spark, tmp_path):
+    """Every head swap retains the displaced snapshot; read_version
+    reproduces historical contents exactly (VERSION AS OF analog)."""
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])))
+    assert t.versions() == []  # first write displaced nothing
+    t.merge_upsert(_fp(spark.createDataFrame([(2, "B")], ["id", "val"])))
+    t.merge_upsert(_fp(spark.createDataFrame([(3, "c")], ["id", "val"])))
+    assert t.versions() == [0, 1]
+    assert sorted((r.id, r.val) for r in t.read_version(0).collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    assert sorted((r.id, r.val) for r in t.read_version(1).collect()) == [
+        (1, "a"), (2, "B"),
+    ]
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["is_current"] for h in hist] == [False, False, True]
+
+
+def test_rollback_restores_and_is_undoable(spark, tmp_path):
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a")], ["id", "val"])))
+    t.merge_upsert(_fp(spark.createDataFrame([(1, "A2")], ["id", "val"])))
+    t.rollback(0)
+    assert [(r.id, r.val) for r in t.read().collect()] == [(1, "a")]
+    # the displaced "A2" head was itself retained
+    assert sorted((r.id, r.val) for r in t.read_version(1).collect()) == [(1, "A2")]
+
+
+def test_vacuum_prunes_old_versions(spark, tmp_path):
+    t = table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a")], ["id", "val"])))
+    for v in ("b", "c", "d", "e"):
+        t.merge_upsert(_fp(spark.createDataFrame([(1, v)], ["id", "val"])))
+    assert t.versions() == [0, 1, 2, 3]
+    removed = t.vacuum(keep_last=2)
+    assert removed == 2
+    assert t.versions() == [2, 3]
+    try:
+        t.read_version(0)
+        raise AssertionError("vacuumed version should not be readable")
+    except ValueError:
+        pass

@@ -72,19 +72,76 @@ class ParquetMergeTable:
 
     # -- writes -----------------------------------------------------------
 
+    def _version_dir(self, n: int) -> str:
+        return f"{self.path}__v{n:06d}"
+
+    def versions(self) -> list[int]:
+        """Retained snapshot version numbers, oldest first."""
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path) + "__v"
+        if not os.path.isdir(parent):
+            return []
+        out = []
+        for name in os.listdir(parent):
+            if name.startswith(base) and name[len(base):].isdigit():
+                out.append(int(name[len(base):]))
+        return sorted(out)
+
     def _write_snapshot(self, df: DataFrame) -> None:
-        """Stage the full snapshot next to the table, then atomic-rename."""
+        """Stage the full snapshot next to the table, then atomic-rename.
+        The displaced snapshot is retained as the next version dir —
+        the Iceberg snapshot-log analog enabling time travel/rollback."""
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
-        backup = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(self.path):
-            os.rename(self.path, backup)
+            vs = self.versions()
+            next_v = (vs[-1] + 1) if vs else 0
+            os.rename(self.path, self._version_dir(next_v))
         os.rename(staging, self.path)
-        if os.path.isdir(backup):
-            shutil.rmtree(backup)
+
+    # -- time travel -------------------------------------------------------
+
+    def read_version(self, version: int) -> DataFrame:
+        """Read a retained historical snapshot (Iceberg
+        ``VERSION AS OF`` analog)."""
+        d = self._version_dir(version)
+        if not os.path.isdir(d):
+            raise ValueError(f"version {version} not retained for {self.path}")
+        return self.spark.read.parquet(d)
+
+    def history(self) -> list[dict]:
+        """Snapshot log: retained versions plus the current head."""
+        entries = [
+            {"version": v, "path": self._version_dir(v), "is_current": False}
+            for v in self.versions()
+        ]
+        if self.exists():
+            head = (self.versions()[-1] + 1) if entries else 0
+            entries.append({"version": head, "path": self.path, "is_current": True})
+        return entries
+
+    def rollback(self, version: int) -> None:
+        """Restore a historical snapshot as the new head (Iceberg
+        ``rollback_to_snapshot`` analog).  The displaced head is itself
+        retained, so a rollback is undoable."""
+        d = self._version_dir(version)
+        if not os.path.isdir(d):
+            raise ValueError(f"version {version} not retained for {self.path}")
+        # the version dir itself is untouched by the head swap, so the
+        # lazy scan stays valid while the staging write runs
+        self._write_snapshot(self.spark.read.parquet(d))
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Drop all but the newest ``keep_last`` retained versions.
+        Returns the number of snapshot dirs removed."""
+        vs = self.versions()
+        drop = vs[:-keep_last] if keep_last > 0 else vs
+        for v in drop:
+            shutil.rmtree(self._version_dir(v))
+        return len(drop)
 
     def create(self, df: DataFrame) -> None:
         self._write_snapshot(latest_wins(df, self.key, self._order_cols(df)))
