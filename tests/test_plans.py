@@ -1,0 +1,96 @@
+"""Physical-plan regression tests — assert that the optimizations the
+100 TB design depends on are actually present in the plans Catalyst
+produces (plans/audit.py).  A query that silently loses pushdown or
+broadcast still returns correct rows at sf0.01; these tests are what
+catch the 10×-at-scale regression."""
+
+from __future__ import annotations
+
+import pytest
+
+from tlcn_oer_lakehouse_spark.plans import audit
+from tlcn_oer_lakehouse_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark, name):
+    return REGISTRY[name].builder(spark, SF)
+
+
+def test_q6_filters_push_to_scan(spark):
+    """Q6 is the pushdown probe: all three predicates must reach the
+    parquet reader, and the scan must read only the 4 needed columns."""
+    df = _build(spark, "q6_forecast_revenue")
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert set(audit.read_schema_columns(df)) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+    # scan → project → agg: zero wide shuffles
+    assert audit.exchange_count(df) == 0
+
+
+def test_q1_column_pruning(spark):
+    """Q1 reads 7 of lineitem's 11 columns — pruning must hold."""
+    df = _build(spark, "q1_pricing_summary")
+    cols = set(audit.read_schema_columns(df))
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_returnflag"} <= cols
+
+
+@pytest.mark.parametrize(
+    "name,min_bcast",
+    [
+        ("q5_local_supplier_volume", 4),   # cust/supp/nation/region all broadcast
+        ("q8_market_share", 6),            # part/supp/cust/2×nation/region
+        ("q14_promo_revenue", 1),          # part side
+        ("q3_shipping_priority", 1),       # customer side
+    ],
+)
+def test_dim_sides_broadcast(spark, name, min_bcast):
+    df = _build(spark, name)
+    assert audit.broadcast_join_count(df) >= min_bcast
+
+
+def test_q8_shuffle_budget(spark):
+    """The 7-table Q8 star join must shuffle only the two fact-sized
+    inputs (lineitem⋈orders), not every join input."""
+    df = _build(spark, "q8_market_share")
+    assert audit.exchange_count(df) <= 3
+
+
+def test_q13_outer_join_agg_shuffles(spark):
+    """Q13: customer⟕orders + two aggs — bounded shuffle count (the
+    second agg input is already tiny)."""
+    df = _build(spark, "q13_customer_distribution")
+    assert audit.exchange_count(df) <= 4
+
+
+def test_bm25_single_wide_shuffle(spark):
+    """BM25's only wide shuffle is the final top-k; corpus stats travel
+    via 1-row broadcast, not a shuffle of the scored docs."""
+    df = _build(spark, "q1_bm25_topk")
+    assert audit.exchange_count(df) <= 1
+
+
+def test_knn_bruteforce_no_wide_shuffle(spark):
+    """Brute-force kNN is scan → per-row cosine → TakeOrdered: the plan
+    must not repartition the embedding table."""
+    df = _build(spark, "knn_bruteforce")
+    assert audit.exchange_count(df) == 0
+
+
+def test_codegen_fuses_hot_paths(spark):
+    """The pricing-summary hot path must run inside WholeStageCodegen."""
+    df = _build(spark, "q1_pricing_summary")
+    assert audit.wholestage_codegen_count(df) >= 1
+
+
+def test_incremental_filter_uses_single_join(spark):
+    """P3 change detection: one left join keyed on the merge key — the
+    null-safe predicate must not add extra shuffles."""
+    df = _build(spark, "p3_nullsafe_incremental_filter")
+    assert audit.exchange_count(df) <= 2

@@ -1,0 +1,17 @@
+from tlcn_oer_lakehouse_spark.plans.audit import (
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_count,
+)
+
+__all__ = [
+    "broadcast_join_count",
+    "exchange_count",
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "wholestage_codegen_count",
+]
