@@ -124,3 +124,35 @@ def test_gold_coverage(spark, tmp_path, warehouse):
     assert fact["mit_ocw"].total_documents == 2
     dims = gold["dim_sources"].collect()
     assert len({d.source_key for d in dims}) == len(dims) == 3
+
+
+def test_landing_to_silver_with_quarantine(spark, tmp_path):
+    """run_silver_from_landing: good rows reach silver, corrupt rows
+    dead-letter idempotently, and one bad file never aborts the run."""
+    from tlcn_oer_lakehouse_spark.pipelines.medallion import (
+        run_silver_from_landing,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    good = [r for r in BRONZE if r.get("id") == "osx-1"]
+    (landing / "openstax.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in good) + "\n{broken json here\n"
+    )
+    wh = str(tmp_path / "wh")
+
+    stats = run_silver_from_landing(spark, str(landing), wh)
+    assert stats["resources_upserted"] == 1
+    assert stats["rows_quarantined"] == 1
+
+    q = spark.read.parquet(f"{wh}/bronze_quarantine")
+    assert q.count() == 1
+    row = q.collect()[0]
+    assert "broken json" in row.payload
+    assert row.bronze_source_path.endswith("openstax.jsonl")
+
+    # replay: same landing dir is a full no-op — silver AND quarantine
+    stats2 = run_silver_from_landing(spark, str(landing), wh)
+    assert stats2["resources_upserted"] == 0
+    assert stats2["rows_quarantined"] == 0
+    assert spark.read.parquet(f"{wh}/bronze_quarantine").count() == 1

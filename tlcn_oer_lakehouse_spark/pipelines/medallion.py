@@ -196,6 +196,50 @@ def run_silver(spark: SparkSession, bronze: DataFrame, warehouse_root: str) -> d
             "documents_deleted": n_deleted}
 
 
+def run_silver_from_landing(
+    spark: SparkSession,
+    landing_path: str,
+    warehouse_root: str,
+    schema=None,
+    multiline: bool = False,
+) -> dict:
+    """Landing files → silver in one call: the production entry that
+    composes the resilient bronze reader (corrupt-record quarantine,
+    lineage columns — `sources/bronze_json.py`) with :func:`run_silver`.
+
+    Corrupt rows land in a ``bronze_quarantine`` merge table keyed by
+    payload hash (idempotent under replay — re-reading the same broken
+    file adds nothing) instead of failing the run; the reference aborts
+    the whole silver pass on one malformed scrape (transformer.py S1 has
+    no badRecords handling)."""
+    from tlcn_oer_lakehouse_spark.sources.bronze_json import (
+        read_bronze_json,
+        split_corrupt,
+    )
+
+    good, quarantine = split_corrupt(
+        read_bronze_json(spark, landing_path, schema=schema, multiline=multiline)
+    )
+    q_rows = quarantine.select(
+        F.sha2(F.col("_corrupt_record"), 256).alias("payload_hash"),
+        F.col("_corrupt_record").alias("payload"),
+        "bronze_source_path",
+        "ingested_at",
+    )
+    # payload_hash doubles as the fingerprint: replaying the same broken
+    # file matches on key + identical fingerprint → 0 upserts (no-op).
+    qt = ParquetMergeTable(
+        spark,
+        f"{warehouse_root}/bronze_quarantine",
+        key="payload_hash",
+        fingerprint_col="payload_hash",
+    )
+    n_quarantined = qt.merge_upsert(q_rows)
+    stats = run_silver(spark, good, warehouse_root)
+    stats["rows_quarantined"] = n_quarantined
+    return stats
+
+
 def run_gold(spark: SparkSession, warehouse_root: str) -> dict[str, DataFrame]:
     """Gold star schema from silver: source dim + per-source coverage
     fact (aggregate-before-join; no cosmetic sorts)."""

@@ -6,12 +6,18 @@ engine must serve at 100 TB, adapted to the driver's synthetic star schema
 - Q8  market share (conditional ratio inside a yearly group)
 - Q9  product profit (expression-derived cost, multi-dim group)
 - Q11 important stock (scalar-subquery fraction threshold on an agg)
+- Q12 shipment priority split (dual conditional counts per group)
 - Q13 customer order-count distribution (LEFT join with ON-clause filter,
       two-level aggregation — the outer-join agg class)
 - Q15 top supplier (agg view + scalar MAX equality)
 - Q16 supplier variety count (count-distinct with NOT-IN exclusion)
 - Q20 heavy shippers (nested semi-join reduction)
+- Q21 waiting suppliers (EXISTS + NOT EXISTS correlated self-joins)
 - Q22 idle customers (scalar AVG gate + anti-join existence)
+
+With q1/q3/q5/q6/q10 (`tpch.py`), q4/q14/q18 (`tpch_ext.py`) and the
+Q2/Q17/Q19 shapes (`subqueries.py`), all 22 canonical TPC-H query
+classes are represented, each adapted to the synthetic star schema.
 
 Scale notes: every dim side (nation/supplier/part/customer at TPC-H
 ratios) broadcasts — the only shuffles are lineitem-keyed aggregates.
@@ -418,6 +424,107 @@ ORDER BY c_mktsegment
 """
 
 
+def q12_ship_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shape: late-shipment priority split.  The synthetic schema has
+    no l_shipmode/l_receiptdate, so the mode group is ``l_returnflag``
+    and lateness is ship-lag > 90 days; the operator shape — fact-fact
+    equi-join, lateness predicate, dual conditional counts per group —
+    is Q12's exactly.  Only shuffle is the l_orderkey join (AQE-planned);
+    the group-by input is already tiny."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND datediff('day', o_orderdate, l_shipdate) > 90
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper in a
+    multi-supplier finished order — EXISTS (another supplier in the
+    order) + NOT EXISTS (another LATE supplier), the canonical
+    double-correlated-subquery class, as one semi + one anti self-join.
+    Lateness = ship-lag > 365 days (no l_receiptdate in the synthetic
+    schema).
+
+    Scale notes: all three self-join legs share the l_orderkey shuffle
+    key, so at 100 TB they co-partition into one exchange; supplier
+    broadcasts.  ``base`` is persisted — it feeds three legs."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf, "supplier")
+    base = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365).alias("late"),
+        )
+        .persist()
+    )
+    l1 = base.filter(F.col("late")).select("ok", "sk")
+    others = base.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2"))
+    late_others = base.filter(F.col("late")).select(
+        F.col("ok").alias("ok3"), F.col("sk").alias("sk3")
+    )
+    waiting = (
+        l1.join(
+            others, (l1.ok == others.ok2) & (l1.sk != others.sk2), "left_semi"
+        ).join(
+            late_others,
+            (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.sk == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+WITH base AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         datediff('day', o_orderdate, l_shipdate) > 365 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM base l1 JOIN supplier ON l1.sk = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM base l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+  AND NOT EXISTS (SELECT 1 FROM base l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_SQL,
               ref="TPC-H Q7 shape; dual nation role-joins",
@@ -431,6 +538,9 @@ SPECS = [
     QuerySpec("q11_important_parts", q11_important_parts, Q11_SQL,
               ref="TPC-H Q11 shape; scalar-subquery threshold",
               doc="parts above 0.2% of global shipped value", tags=("tpch",)),
+    QuerySpec("q12_ship_priority", q12_ship_priority, Q12_SQL,
+              ref="TPC-H Q12 shape; dual conditional counts (returnflag mode)",
+              doc="late-shipment priority split per return flag", tags=("tpch",)),
     QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL,
               ref="TPC-H Q13 shape; outer-join agg distribution",
               doc="customers per order count", tags=("tpch", "bench")),
@@ -443,6 +553,10 @@ SPECS = [
     QuerySpec("q20_heavy_shippers", q20_heavy_shippers, Q20_SQL,
               ref="TPC-H Q20 shape; nested semi-join reduction",
               doc="suppliers shipping >300 units of a bolt part", tags=("tpch",)),
+    QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL,
+              ref="TPC-H Q21 shape; EXISTS + NOT EXISTS self-joins",
+              doc="sole-late-shipper suppliers in multi-supplier orders",
+              tags=("tpch",)),
     QuerySpec("q22_idle_customers", q22_idle_customers, Q22_SQL,
               ref="TPC-H Q22 shape; scalar AVG gate + anti-join",
               doc="rich customers with no orders, by segment", tags=("tpch",)),

@@ -13,10 +13,11 @@ re-derive identical splits/samples after partial failure.
 Scale design:
 - split/sample/mix are map-only column expressions — zero shuffle; they
   run at scan speed and compose with partition pruning.
-- token-budget sharding is one window prefix-sum; at 100 TB shard
-  assignment runs per partition-range (sort within date/source partition)
-  rather than one global window — the global-order variant here is the
-  correctness oracle for that.
+- token-budget sharding ships in two forms: the global-order window
+  (correctness oracle) and the 100 TB form —
+  :func:`token_budget_shards_scalable` — a two-phase distributed prefix
+  sum (range partition → local window → broadcast partition offsets)
+  that never collapses the corpus onto one partition.
 - contamination joins train→test on shingle hash — bucket-sized
   equi-join, never all-pairs (same topology as minhash banding).
 """
@@ -162,6 +163,51 @@ ORDER BY doc_id
 """
 
 
+def token_budget_shards_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of :func:`token_budget_shards`: a global prefix sum
+    WITHOUT a global-order window (which moves the whole corpus to one
+    partition — the ``WindowExec: No Partition Defined`` death sentence).
+
+    Two-phase distributed scan:
+
+    1. range-partition by ``doc_id`` (contiguous key ranges → partition
+       index order == key order), prefix-sum *within* each partition
+       (``Window.partitionBy(pid)`` — fully parallel);
+    2. per-partition totals collected to the driver (one row per
+       partition, not per record), turned into exclusive offsets, and
+       broadcast back; global cumsum = local cumsum + partition offset.
+
+    Registered against the same DuckDB oracle as the global-window
+    variant — the equivalence proof is the parity check itself."""
+    budget = 5000
+    docs = load(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    parts = (
+        docs.repartitionByRange(8, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = parts.groupBy("pid").agg(F.sum("n_tokens").alias("part_total")).collect()
+    running = 0
+    offset_rows = []
+    for row in sorted(totals, key=lambda r: r.pid):
+        offset_rows.append((row.pid, running))
+        running += row.part_total
+    offsets = spark.createDataFrame(offset_rows, "pid INT, part_offset LONG")
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        parts.withColumn("local_cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("cum_tokens", F.col("local_cum") + F.col("part_offset"))
+        .withColumn("shard_id", ((F.col("cum_tokens") - 1) / budget).cast("long"))
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
 def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 vocabulary terms with cumulative corpus-coverage fraction —
     the tokenizer-vocabulary sizing curve.  Term counts aggregate
@@ -216,30 +262,38 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     table; the exact string join here is the correctness oracle."""
     docs = load(spark, sf, "documents")
     b = _bucket(F.col("doc_id"), 100)
-    with_split = docs.select(
+    # Deliberately NOT persisted: materializing the exploded shingle
+    # table costs more than re-running the codegen'd tokenize+shingle
+    # scan for its two consumers (measured 2.4x slower cold at sf0.1).
+    with_split = docs.filter((b < 80) | (b >= 90)).select(
         "doc_id",
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        (b < 80).alias("is_train"),
         F.explode(
             F.array_distinct(shingles(tokens(F.col("text")), 5))
         ).alias("shingle"),
     )
-    train = with_split.filter(F.col("split") == "train").select("shingle").distinct()
-    test = with_split.filter(F.col("split") == "test").select("doc_id", "shingle")
-    test_sizes = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        test.join(train, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    train = (
+        with_split.filter(F.col("is_train")).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
     )
+    test = with_split.filter(~F.col("is_train")).select("doc_id", "shingle")
+    # Single aggregation: flag each test shingle via left join, then one
+    # groupBy produces both the size and the contaminated count (the
+    # two-agg + reconciling-join shape shuffles test twice).
     return (
-        test_sizes.join(hits, "doc_id", "left")
+        test.join(train, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"), 9
-            ).alias("contamination_rate"),
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 9).alias(
+                "contamination_rate"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -290,6 +344,11 @@ SPECS = [
     QuerySpec("td_token_budget_shards", token_budget_shards, SHARDS_SQL,
               ref="new capability (token-budget packing; prefix-sum window)",
               doc="5k-token shard assignment by cumulative count",
+              tags=("traindata",)),
+    QuerySpec("td_token_budget_shards_scalable", token_budget_shards_scalable,
+              SHARDS_SQL,
+              ref="new capability (distributed two-phase prefix sum)",
+              doc="same shard assignment without a global-order window",
               tags=("traindata",)),
     QuerySpec("td_vocab_coverage", vocab_coverage, VOCAB_SQL,
               ref="new capability (tokenizer vocabulary sizing curve)",
