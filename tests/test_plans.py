@@ -94,3 +94,20 @@ def test_incremental_filter_uses_single_join(spark):
     null-safe predicate must not add extra shuffles."""
     df = _build(spark, "p3_nullsafe_incremental_filter")
     assert audit.exchange_count(df) <= 2
+
+
+def test_q12_pushdown_and_single_fact_shuffle(spark):
+    """Q12's date-range filter must reach the lineitem scan; the only
+    wide work is the l_orderkey fact-fact join plus the tiny group-by."""
+    df = _build(spark, "q12_ship_priority")
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "l_shipdate" in pushed
+    cols = set(audit.read_schema_columns(df))
+    assert "l_extendedprice" not in cols  # projection pruned to the 3 used cols
+
+
+def test_q21_supplier_broadcasts(spark):
+    """Q21's three self-join legs all key on l_orderkey; the supplier dim
+    must broadcast rather than join wide."""
+    df = _build(spark, "q21_waiting_suppliers")
+    assert audit.broadcast_join_count(df) >= 1

@@ -89,9 +89,14 @@ def top_ngram_subjects(
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
+    # Top-k FIRST via orderBy().limit() — Spark plans a distributed
+    # TakeOrdered (per-partition top-k + driver merge), so the global
+    # ranking window below only ever sees k rows.  Ranking the full
+    # shingle table through a no-partition window would funnel every
+    # distinct shingle into one partition.
+    top = df_counts.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc()).limit(k)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
     return (
-        df_counts.withColumn("subject_id", F.row_number().over(w))
-        .filter(F.col("subject_id") <= k)
+        top.withColumn("subject_id", F.row_number().over(w))
         .select("subject_id", F.col("shingle").alias("subject_name"), "doc_freq")
     )
