@@ -403,6 +403,70 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def a_exact_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (beyond reference —
+    legacy DDL implies quality quartiles, create_schema.py:272-290).
+    ``F.percentile`` is the exact sort-based aggregate; the approximate
+    t-digest twin (``approx_percentile``) is the 100 TB form when the
+    group is a whole corpus — exact is fine per-group here because each
+    group sorts independently in parallel."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(F.percentile(F.col("l_quantity"), F.lit(p)), 6).alias(a)
+                for p, a in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"))
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def a_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass table profiling (beyond reference — its DAG validation
+    counts tables row-by-row): row count, distinct keys, null counts,
+    min/max range and decimal-exact mean in a SINGLE aggregate over one
+    scan.  The pattern every ingest gate at 100 TB should use instead of
+    issuing one job per statistic."""
+    orders = load(spark, sf, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "null_orderdate"
+        ),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_totalprice"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+A_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+       MIN(o_orderdate) AS min_orderdate, MAX(o_orderdate) AS max_orderdate,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_totalprice,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # W — windows
 # ---------------------------------------------------------------------------
@@ -687,6 +751,14 @@ SPECS = [
     QuerySpec("a_rollup", a_rollup, A_ROLLUP_SQL,
               ref="beyond reference (SURVEY §2.4: rollup absent)",
               doc="rollup subtotal lattice", tags=("agg", "extension")),
+    QuerySpec("a_exact_percentile", a_exact_percentile, A_PERCENTILE_SQL,
+              ref="beyond reference; create_schema.py:272-290 quartile intent",
+              doc="exact interpolated quartiles per return flag",
+              tags=("relational",)),
+    QuerySpec("a_column_profile", a_column_profile, A_PROFILE_SQL,
+              ref="beyond reference; single-pass ingest-gate profiling",
+              doc="rowcount/distincts/nulls/range/mean in one aggregate",
+              tags=("relational",)),
     QuerySpec("a_pivot", a_pivot, A_PIVOT_SQL,
               ref="beyond reference (SURVEY §2.4: pivot absent)",
               doc="pivot on linestatus", tags=("agg", "extension")),
