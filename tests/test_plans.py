@@ -111,3 +111,14 @@ def test_q21_supplier_broadcasts(spark):
     must broadcast rather than join wide."""
     df = _build(spark, "q21_waiting_suppliers")
     assert audit.broadcast_join_count(df) >= 1
+
+
+def test_dedup_embedding_cosine_no_cartesian(spark):
+    """The registered embedding near-dup query must be the sign-band
+    blocked plan: candidate generation is an equi-join on
+    (band_no, band_val) — no cartesian/broadcast-nested-loop join may
+    appear anywhere in the plan (VERDICT r01 'What's wrong' #4)."""
+    df = _build(spark, "dedup_embedding_cosine")
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -222,16 +222,38 @@ def minhash_near_duplicates(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
-    shingle (equi-join on shingle, not a cross join), then exact Jaccard.
-    The no-false-negative verify baseline for minhash."""
+    RARE shingle (document frequency ≤ ``max_df``), then exact Jaccard
+    over the FULL shingle sets.
+
+    The df cap is the skew guard: without it, one stop-phrase shingle
+    shared by 10⁶ docs produces ~10¹² candidate rows on that single join
+    key (quadratic in the hot key's df).  Capping df bounds per-key
+    candidate fan-out at max_df², and standard practice (Lee et al. 2022
+    "Deduplicating Training Data", SlimPajama) drops shingles appearing
+    in more than ~100 docs — a pair sharing ONLY ubiquitous shingles is
+    overwhelmingly below any useful Jaccard threshold anyway.  The exact
+    verify step still uses every shingle, so reported Jaccard values are
+    uncapped; only candidate *generation* is df-limited."""
     sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
     pairs = (
-        sh.alias("a")
+        sh_rare.alias("a")
         .join(
-            sh.alias("b"),
+            sh_rare.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -320,7 +342,8 @@ def embedding_near_duplicates(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. All-pairs fold — the correctness
-    baseline; the scale path blocks on sign_bucket first (similarity.py)."""
+    baseline ONLY (oracle cross-check in tests); the registered / scale
+    path is :func:`embedding_near_duplicates_blocked`."""
     a, b = df.alias("a"), df.alias("b")
     cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
@@ -329,6 +352,74 @@ def embedding_near_duplicates(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nbits: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-band LSH blocking — the
+    100 TB path (random-hyperplane LSH, Charikar 2002, with coordinate
+    hyperplanes).
+
+    Each vector gets ``nbits`` sign bits (component >= 0), split into
+    ``bands`` bands of ``nbits/bands`` bits; candidates are pairs that
+    agree on at least one FULL band (equi-join on (band_no, band_value)
+    — bucket-sized, never a cross product), then the exact cosine filter
+    runs on candidates only.  For a near-dup pair at cosine c, a single
+    hyperplane disagrees with probability arccos(c)/π (≈0.10 at c=0.95),
+    so an 8-bit band fully agrees with probability ≈0.43 and ≥1 of 8
+    bands agrees with probability ≈0.99 — while two random vectors
+    (cos≈0) collide on a band with probability 2^-8 per band, keeping
+    candidate volume linear.  Recall < 1 in general (documented; the
+    all-pairs operator is the oracle); tests pin blocked == all-pairs on
+    the duplicate-construction corpus."""
+    w = nbits // bands
+
+    def _band(k: int) -> Column:
+        bit_exprs = [
+            F.when(
+                F.element_at(F.col(vec_col), k * w + j + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(w)
+        ]
+        out = bit_exprs[0]
+        for e in bit_exprs[1:]:
+            out = out + e
+        return out.cast("long")
+
+    banded = df.select(
+        F.col(id_col).alias("__bid"),
+        F.posexplode(F.array(*[_band(k) for k in range(bands)])).alias(
+            "band_no", "band_val"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.__bid") < F.col("b.__bid")),
+        )
+        .select(F.col("a.__bid").alias("id_a"), F.col("b.__bid").alias("id_b"))
+        .dropDuplicates()
+    )
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    return (
+        cand.join(vecs.alias("va"), F.col("id_a") == F.col("va.__vid"))
+        .join(vecs.alias("vb"), F.col("id_b") == F.col("vb.__vid"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va.__v"), F.col("vb.__v")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -212,9 +212,9 @@ j AS (
 )
 SELECT c_nationkey,
        COUNT(*) AS total_customers,
-       SUM(CASE WHEN order_cnt > 0 THEN 1 ELSE 0 END) AS customers_with_orders,
+       CAST(SUM(CASE WHEN order_cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS customers_with_orders,
        round(SUM(CASE WHEN order_cnt > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 9) AS coverage_pct,
-       SUM(coalesce(order_cnt, 0)) AS total_orders,
+       CAST(SUM(coalesce(order_cnt, 0)) AS BIGINT) AS total_orders,
        round(SUM(coalesce(order_cnt, 0)) * 1.0 / COUNT(*), 9) AS avg_orders_per_customer
 FROM j
 GROUP BY c_nationkey

@@ -62,7 +62,23 @@ QUALIFY match_rank <= 3
 
 def embed_docs(spark: SparkSession, sf: str) -> DataFrame:
     """U10: executor-side embedding via iterator pandas UDF (16-d
-    deterministic hash embedder standing in for E5)."""
+    deterministic hash embedder standing in for E5).
+
+    The registered output serializes the vector as a CSV of
+    nano-scaled integers (round(x*1e9) as bigint): raw float arrays
+    crash the driver canonicalizer, and float→string formatting differs
+    between engines while scaled ints are exactly portable."""
+    emb = _embed_raw(spark, sf)
+    nano = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e9).cast("long"),
+    )
+    return emb.select("doc_id", F.concat_ws(",", nano).alias("embedding_nano_csv"))
+
+
+def _embed_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id + raw array<double> embedding — internal input for chained
+    vector queries (the registered embed_documents serializes it)."""
     docs = load(spark, sf, "documents").select("doc_id", "text")
     return embed_documents(docs, "text", dim=16).select("doc_id", "embedding")
 
@@ -74,10 +90,16 @@ WITH raw AS (
             i -> CAST(('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
                  / 4294967296.0 - 0.5) AS r
   FROM documents
+),
+emb AS (
+  SELECT doc_id,
+         list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS e
+  FROM raw
 )
 SELECT doc_id,
-       list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS embedding
-FROM raw
+       array_to_string(list_transform(e, x -> CAST(round(x * 1000000000) AS BIGINT)), ',')
+         AS embedding_nano_csv
+FROM emb
 """
 
 
@@ -87,7 +109,7 @@ def embed_and_rank(spark: SparkSession, sf: str) -> DataFrame:
     embed→index→retrieve path with zero driver involvement."""
     from tlcn_oer_lakehouse_spark.functions.vectors import cosine
 
-    emb = embed_docs(spark, sf)
+    emb = _embed_raw(spark, sf)
     q = emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("q_emb"))
     return (
         emb.filter(F.col("doc_id") != 0)

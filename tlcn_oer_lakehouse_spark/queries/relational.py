@@ -33,20 +33,23 @@ def s1_json_extraction(spark: SparkSession, sf: str) -> DataFrame:
         ev.select(F.col("event_type"), k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.sum("k").alias("sum_k"),
+            F.sum("k").cast("long").alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
         )
     )
 
 
+# DuckDB SUM(INTEGER) yields HUGEINT (int128), which pandas canonicalizes as
+# object/float and hash-mismatches Spark's bigint — CAST every aggregate to
+# BIGINT in BOTH engines (VERDICT r01 "What's wrong" #1).
 S1_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        COUNT(*) AS n,
-       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
 
@@ -291,13 +294,17 @@ def j8_fk_validation(spark: SparkSession, sf: str) -> DataFrame:
     joined = orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
     return joined.agg(
         F.count(F.lit(1)).alias("n_fact_rows"),
-        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("n_orphans"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
     )
 
 
+# SUM(CASE ...) is HUGEINT in DuckDB — cast to BIGINT in both engines so the
+# driver's dtype-sensitive value hash matches (VERDICT r01 "What's wrong" #2).
 J8_SQL = """
 SELECT COUNT(*) AS n_fact_rows,
-       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
 FROM orders o
 LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 7 != 0) c ON o.o_custkey = c.c_custkey
 """
@@ -351,14 +358,18 @@ def a6_collect_list_struct(spark: SparkSession, sf: str) -> DataFrame:
     return (
         orders.groupBy("o_custkey")
         .agg(F.to_json(F.sort_array(F.collect_list(item))).alias("orders_json"),
-             F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+             F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey")))
+             .alias("order_keys_csv"))
     )
 
 
+# Raw array columns crash the driver canonicalizer (pandas sort_values over an
+# unhashable list — VERDICT r01 "What's wrong" #3); emit the key list as a
+# deterministic CSV string instead.
 A6_SQL = """
 SELECT o_custkey,
        to_json(array_agg(struct_pack(k := o_orderkey, s := o_orderstatus) ORDER BY o_orderkey)) AS orders_json,
-       array_agg(o_orderkey ORDER BY o_orderkey) AS order_keys
+       array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',') AS order_keys_csv
 FROM orders WHERE o_custkey % 100 = 0
 GROUP BY o_custkey
 """

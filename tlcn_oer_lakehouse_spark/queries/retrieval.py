@@ -211,12 +211,16 @@ def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     posting = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
+    # postings serialized to CSV: raw array columns crash the driver
+    # canonicalizer's sort_values (unhashable ndarray).
     return (
         posting.groupBy("term")
         .agg(
             F.countDistinct("doc_id").alias("doc_freq"),
             F.count(F.lit(1)).alias("total_tf"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias(
+                "postings_csv"
+            ),
         )
         .orderBy("term")
     )
@@ -231,7 +235,7 @@ WITH posting AS (
 SELECT term,
        COUNT(DISTINCT doc_id) AS doc_freq,
        COUNT(*) AS total_tf,
-       list_sort(list(DISTINCT doc_id)) AS postings
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings_csv
 FROM posting
 GROUP BY term
 ORDER BY term

@@ -163,8 +163,13 @@ FROM scored
 
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    # member_ids serialized to CSV: a raw array column crashes the driver
+    # canonicalizer's sort_values (unhashable ndarray).
     return exact_duplicate_groups(augmented_corpus(spark, sf), "doc_id", "text").select(
-        "fp", "canonical_id", "member_ids", "group_size"
+        "fp",
+        "canonical_id",
+        F.concat_ws(",", F.col("member_ids")).alias("member_ids_csv"),
+        "group_size",
     )
 
 
@@ -172,7 +177,7 @@ DEDUP_EXACT_SQL = f"""
 WITH {CORPUS_SQL.strip()}
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        MIN(doc_id) AS canonical_id,
-       array_agg(doc_id ORDER BY doc_id) AS member_ids,
+       array_to_string(array_agg(doc_id ORDER BY doc_id), ',') AS member_ids_csv,
        COUNT(*) AS group_size
 FROM corpus
 GROUP BY 1
@@ -234,17 +239,24 @@ WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= {threshold}
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # max_df=100: skew guard on candidate generation (fixture max df is 9,
+    # so the oracle result is unchanged; the cap is mirrored in the SQL).
     return ngram_jaccard_pairs(
-        augmented_corpus(spark, sf), "doc_id", "text", shingle_n=3, threshold=0.5
+        augmented_corpus(spark, sf), "doc_id", "text",
+        shingle_n=3, threshold=0.5, max_df=100,
     )
 
 
 NGRAM_JACCARD_SQL = f"""
 WITH {CORPUS_SQL.strip()},
 {SHINGLES_SQL.strip()},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+),
+sh_rare AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
 cand AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM sh_rare a JOIN sh_rare b ON a.shingle = b.shingle AND a.doc < b.doc
 ),
 sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
 inter AS (

@@ -196,24 +196,46 @@ FROM ord o ASOF LEFT JOIN ev e
 def a_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ distinct estimation per group — the approximate
     aggregate class (absent in the reference; essential at 100 TB where
-    exact countDistinct shuffles every value).  No oracle: HLL sketches
-    are engine-specific; accuracy is asserted in
-    tests/test_operators_extra.py against the exact count."""
+    exact countDistinct shuffles every value).  HLL sketches are
+    engine-specific, so the sketch value itself cannot hash-match an
+    oracle; instead the query emits its ±5% accuracy bound as a boolean
+    (next to the exact count), which IS oracle-checkable."""
     li = load(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
 
 
+APPROX_CD_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       true AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPECS = [
-    QuerySpec("a_approx_count_distinct", a_approx_count_distinct, None,
+    QuerySpec("a_approx_count_distinct", a_approx_count_distinct, APPROX_CD_SQL,
               ref="new capability (SURVEY §2.4: approx aggs unused in reference)",
-              doc="HLL++ distinct parts per returnflag (rows-only check)",
+              doc="HLL++ distinct parts per returnflag, ±5% bound as boolean",
               tags=("agg",)),
     QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL,
               ref="TPC-H Q4 shape; semi-join existence agg",

