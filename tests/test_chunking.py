@@ -63,22 +63,39 @@ def test_chunk_ids_unique_and_stable(docs, hier):
 
 
 def test_token_windows_cover_all_tokens(docs):
-    """Window/stride 50/40: consecutive windows overlap by 10 tokens and
-    the last window reaches the final token."""
+    """Window/stride 50/40: the union of windows must cover EVERY token —
+    the last window's end (start + chunk_tokens - 1, start = order*40+1)
+    reaches exactly the final token of each doc."""
     from tlcn_oer_lakehouse_spark.functions.text import tokens
 
     chunks = token_window_chunks(docs, "doc_id", "text", window=50, stride=40)
-    per_doc = chunks.groupBy("doc_id").agg(
-        F.max("chunk_order").alias("max_order"), F.count(F.lit(1)).alias("n")
+    ends = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_order") * 40 + F.col("chunk_tokens")).alias("covered")
     )
     lens = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
-    j = per_doc.join(lens, "doc_id")
-    # n_windows == len(sequence(1, max(1, n-49), 40)) == floor((max(1,n-49)-1)/40)+1
-    bad = j.filter(
-        F.col("n")
-        != F.floor((F.greatest(F.lit(1), F.col("n_tok") - 49) - 1) / 40) + 1
-    )
+    bad = ends.join(lens, "doc_id").filter(F.col("covered") != F.col("n_tok"))
     assert bad.count() == 0
+
+
+def test_token_windows_trailing_partial(spark):
+    """n=100, w=50, s=40 (the ADVICE r01 case): tokens 91-100 must be
+    chunked — three windows [1-50] [41-90] [81-100], the last partial."""
+    text = " ".join(f"t{i}" for i in range(1, 101))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        token_window_chunks(df, "doc_id", "text", window=50, stride=40).collect(),
+        key=lambda r: r.chunk_order,
+    )
+    assert [r.chunk_tokens for r in rows] == [50, 50, 20]
+    assert rows[-1].chunk_text.split(" ")[-1] == "t100"
+    assert rows[-1].chunk_text.split(" ")[0] == "t81"
+
+    # no redundant trailing window when the tail is already covered
+    df90 = spark.createDataFrame(
+        [(2, " ".join(f"t{i}" for i in range(1, 91)))], "doc_id long, text string"
+    )
+    rows90 = token_window_chunks(df90, "doc_id", "text", window=50, stride=40).collect()
+    assert sorted(r.chunk_tokens for r in rows90) == [50, 50]
 
 
 def test_char_budget_reassembles_text(docs):

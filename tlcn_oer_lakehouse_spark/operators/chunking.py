@@ -39,10 +39,20 @@ def token_window_chunks(
     """U6 sliding-window chunker: windows of ``window`` tokens every
     ``stride`` tokens (trailing partial window included).  One output row
     per chunk with a content-addressed chunk_id.
-    """
+
+    Starts run to ``n`` (not ``n - window + 1``) and are then pruned to
+    those adding new tokens: bounding at ``n - window + 1`` silently
+    drops the trailing ``(n - window) % stride`` tokens (e.g. n=100,
+    w=50, s=40 loses tokens 91-100).  The keep-condition — the previous
+    window did not already reach the end — only ever removes a suffix of
+    the start list, so chunk_order stays dense from 0."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - window + 1), F.lit(stride))
+    starts_all = F.sequence(F.lit(1), F.greatest(F.lit(1), n), F.lit(stride))
+    starts = F.filter(
+        starts_all,
+        lambda s: (s == 1) | (s - stride + window - 1 < n),
+    )
     chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, window)))
     out = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_order", "chunk_text")

@@ -33,9 +33,13 @@ def with_row_status(
     Output schema: ``{id_col} <input type>, <out_fields>, _status string,
     _error string`` where ``_status`` is 'ok' or the exception class
     name (the failure-taxonomy key)."""
+    from pyspark.sql.types import StructType
+
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, {out_fields}, _status string, _error string"
-    out_names = [f.split()[0] for f in out_fields.split(",")]
+    # parse out_fields with the real DDL parser: naive comma-splitting
+    # breaks on types that contain commas (decimal(10,2), map<string,int>)
+    out_names = StructType.fromDDL(out_fields).fieldNames()
 
     def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

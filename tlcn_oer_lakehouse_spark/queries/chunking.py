@@ -34,8 +34,9 @@ wins AS (
   SELECT doc_id, s,
          CAST((s - 1) / 40 AS INT) AS chunk_order,
          array_to_string(tk[s:s+49], ' ') AS chunk_text
-  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(1, len(tk) - 50 + 1), 40)) AS s
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(1, len(tk)), 40)) AS s
         FROM toks)
+  WHERE s = 1 OR s - 40 + 50 - 1 < len(tk)
 )
 SELECT doc_id, chunk_order, chunk_text,
        len(string_split(chunk_text, ' ')) AS chunk_tokens,

@@ -138,17 +138,18 @@ def _langid_oracle() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, lang,
+         length(trim(text)) > 0 AS nonempty,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
   FROM documents
 ), scored AS (
-  SELECT doc_id, lang, tk, {', '.join(score_exprs)},
+  SELECT doc_id, lang, tk, nonempty, {', '.join(score_exprs)},
          len(tk) AS n,
          len(list_distinct(tk)) AS nd,
          len(list_filter(tk, t -> list_contains([{stop_list}], t))) AS nstop
   FROM base
 )
 SELECT doc_id,
-       round(CASE WHEN n > 0 THEN
+       round(CASE WHEN nonempty THEN
          0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n) + 0.3 * (1.0 - nstop / n)
        ELSE 0.0 END, 9) AS quality,
        CASE WHEN {m} <= 0 THEN 'und' {ladder} END AS lang_pred,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 import xml.etree.ElementTree as ET
 from collections.abc import Callable, Iterable
 
@@ -117,10 +118,14 @@ def spool_transport_factory(spool_dir: str):
 
     def make() -> Callable[[list[dict]], None]:
         os.makedirs(spool_dir, exist_ok=True)
+        # uuid, not id(send): id() values are reused after GC, so two
+        # partitions handled sequentially in one worker process could
+        # collide and silently overwrite earlier spool batches.
+        token = uuid.uuid4().hex
         state = {"i": 0}
 
         def send(batch: list[dict]) -> None:
-            name = f"batch_{os.getpid()}_{id(send)}_{state['i']}.jsonl"
+            name = f"batch_{os.getpid()}_{token}_{state['i']}.jsonl"
             state["i"] += 1
             with open(os.path.join(spool_dir, name), "w") as f:
                 for rec in batch:

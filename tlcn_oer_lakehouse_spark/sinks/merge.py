@@ -18,12 +18,19 @@ Semantics, matching the reference write path:
 Scale notes: on a real deployment this class is swapped for Delta/Iceberg
 ``MERGE INTO`` (ACID, partition-level conflict detection); the
 transformation layer (operators/incremental.py) is shared and format
-agnostic.  The emulation stages the merged snapshot to a sibling
-directory and atomically renames, so readers never observe a half
-written table and a crashed merge leaves the previous snapshot intact.
-Writes are partitioned (``partition_by``) so downstream scans prune;
-the changed-set filter keeps write amplification proportional to the
-changed rows, not the batch size.
+agnostic.  The emulation writes every snapshot to an immutable
+``__v{n}`` directory and publishes it by atomically replacing a symlink
+at the table path (``os.replace`` of a fresh symlink — one atomic
+metadata op), so the table path ALWAYS resolves: readers racing a merge
+see either the old or the new snapshot, never a missing or half-written
+table.  Isolation contract, stated honestly: SINGLE WRITER (no
+writer-writer conflict detection — concurrent merges can lose one
+writer's snapshot; Iceberg's optimistic commit protocol is the real
+fix), snapshot-isolated readers (a reader holding a DataFrame over a
+version dir is unaffected by later swaps until ``vacuum`` removes that
+version).  Writes are partitioned (``partition_by``) so downstream
+scans prune; the changed-set filter keeps write amplification
+proportional to the changed rows, not the batch size.
 """
 
 from __future__ import annotations
@@ -75,8 +82,7 @@ class ParquetMergeTable:
     def _version_dir(self, n: int) -> str:
         return f"{self.path}__v{n:06d}"
 
-    def versions(self) -> list[int]:
-        """Retained snapshot version numbers, oldest first."""
+    def _all_version_nums(self) -> list[int]:
         parent = os.path.dirname(self.path) or "."
         base = os.path.basename(self.path) + "__v"
         if not os.path.isdir(parent):
@@ -87,20 +93,43 @@ class ParquetMergeTable:
                 out.append(int(name[len(base):]))
         return sorted(out)
 
+    def _head_version(self) -> int | None:
+        """Version number the head symlink currently points at."""
+        if not os.path.islink(self.path):
+            return None
+        target = os.path.basename(os.readlink(self.path))
+        base = os.path.basename(self.path) + "__v"
+        if target.startswith(base) and target[len(base):].isdigit():
+            return int(target[len(base):])
+        return None
+
+    def versions(self) -> list[int]:
+        """Retained (non-head) snapshot version numbers, oldest first."""
+        head = self._head_version()
+        return [v for v in self._all_version_nums() if v != head]
+
     def _write_snapshot(self, df: DataFrame) -> None:
-        """Stage the full snapshot next to the table, then atomic-rename.
-        The displaced snapshot is retained as the next version dir —
-        the Iceberg snapshot-log analog enabling time travel/rollback."""
+        """Write the snapshot to an immutable ``__v{n}`` dir, then publish
+        it with ONE atomic ``os.replace`` of the head symlink — the table
+        path always resolves, and the displaced snapshot stays retained
+        (the Iceberg snapshot-log analog enabling time travel/rollback).
+        Single-writer by contract (see module docstring)."""
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
-        if os.path.isdir(self.path):
-            vs = self.versions()
-            next_v = (vs[-1] + 1) if vs else 0
-            os.rename(self.path, self._version_dir(next_v))
-        os.rename(staging, self.path)
+        # one-time migration of a legacy plain-dir head to a version dir
+        if os.path.isdir(self.path) and not os.path.islink(self.path):
+            nums = self._all_version_nums()
+            os.rename(self.path, self._version_dir(nums[-1] + 1 if nums else 0))
+        nums = self._all_version_nums()
+        next_v = (nums[-1] + 1) if nums else 0
+        vdir = self._version_dir(next_v)
+        os.rename(staging, vdir)
+        tmp_link = f"{self.path}__ln_{uuid.uuid4().hex[:8]}"
+        os.symlink(os.path.basename(vdir), tmp_link)
+        os.replace(tmp_link, self.path)  # atomic head swap
 
     # -- time travel -------------------------------------------------------
 
@@ -119,7 +148,9 @@ class ParquetMergeTable:
             for v in self.versions()
         ]
         if self.exists():
-            head = (self.versions()[-1] + 1) if entries else 0
+            head = self._head_version()
+            if head is None:  # legacy plain-dir head
+                head = (self.versions()[-1] + 1) if entries else 0
             entries.append({"version": head, "path": self.path, "is_current": True})
         return entries
 
