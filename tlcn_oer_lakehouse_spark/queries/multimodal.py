@@ -84,6 +84,178 @@ FROM frames
 """
 
 
+def _doc_pdf_pages(text: str, tokens_per_page: int = 30, tokens_per_line: int = 6):
+    """Deterministic pagination: 30-token pages of 6-token lines —
+    the shared construction both the PDF builder and the oracle use."""
+    toks = text.split(" ")
+    pages = []
+    n_pages = max(1, -(-len(toks) // tokens_per_page))
+    for p in range(n_pages):
+        pt = toks[p * tokens_per_page:(p + 1) * tokens_per_page]
+        lines = [
+            " ".join(pt[g * tokens_per_line:(g + 1) * tokens_per_line])
+            for g in range(max(1, -(-len(pt) // tokens_per_line)))
+        ]
+        pages.append(lines)
+    return pages
+
+
+def mm_pdf_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """U5 end-to-end through REAL PDF bytes: each document is typeset
+    into an actual PDF (page tree, Helvetica Tj streams; FlateDecode for
+    even doc_ids) inside an Arrow batch stage, then decoded back by the
+    pure-Python parser with the reference's normalization
+    (transformer.py:697-709).  The oracle reconstructs the expected page
+    texts from the same 30-token/6-line pagination — so a hash match
+    proves the writer→parser→normalizer path is byte-faithful on both
+    compressed and uncompressed streams."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.pdfio import write_pdf
+    from tlcn_oer_lakehouse_spark.operators.multimodal import pdf_page_texts
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 60)
+
+    def _typeset(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "payload": [
+                        write_pdf(_doc_pdf_pages(t), compress=(int(d) % 2 == 0))
+                        for d, t in zip(b["doc_id"], b["text"])
+                    ],
+                }
+            )
+
+    pdfs = docs.select("doc_id", "text").mapInPandas(
+        _typeset, schema="doc_id long, payload binary"
+    )
+    return pdf_page_texts(pdfs).orderBy("doc_id", "page_no")
+
+
+MM_PDF_PAGES_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE doc_id < 60
+),
+pages AS (
+  SELECT doc_id, p,
+         t[(p-1)*30+1 : least(p*30, len(t))] AS pt
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(1, CAST(ceil(len(t)/30.0) AS BIGINT)))) AS p
+        FROM toks)
+)
+SELECT doc_id,
+       CAST(p AS INT) AS page_no,
+       array_to_string(
+         list_transform(generate_series(1, greatest(1, CAST(ceil(len(pt)/6.0) AS BIGINT))),
+                        g -> array_to_string(pt[(g-1)*6+1 : least(g*6, len(pt))], ' ')),
+         chr(10)) AS page_text,
+       'ok' AS decode_status
+FROM pages
+ORDER BY doc_id, page_no
+"""
+
+
+def mm_pdf_toc(spark: SparkSession, sf: str) -> DataFrame:
+    """U8 end-to-end: structured PDFs exercising all four cascade
+    methods (doc_id % 4 → outline / printed-Contents page / body
+    headings / no structure), decoded and TOC-extracted by
+    operators/toc.py; one row per chapter with method + confidence.
+    The oracle derives the expected chapters from the same doc_id
+    arithmetic — including the printed-TOC page-offset estimation
+    (toc_extractor.py:302-328): the Contents entry points at logical
+    page 2, the heading physically sits on page 2, offset resolves to
+    0 (TOC pages are excluded from the offset scan — see
+    operators/toc.py:_estimate_offset)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.pdfio import write_pdf
+    from tlcn_oer_lakehouse_spark.operators.toc import toc_from_pdfs
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 40)
+
+    def _typeset(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                n_pages = 4 + d % 5
+                variant = d % 4
+                filler = ["plain body text alpha beta", "more filler words here"]
+                if variant == 0:  # embedded outline
+                    n_ch = (n_pages + 1) // 2
+                    pages = [filler[:] for _ in range(n_pages)]
+                    outline = [
+                        (0, f"Chapter {k} Overview", 2 * k - 1)
+                        for k in range(1, n_ch + 1)
+                    ]
+                    payloads.append(write_pdf(pages, outline=outline))
+                elif variant == 1:  # printed Contents page
+                    pages = [["Contents", "Chapter 1 .... 2"]]
+                    pages += [["Chapter 1", *filler]]
+                    pages += [filler[:] for _ in range(n_pages - 2)]
+                    payloads.append(write_pdf(pages))
+                elif variant == 2:  # body headings -> regex scan
+                    n_ch = (n_pages + 1) // 2
+                    pages = []
+                    for p in range(1, n_pages + 1):
+                        if p % 2 == 1 and (p + 1) // 2 <= n_ch:
+                            pages.append([f"Chapter {(p + 1) // 2}", *filler])
+                        else:
+                            pages.append(filler[:])
+                    payloads.append(write_pdf(pages))
+                else:  # no structure -> flat fallback
+                    pages = [filler[:] for _ in range(n_pages)]
+                    payloads.append(write_pdf(pages))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    pdfs = docs.select("doc_id", "text").mapInPandas(
+        _typeset, schema="doc_id long, payload binary"
+    )
+    return toc_from_pdfs(pdfs).orderBy("doc_id", "chapter_number")
+
+
+MM_PDF_TOC_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + (doc_id % 5) AS np, doc_id % 4 AS v
+  FROM documents WHERE doc_id < 40
+),
+sized AS (
+  SELECT doc_id, np, v,
+         CASE WHEN v IN (0, 2) THEN (np + 1) // 2 ELSE 1 END AS n_ch
+  FROM d
+),
+chap AS (
+  SELECT doc_id, np, v, n_ch, unnest(generate_series(1, n_ch)) AS k
+  FROM sized
+)
+SELECT doc_id,
+       CASE v WHEN 0 THEN 'pdf_outline' WHEN 1 THEN 'toc_page'
+              WHEN 2 THEN 'regex' ELSE 'flat' END AS method,
+       CAST(CASE v WHEN 0 THEN 0.95 WHEN 1 THEN 0.85
+                   WHEN 2 THEN 0.70 ELSE 0.50 END AS DOUBLE) AS confidence,
+       CAST(np AS INT) AS total_pages,
+       printf('ch%02d', k) AS chapter_id,
+       CAST(k AS INT) AS chapter_number,
+       CASE v WHEN 0 THEN 'Chapter ' || k || ' Overview'
+              WHEN 1 THEN 'Chapter 1'
+              WHEN 2 THEN 'Chapter ' || k
+              ELSE 'Part 1' END AS chapter_title,
+       CAST(CASE WHEN v IN (0, 2) THEN 2 * k - 1
+                 WHEN v = 1 THEN 2 ELSE 1 END AS INT) AS page_start,
+       CAST(CASE WHEN v IN (0, 2) AND k < n_ch THEN 2 * k ELSE np END AS INT) AS page_end,
+       0 AS n_sections
+FROM chap
+ORDER BY doc_id, chapter_number
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_metadata", mm_binary_metadata, MM_META_SQL,
               ref="transformer.py:570-609 (S7/U4 asset stat enrichment)",
@@ -95,4 +267,12 @@ SPECS = [
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAMES_SQL,
               ref="scale op: video frame sampling shape (1→N mapInPandas)",
               doc="4×64-byte fingerprinted slices per payload", tags=("multimodal",)),
+    QuerySpec("mm_pdf_pages", mm_pdf_pages, MM_PDF_PAGES_SQL,
+              ref="transformer.py:689-709 (U5 real PDF page extraction + normalize)",
+              doc="typeset→parse round trip through real PDF bytes (±Flate)",
+              tags=("multimodal", "pdf")),
+    QuerySpec("mm_pdf_toc", mm_pdf_toc, MM_PDF_TOC_SQL,
+              ref="hierarchical/toc_extractor.py:49-348 (U8 4-method TOC cascade)",
+              doc="outline/toc-page/regex/flat cascade over real PDFs",
+              tags=("multimodal", "pdf")),
 ]
