@@ -48,11 +48,56 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stages": _stage_timings(spark, sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Per-stage breakdown of the two slowest pipelines (VERDICT r01
+    'Next round' #8) so a regression inside the dedup path is visible
+    against a non-noise-dominated number: each stage is forced to full
+    execution independently (noop sink), so stage times overlap — they
+    localize cost, they don't sum to the query time."""
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        jaccard_verify_from,
+        minhash_lsh_candidate_pairs,
+        shingle_rows,
+    )
+    from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
+    from tlcn_oer_lakehouse_spark.queries.traindata import contamination_check
+
+    def run(name: str, df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
+    out: dict[str, float] = {}
+    corpus = augmented_corpus(spark, sf_dir)
+    sh = shingle_rows(corpus, "doc_id", "text", 3).persist()
+    out["minhash.shingles"] = run("shingles", sh)
+    sigs = sh.groupBy("doc").agg(
+        *[
+            F.min((F.col("bh") * (i * 4097 + 1) + i * 12289) % 2_147_483_647).alias(f"h{i}")
+            for i in range(16)
+        ],
+        F.count(F.lit(1)).alias("n_shingles"),
+    ).persist()
+    out["minhash.signatures"] = run("signatures", sigs)
+    cands = minhash_lsh_candidate_pairs(sigs, 16, 4).persist()
+    out["minhash.candidates"] = run("candidates", cands)
+    out["minhash.verify"] = run(
+        "verify", jaccard_verify_from(sh, cands, sizes=sigs.select("doc", "n_shingles"))
+    )
+    for df in (cands, sigs, sh):
+        df.unpersist()
+    out["contamination.full"] = run("contamination", contamination_check(spark, sf_dir))
+    return out
 
 
 if __name__ == "__main__":

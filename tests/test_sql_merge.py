@@ -1,0 +1,67 @@
+"""K1 via SQL: the same upsert batch through (a) ParquetMergeTable and
+(b) the SQL MERGE surface (native MERGE INTO when the catalog supports
+it, anti-join∪batch rewrite otherwise) must produce identical tables —
+VERDICT r01 'Next round' #7.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.sinks.merge import (
+    ParquetMergeTable,
+    merge_into_sql,
+    sql_merge_upsert,
+)
+
+import datetime as _dt
+
+
+def _ts(n):
+    return _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=n)
+
+
+BASE = [(1, "a", _ts(10)), (2, "b", _ts(20)), (3, "c", _ts(30))]
+# changed row 2, new row 4, and an in-batch duplicate for key 4 where
+# the later ts must win
+BATCH = [(2, "B", _ts(21)), (4, "d", _ts(40)), (4, "dd", _ts(41))]
+SCHEMA = "k long, v string, ts timestamp"
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.ts) for r in df.collect())
+
+
+def test_sql_merge_matches_parquet_merge_table(spark, tmp_path):
+    base = spark.createDataFrame(BASE, SCHEMA)
+    batch = spark.createDataFrame(BATCH, SCHEMA)
+
+    # path A: ParquetMergeTable
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="k",
+                          fingerprint_col="v", ts_col="ts")
+    t.create(base)
+    t.merge_upsert(batch)
+    expected = _rows(t.read())
+
+    # path B: SQL surface against a catalog table
+    spark.sql("DROP TABLE IF EXISTS sqlmerge_t")
+    base.write.saveAsTable("sqlmerge_t")
+    path = sql_merge_upsert(spark, "sqlmerge_t", batch, key="k", ts_col="ts")
+    got = _rows(spark.table("sqlmerge_t"))
+    spark.sql("DROP TABLE IF EXISTS sqlmerge_t")
+
+    assert got == expected == sorted(
+        [(1, "a", _ts(10)), (2, "B", _ts(21)), (3, "c", _ts(30)), (4, "dd", _ts(41))]
+    )
+    # this container has no Delta/Iceberg jars -> v1 parquet tables
+    # cannot MERGE INTO; the statement itself is still exercised and the
+    # rewrite fallback must carry identical semantics
+    assert path in ("merge_into", "rewrite")
+
+
+def test_merge_into_statement_shape():
+    sql = merge_into_sql("tgt", "src", "k", ["k", "v", "ts"])
+    assert sql.startswith("MERGE INTO tgt t USING src s ON t.k = s.k")
+    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v, t.ts = s.ts" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (k, v, ts) VALUES (s.k, s.v, s.ts)" in sql

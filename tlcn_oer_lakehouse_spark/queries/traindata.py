@@ -261,10 +261,9 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     minhash banding, never all-pairs.  At 100 TB the shingle column is
     hashed to a long and the train side is a bloom-filter or bucketed
     table; the exact string join here is the correctness oracle."""
-    max_df = 1000  # skew guard: drop stop-phrase shingles (df > K) from
-    # both sides — a shingle in >1000 docs is boilerplate, not leakage,
-    # and at scale it is the hot join/shuffle key.  Mirrored in the SQL
-    # oracle, so parity holds at any sf.
+    max_df = 1000  # skew guard: a shingle appearing in >1000 TRAIN docs
+    # is boilerplate, not leakage — it stops counting as contamination.
+    # Mirrored in the SQL oracle, so parity holds at any sf.
     docs = load(spark, sf, "documents")
     b = _bucket(F.col("doc_id"), 100)
     # Deliberately NOT persisted: materializing the exploded shingle
@@ -277,27 +276,26 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
             F.array_distinct(shingles(tokens(F.col("text")), 5))
         ).alias("shingle"),
     )
-    # ONE aggregation produces everything the cap and the hit test need:
-    # per-shingle document frequency (the cap key) and whether any train
-    # doc contains it (the contamination flag).  The df>K filter and the
-    # train-membership lookup then ride the same inner join — no second
-    # shuffle over the exploded shingle table.
-    shingle_info = (
-        with_split.groupBy("shingle")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.max(F.when(F.col("is_train"), 1).otherwise(0)).alias("hit"),
-        )
-        .filter(F.col("df") <= max_df)
-        .select("shingle", "hit")
+    # The cap rides the SAME aggregation that builds the train membership
+    # set: train shingles group to (shingle, df_train), the df>K filter
+    # drops stop-phrases there, and the test side left-joins unchanged —
+    # so the guard adds no extra pass over the exploded shingle table,
+    # the join stays 1:≤1 per shingle, and n_shingles still counts every
+    # test shingle (only the *contaminated* flag is df-capped).
+    train = (
+        with_split.filter(F.col("is_train"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_train"))
+        .filter(F.col("df_train") <= max_df)
+        .select("shingle", F.lit(1).alias("hit"))
     )
     test = with_split.filter(~F.col("is_train")).select("doc_id", "shingle")
     return (
-        test.join(shingle_info, "shingle")
+        test.join(train, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum("hit").alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
         )
         .select(
             "doc_id",
@@ -320,16 +318,14 @@ WITH toks AS (
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
   FROM documents
 ),
-sh0 AS (
+sh AS (
   SELECT DISTINCT doc_id, split, array_to_string(t[i:i+4], ' ') AS shingle
   FROM (SELECT doc_id, split, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
 ),
-rare AS (
-  SELECT shingle FROM sh0 WHERE split != 'val'
+train AS (
+  SELECT shingle FROM sh WHERE split = 'train'
   GROUP BY shingle HAVING COUNT(*) <= 1000
 ),
-sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
-train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
 test AS (SELECT doc_id, shingle FROM sh WHERE split = 'test'),
 test_sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test GROUP BY doc_id),
 hits AS (

@@ -265,3 +265,61 @@ class ParquetMergeTable:
             self._write_snapshot(survivors)
         stale.unpersist()
         return n_stale
+
+
+# ---------------------------------------------------------------------------
+# SQL MERGE surface
+# ---------------------------------------------------------------------------
+
+
+def merge_into_sql(
+    target_table: str, source_view: str, key: str, columns: list[str]
+) -> str:
+    """The ANSI ``MERGE INTO`` statement equivalent to
+    :meth:`ParquetMergeTable.merge_upsert` — the statement a
+    Delta/Iceberg-backed deployment runs verbatim
+    (transformer.py:2427-2458 runs exactly this against Iceberg)."""
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c != key)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} s ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def sql_merge_upsert(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    key: str,
+    ts_col: str | None = None,
+) -> str:
+    """Run the upsert through SQL: native ``MERGE INTO`` when the
+    catalog's table format supports it (Delta/Iceberg v2 tables), else a
+    pure-SQL anti-join ∪ batch rewrite with identical semantics.
+
+    Returns which path ran ('merge_into' or 'rewrite') so callers/tests
+    can assert capability.  The rewrite fallback is NOT atomic and is
+    single-writer only — same isolation contract as ParquetMergeTable
+    (see module docstring); a real lakehouse format upgrades both
+    atomicity and concurrency without changing this call."""
+    batch = latest_wins(source, key, [ts_col] if ts_col else [key])
+    batch.createOrReplaceTempView("__merge_src")
+    columns = spark.table(target_table).columns
+    try:
+        spark.sql(merge_into_sql(target_table, "__merge_src", key, columns))
+        return "merge_into"
+    except Exception:  # v1 catalog: rewrite via anti-join ∪ source
+        merged = spark.sql(
+            f"SELECT {', '.join(columns)} FROM {target_table} t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM __merge_src s WHERE s.{key} = t.{key}) "
+            f"UNION ALL SELECT {', '.join(columns)} FROM __merge_src"
+        )
+        # materialize before overwriting the table being read
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").insertInto(
+            target_table, overwrite=True
+        )
+        return "rewrite"
