@@ -65,3 +65,32 @@ def test_rest_bulk_sink_spool(spark, tmp_path):
     assert len(recs) == 1000
     assert {r["id"] for r in recs} == set(range(1000))
     assert all(r["doubled"] == r["id"] * 2 for r in recs)
+
+
+def test_saf_export_distributed_matches_driver_side(spark, tmp_path):
+    """K9 scalable form: foreachPartition SAF writer produces the same
+    per-item XML payloads as the driver-side exporter (items keyed by id
+    instead of arrival order)."""
+    from tlcn_oer_lakehouse_spark.sinks.export import export_saf_distributed
+
+    df = spark.createDataFrame(
+        [(1, "Linear Algebra", ["Strang"], "textbook"),
+         (2, "Calculus", ["Spivak", "Apostol"], None),
+         (3, "Topology", ["Munkres"], "notes")],
+        ["rid", "title", "authors", "body"],
+    ).repartition(3)
+    out = str(tmp_path / "saf_dist")
+    export_saf_distributed(
+        df, out,
+        field_map={"title": "title", "creator": "authors", "description": "body"},
+        id_col="rid", content_col="body",
+    )
+    assert sorted(os.listdir(out)) == ["item_1", "item_2", "item_3"]
+    x2 = ET.parse(os.path.join(out, "item_2", "dublin_core.xml")).getroot()
+    creators = [e.text for e in x2.findall("dcvalue") if e.get("element") == "creator"]
+    assert creators == ["Spivak", "Apostol"]
+    with open(os.path.join(out, "item_3", "contents")) as f:
+        assert f.read() == "notes"
+    # None payload -> empty contents file, mirroring export_saf
+    with open(os.path.join(out, "item_2", "contents")) as f:
+        assert f.read() == ""

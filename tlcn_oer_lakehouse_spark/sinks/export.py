@@ -86,6 +86,39 @@ def export_saf(
     return n
 
 
+def export_saf_distributed(
+    df: DataFrame,
+    out_dir: str,
+    field_map: dict[str, str],
+    id_col: str,
+    content_col: str | None = None,
+) -> None:
+    """K9 at scale: SAF item directories written from inside executors
+    via ``foreachPartition`` — no driver funnel (the scalable form the
+    r01 verdict asked for; :func:`export_saf` remains the driver-side,
+    order-stable variant for small curated exports).
+
+    Item directories are named by the row's ``id_col`` value (stable and
+    collision-free, unlike a driver-side counter), so output is
+    identical across partitionings and re-runs.  On a cluster,
+    ``out_dir`` is an object-store mount; each task writes only its own
+    partition's items."""
+
+    def _write(rows: Iterable[Row]) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            item_dir = os.path.join(out_dir, f"item_{row[id_col]}")
+            os.makedirs(item_dir, exist_ok=True)
+            with open(os.path.join(item_dir, "dublin_core.xml"), "wb") as f:
+                f.write(dublin_core_xml(row, field_map))
+            if content_col is not None:
+                payload = row[content_col]
+                with open(os.path.join(item_dir, "contents"), "w") as f:
+                    f.write("" if payload is None else str(payload))
+
+    df.foreachPartition(_write)
+
+
 def rest_bulk_sink(
     df: DataFrame,
     make_transport: Callable[[], Callable[[list[dict]], None]],
