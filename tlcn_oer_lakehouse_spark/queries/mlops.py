@@ -148,10 +148,106 @@ LIMIT 10
 """
 
 
+# U3 semantic matcher as a registered, oracle-checked query: the
+# reference's 8 labeled harness cases (semantic_matcher.py:219-287) and
+# 6 subjects as a local-collection source, matched by the
+# concept-lexicon embedder; the oracle replays the identical
+# gram/score/normalize/cosine arithmetic in SQL (generated from the
+# same DEFAULT_LEXICON so the two stay in sync by construction).
+_SEM_DOCS = [
+    (1, "Deep Learning for Computer Vision"),
+    (2, "Introduction to Neural Networks Course about training neural networks"),
+    (3, "E-Learning Management System Building online learning platforms"),
+    (4, "Sorting and Searching Algorithms Covers quicksort, mergesort, binary search"),
+    (5, "SQL and Relational Databases"),
+    (6, "TCP/IP and Network Protocols"),
+    (7, "Mining Customer Behavior Patterns Extract insights from transaction data"),
+    (8, "Introduction to AI and Expert Systems"),
+]
+_SEM_SUBJECTS = [
+    (1, "Machine Learning"),
+    (2, "Data Structures and Algorithms"),
+    (3, "Data Mining"),
+    (4, "Computer Networks"),
+    (5, "Database Management Systems"),
+    (6, "Artificial Intelligence"),
+]
+
+
+def semantic_match(spark: SparkSession, sf: str) -> DataFrame:
+    """U3: semantic subject match over the labeled harness corpus."""
+    from tlcn_oer_lakehouse_spark.operators.semantic import semantic_subject_match
+
+    docs = spark.createDataFrame(_SEM_DOCS, "doc_id long, text string")
+    subjects = spark.createDataFrame(_SEM_SUBJECTS, "subject_id long, subject_name string")
+    return semantic_subject_match(docs, subjects, threshold=0.38, top_k=3).orderBy(
+        "doc_id", "match_rank"
+    )
+
+
+def _semantic_oracle() -> str:
+    from tlcn_oer_lakehouse_spark.operators.semantic import DEFAULT_LEXICON
+
+    concepts = sorted(DEFAULT_LEXICON)
+
+    def raw(i: int, c: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_contains(grams, '{t}') THEN CAST({w} AS DOUBLE) ELSE 0.0 END)"
+            for t, w in sorted(DEFAULT_LEXICON[c].items())
+        )
+        return f"({terms}) AS s_{i}"
+
+    n = len(concepts)
+    doc_vals = ", ".join(f"({i}, '{t.replace(chr(39), chr(39)*2)}')" for i, t in _SEM_DOCS)
+    sub_vals = ", ".join(f"({i}, '{t}')" for i, t in _SEM_SUBJECTS)
+    norm = " + ".join(f"s_{i} * s_{i}" for i in range(n))
+    dot = " + ".join(f"d.n_{i} * s.n_{i}" for i in range(n))
+    nrm_cols = ", ".join(
+        f"CASE WHEN sqrt({norm}) > 0 THEN s_{i} / sqrt({norm}) ELSE 0.0 END AS n_{i}"
+        for i in range(n)
+    )
+    raws = ", ".join(raw(i, c) for i, c in enumerate(concepts))
+    return f"""
+WITH docs(doc_id, text) AS (VALUES {doc_vals}),
+subs(subject_id, subject_name) AS (VALUES {sub_vals}),
+enc_d AS (
+  SELECT doc_id, {raws} FROM (
+    SELECT doc_id,
+           list_distinct(tk || list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+                                              i -> tk[i] || ' ' || tk[i+1])) AS grams
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM docs))
+),
+enc_s AS (
+  SELECT subject_id, {raws} FROM (
+    SELECT subject_id,
+           list_distinct(tk || list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+                                              i -> tk[i] || ' ' || tk[i+1])) AS grams
+    FROM (SELECT subject_id, regexp_extract_all(lower(subject_name), '[a-z0-9]+') AS tk FROM subs))
+),
+nd AS (SELECT doc_id, {nrm_cols} FROM enc_d),
+ns AS (SELECT subject_id, {nrm_cols} FROM enc_s),
+scored AS (
+  SELECT d.doc_id, s.subject_id, round({dot}, 9) AS similarity
+  FROM nd d CROSS JOIN ns s
+)
+SELECT doc_id, subject_id, similarity,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY similarity DESC, subject_id ASC) AS INT) AS match_rank
+FROM scored
+WHERE similarity >= 0.38
+QUALIFY match_rank <= 3
+ORDER BY doc_id, match_rank
+"""
+
+
 SPECS = [
     QuerySpec("match_subjects", match_subjects, MATCH_SQL,
               ref="transformer.py:371-476 (U2 lexical subject matcher)",
               doc="broadcast-dim n-gram matching, threshold + top-3", tags=("ml",)),
+    QuerySpec("semantic_match_subjects", semantic_match, _semantic_oracle(),
+              ref="semantic_matcher.py:111-191 (U3 cosine match, threshold .38 top-3)",
+              doc="concept-lexicon embedder match over the 8-case harness corpus",
+              tags=("ml",)),
     QuerySpec("embed_documents", embed_docs, EMBED_SQL,
               ref="elasticsearch_sync.py:357-405 (U10) — executor-side, no driver funnel",
               doc="iterator pandas-UDF hash embedder, 16-d normalized", tags=("ml",)),
