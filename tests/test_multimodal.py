@@ -69,3 +69,31 @@ def test_frame_sample_fanout(docs):
     step = max(1, len(text) // 4)
     assert one.byte_offset == step
     assert one.frame_md5 == hashlib.md5(text[step : step + 64]).hexdigest()
+
+
+def test_s7_binaryfile_ingest_to_pdf_decode(spark, tmp_path):
+    """S7 end-to-end on the REAL binaryFile source: PDFs written to a
+    directory, ingested via spark.read.format('binaryFile'), mime
+    sniffed from magic bytes, decoded back to page text."""
+    from tlcn_oer_lakehouse_spark.functions.pdfio import write_pdf
+    from tlcn_oer_lakehouse_spark.operators.multimodal import (
+        ingest_binary_dir,
+        pdf_page_texts,
+    )
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "doc_101.pdf").write_bytes(write_pdf([["alpha beta"], ["gamma"]]))
+    (d / "doc_102.pdf").write_bytes(write_pdf([["delta"]], compress=True))
+    (d / "ignore.txt").write_text("not a pdf")
+
+    assets = ingest_binary_dir(spark, str(d), pattern="*.pdf")
+    rows = {r.doc_id: r for r in assets.collect()}
+    assert set(rows) == {101, 102}
+    assert all(r.asset_meta.mime_type == "application/pdf" for r in rows.values())
+    assert rows[101].asset_meta.size_bytes == len((d / "doc_101.pdf").read_bytes())
+
+    pages = pdf_page_texts(assets).orderBy("doc_id", "page_no").collect()
+    assert [(p.doc_id, p.page_no, p.page_text) for p in pages] == [
+        (101, 1, "alpha beta"), (101, 2, "gamma"), (102, 1, "delta"),
+    ]

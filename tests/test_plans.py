@@ -122,3 +122,16 @@ def test_dedup_embedding_cosine_no_cartesian(spark):
     plan = audit.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "td_contamination_check",
+])
+def test_dedup_family_never_all_pairs(spark, name):
+    """Every near-dup / contamination pipeline must generate candidates
+    via equi-joins (banding, shared-shingle, sign-band) — a cartesian or
+    nested-loop join anywhere is the O(n²) scale-killer."""
+    plan = audit.formatted_plan(_build(spark, name))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -200,3 +200,39 @@ def frame_sample(
         _frames,
         schema=f"{id_col} long, frame_no int, byte_offset long, frame_md5 string",
     )
+
+
+def ingest_binary_dir(
+    spark, path: str, pattern: str = "*", id_from_name: bool = True
+):
+    """S7: real object-store binary ingestion (transformer.py:570-609
+    fetched PDFs per-row from MinIO inside RDD partitions; the
+    Spark-native form is the ``binaryFile`` source — distributed,
+    partition-pruned by path glob, no per-row driver round-trips).
+
+    Emits the standard asset frame: ``doc_id`` (parsed from the file
+    stem when ``id_from_name``), ``payload`` (binary content),
+    ``asset_meta`` (size/checksum/mime from magic bytes) — the same
+    contract `with_binary_payload` produces for synthetic corpora, so
+    every downstream decode stage is source-agnostic."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.[^./]+$", 1)
+    doc_id = (
+        F.regexp_extract(stem, r"(\d+)", 1).cast("long")
+        if id_from_name
+        else F.abs(F.xxhash64(F.col("path")))
+    )
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col("path").alias("source_path"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("length").alias("size_bytes"),
+            F.md5(F.col("content")).alias("checksum"),
+            sniff_mime(F.col("content")).alias("mime_type"),
+        ).alias("asset_meta"),
+    )
