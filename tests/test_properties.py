@@ -134,3 +134,45 @@ class TestMergeProperties:
         for k in range(3):
             if k not in batch_rows:
                 assert rows[k] == "old"
+
+
+# ---------------------------------------------------------------------------
+# PDF codec round-trip properties (no Spark needed — pure Python)
+# ---------------------------------------------------------------------------
+
+# printable latin-1 lines incl. the PDF-delimiter characters ( ) \ < > [ ]
+_pdf_line = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
+                           exclude_characters="\x7f\xad"),
+    min_size=0, max_size=60,
+)
+_pdf_pages = st.lists(
+    st.lists(_pdf_line, min_size=1, max_size=5), min_size=1, max_size=4
+)
+
+
+class TestPdfCodecProperties:
+    @settings(deadline=None, max_examples=60)
+    @given(pages=_pdf_pages, compress=st.booleans())
+    def test_write_read_round_trip(self, pages, compress):
+        """read_pdf(write_pdf(pages)) == pages for ANY latin-1 content —
+        string escaping, stream framing and FlateDecode are lossless."""
+        from tlcn_oer_lakehouse_spark.functions.pdfio import read_pdf, write_pdf
+
+        texts, outline = read_pdf(write_pdf(pages, compress=compress))
+        assert texts == ["\n".join(p) for p in pages]
+        assert outline == []
+
+    @settings(deadline=None, max_examples=30)
+    @given(pages=_pdf_pages,
+           titles=st.lists(
+               st.text(alphabet=st.characters(min_codepoint=0x20,
+                                              max_codepoint=0x7E),
+                       min_size=1, max_size=30).filter(str.strip),
+               min_size=1, max_size=3))
+    def test_outline_round_trip(self, pages, titles):
+        from tlcn_oer_lakehouse_spark.functions.pdfio import read_pdf, write_pdf
+
+        ol = [(0, t, (i % len(pages)) + 1) for i, t in enumerate(titles)]
+        _texts, outline = read_pdf(write_pdf(pages, outline=ol))
+        assert outline == [(t, p) for _l, t, p in ol]

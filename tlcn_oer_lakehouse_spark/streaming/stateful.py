@@ -62,3 +62,51 @@ def running_user_totals(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 successor API
+# ---------------------------------------------------------------------------
+
+
+def running_user_totals_tws(stream_df: DataFrame) -> DataFrame:
+    """Same per-user running (count, sum) semantics as
+    :func:`running_user_totals`, on ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API this engine targets going forward:
+    typed state variables (ValueState/ListState/MapState) with optional
+    TTL, timers, and an evolution path the legacy flatMapGroupsWithState
+    shim lacks.  Kept alongside the ``applyInPandasWithState`` form so
+    both API generations are covered and cross-checked by the same
+    checkpoint-recovery test."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, value_total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
