@@ -188,3 +188,28 @@ def test_hierarchical_chunks_from_pdf(spark):
     # every doc got exactly one tier-1 chunk
     t1 = chunks.filter(F.col("chunk_tier") == 1).groupBy("doc_id").count().collect()
     assert all(r["count"] == 1 for r in t1) and len(t1) == 2
+
+
+def test_toc_page_parses_sections():
+    """Printed-TOC section lines (1.1 / 1.2 ...) nest under their
+    chapter with end pages filled from the next section's start."""
+    pages = {
+        1: "Contents\n"
+           "Chapter 1 Foundations Overview Material .... 2\n"
+           "1.1 Basic Definitions Here .... 2\n"
+           "1.2 Advanced Topics Next .... 4\n"
+           "Chapter 2 Applications Galore Today .... 5",
+        2: "Chapter 1 Foundations Overview Material\n1.1 Basic Definitions Here",
+        3: "body",
+        4: "1.2 Advanced Topics Next",
+        5: "Chapter 2 Applications Galore Today",
+    }
+    r = extract_toc(pages, None, 5)
+    assert r["method"] == "toc_page"
+    ch1, ch2 = r["toc"]
+    secs = ch1["sections"]
+    assert [s["section_number"] for s in secs] == ["1.1", "1.2"]
+    assert [s["page_start"] for s in secs] == [2, 4]
+    assert secs[0]["page_end"] == 3          # next section starts p4
+    assert secs[1]["page_end"] == ch1["page_end"] == 4
+    assert ch2["page_start"] == 5 and ch2["sections"] == []
