@@ -135,3 +135,41 @@ def test_dedup_family_never_all_pairs(spark, name):
     plan = audit.formatted_plan(_build(spark, name))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every one broadcasts an O(1)-row frame (corpus-level stats, a query
+# vector, a scalar-subquery aggregate) or a tiny dimension against the
+# corpus — the broadcast side cannot grow with data volume, so the
+# "nested loop" is a constant-width map-side probe, not O(n²) work.
+_BNLJ_ALLOWED = {
+    "q1_bm25_topk",           # 1-row corpus stats (N, avgdl)
+    "q3_hybrid_fusion",       # 1-row max-score normalizers
+    "q3_hybrid_lang_weighted",
+    "q5_context_rerank",      # 1-row avg-score gate
+    "knn_bruteforce",         # 1-row query vector
+    "ann_ivf_topk",           # 1-row query + 8-row centroids
+    "embed_and_rank",         # 1-row query embedding
+    "semantic_match_subjects",  # 6-row subject dim
+    "summarize_extractive",   # 1-row corpus doc count
+    "td_vocab_coverage",      # 1-row total-token count
+    "q11_important_parts",    # scalar subquery threshold
+    "q22_idle_customers",     # scalar subquery avg balance
+}
+
+
+def test_registry_wide_no_accidental_cross_products(spark):
+    """Fleet-wide scale lint: NO registered query may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin only where the
+    broadcast side is O(1) rows by construction (allowlist above).
+    A new query that accidentally cross-joins fails here, not at 100 TB."""
+    from tlcn_oer_lakehouse_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        plan = audit.simple_plan(spec.builder(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders

@@ -9,7 +9,6 @@ operators/chunking.py for the scale rationale)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from tlcn_oer_lakehouse_spark.operators.chunking import (
     char_budget_chunks,

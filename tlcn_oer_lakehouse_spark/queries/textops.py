@@ -24,7 +24,6 @@ from tlcn_oer_lakehouse_spark.functions.text import (
     EN_STOPWORDS,
     LANG_MARKERS,
     fingerprint,
-    normalize_text,
     quality_score,
     token_count,
     tokens,

@@ -16,7 +16,7 @@ bounded watermark state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load_events
