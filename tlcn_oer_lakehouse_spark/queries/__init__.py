@@ -54,7 +54,14 @@ _DRIVER_GREEN_R01 = frozenset({
 #   with td_token_budget_shards_scalable (which stays in front);
 # - semantic_match_subjects is additionally pinned by the 8/8 accuracy
 #   harness (tests/test_semantic_matcher.py).
-_DEFER_PAST_WINDOW = frozenset({"td_token_budget_shards", "semantic_match_subjects"})
+# - mm_pdf_hierarchical chains queries already in the window
+#   (mm_pdf_pages + chunk_hierarchical) and is pinned by the U5→U7
+#   end-to-end pytest.
+_DEFER_PAST_WINDOW = frozenset({
+    "td_token_budget_shards",
+    "semantic_match_subjects",
+    "mm_pdf_hierarchical",
+})
 
 
 def _collect() -> dict[str, QuerySpec]:

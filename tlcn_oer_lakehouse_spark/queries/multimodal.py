@@ -160,6 +160,66 @@ ORDER BY doc_id, page_no
 """
 
 
+def mm_pdf_hierarchical(spark: SparkSession, sf: str) -> DataFrame:
+    """U5→U7 end-to-end as one registered query: typeset each document
+    into real PDF bytes, parse the pages back, reassemble the document,
+    and run the 3-tier hierarchical chunker on the extracted text.
+
+    Oracle: the tier algebra over the ORIGINAL text — valid because the
+    chunker tokenizes with whitespace normalization, and the
+    typeset→parse round trip is token-preserving (page/line splits only
+    introduce whitespace), which is exactly the property this query
+    proves end-to-end."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.pdfio import write_pdf
+    from tlcn_oer_lakehouse_spark.operators.chunking import hierarchical_chunks
+    from tlcn_oer_lakehouse_spark.operators.multimodal import pdf_page_texts
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 40)
+
+    def _typeset(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "payload": [
+                        write_pdf(_doc_pdf_pages(t), compress=(int(d) % 2 == 0))
+                        for d, t in zip(b["doc_id"], b["text"])
+                    ],
+                }
+            )
+
+    pdfs = docs.select("doc_id", "text").mapInPandas(
+        _typeset, schema="doc_id long, payload binary"
+    )
+    pages = pdf_page_texts(pdfs)
+    reassembled = (
+        pages.filter(F.col("decode_status") == "ok")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page_no", "page_text"))),
+                    lambda s: s.getField("page_text"),
+                ),
+            ).alias("text")
+        )
+    )
+    return hierarchical_chunks(reassembled, "doc_id", "text")
+
+
+def _pdf_hierarchical_oracle() -> str:
+    from tlcn_oer_lakehouse_spark.queries.chunking import HIERARCHICAL_SQL
+
+    return HIERARCHICAL_SQL.replace(
+        "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id < 40)", 1
+    )
+
+
 def mm_pdf_toc(spark: SparkSession, sf: str) -> DataFrame:
     """U8 end-to-end: structured PDFs exercising all four cascade
     methods (doc_id % 4 → outline / printed-Contents page / body
@@ -274,5 +334,9 @@ SPECS = [
     QuerySpec("mm_pdf_toc", mm_pdf_toc, MM_PDF_TOC_SQL,
               ref="hierarchical/toc_extractor.py:49-348 (U8 4-method TOC cascade)",
               doc="outline/toc-page/regex/flat cascade over real PDFs",
+              tags=("multimodal", "pdf")),
+    QuerySpec("mm_pdf_hierarchical", mm_pdf_hierarchical, _pdf_hierarchical_oracle(),
+              ref="transformer.py:689-709 ∘ 895-1119 (U5→U7 chain on real bytes)",
+              doc="typeset→parse→3-tier chunk; oracle = tier algebra on source text",
               tags=("multimodal", "pdf")),
 ]
