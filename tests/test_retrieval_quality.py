@@ -1,0 +1,128 @@
+"""Retrieval-quality harness keyed to the reference's published targets
+(BASELINE.md: Recall@10 0.91, hierarchical indexed-chunk reduction
+70-80%, HIERARCHICAL_CHUNKING_DESIGN.md:1117-1239).
+
+The synthetic corpus has no human relevance labels, so relevance is
+CONSTRUCTED: the augmented dedup corpus contains exact copies
+(doc_id+100000) of every doc_id%10==0 document — a query drawn from
+such a document has an unambiguous relevant set {source, copy}.  The
+harness measures self-retrieval recall/precision over those queries,
+the strongest label-free probe of the ranking machinery.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.operators.ranking import bm25_rank
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
+
+    return augmented_corpus(spark, sf_dir).persist()
+
+
+def test_bm25_operator_matches_registered_query(spark, sf_dir):
+    """The generic operator and the registered q1_bm25_topk must score
+    identically on the registered query's fixed terms — no logic drift."""
+    from tlcn_oer_lakehouse_spark.queries.base import load
+    from tlcn_oer_lakehouse_spark.queries.retrieval import QUERY_TERMS, bm25_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    generic = {
+        r.doc_id: round(r.bm25_raw, 9)
+        for r in bm25_rank(docs, list(QUERY_TERMS)).collect()
+    }
+    registered = {
+        r.doc_id: round(r.bm25_raw, 9) for r in bm25_scores(spark, sf_dir).collect()
+    }
+    assert generic == registered
+
+
+def test_self_retrieval_recall_at_10_vector_path(spark, corpus):
+    """Recall@10 probe on the dense path (the synthetic corpus has a
+    31-word vocabulary shared by ~75% of documents, so NO lexical query
+    can identify a document — identity lives in the full token sequence,
+    which embeddings capture).  For duplicated documents, querying by
+    the source's embedding must put the exact copy (cosine 1.0) in the
+    top-10 of every query: mean recall@10 >= the reference's 0.91
+    target, and the top hit is always relevant."""
+    from tlcn_oer_lakehouse_spark.functions.vectors import cosine
+    from tlcn_oer_lakehouse_spark.operators.embedding import embed_documents
+
+    emb = embed_documents(corpus, "text", dim=16).select("doc_id", "embedding").persist()
+    sample = [
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)
+        ).select("doc_id").collect()
+    ][:8]
+    assert len(sample) >= 5
+
+    recalls = []
+    top1_hits = 0
+    for doc_id in sample:
+        q = emb.filter(F.col("doc_id") == doc_id).select(
+            F.col("embedding").alias("q_emb")
+        )
+        relevant = {doc_id, doc_id + 100000}
+        top10 = [
+            r.doc_id
+            for r in emb.crossJoin(F.broadcast(q))
+            .select(
+                "doc_id",
+                F.round(cosine(F.col("embedding"), F.col("q_emb")), 9).alias("sim"),
+            )
+            .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+            .limit(10)
+            .collect()
+        ]
+        recalls.append(len(relevant & set(top10)) / len(relevant))
+        top1_hits += top10[0] in relevant
+    emb.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.91  # reference Recall@10 target
+    assert top1_hits == len(sample)
+
+
+def test_bm25_precision_on_discriminative_term(spark, corpus):
+    """Lexical precision probe: 'dup' is the corpus's only rare term
+    (df 25/500 vs ~375/500 for every other word).  Every BM25 top-10
+    document for that query must actually contain it — precision@10
+    1.0, above the reference's P@5 0.82 target."""
+    top10 = (
+        bm25_rank(corpus, ["dup"])
+        .orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    hits = (
+        top10.join(corpus, "doc_id")
+        .filter(F.col("text").contains("dup"))
+        .count()
+    )
+    assert hits == 10
+
+
+def test_hierarchical_indexed_chunk_reduction(spark):
+    """BASELINE.md: hierarchical indexing targets 70-80% fewer indexed
+    chunks than flat (tier 3 loads on demand).  On a book-sized document
+    the tier-1+2 count must undercut flat windows by >=70%."""
+    from tlcn_oer_lakehouse_spark.operators.chunking import (
+        hierarchical_chunks,
+        token_window_chunks,
+    )
+
+    text = " ".join(f"w{i}" for i in range(20_000))  # ~book chapter scale
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_flat = token_window_chunks(df, "doc_id", "text", window=50, stride=40).count()
+    indexed = (
+        hierarchical_chunks(
+            df, "doc_id", "text", chapter_tokens=1000, section_tokens=100
+        )
+        .filter(F.col("chunk_tier") <= 2)
+        .count()
+    )
+    reduction = 1 - indexed / n_flat
+    assert reduction >= 0.70, f"indexed-chunk reduction {reduction:.0%}"
