@@ -126,3 +126,34 @@ def test_hierarchical_indexed_chunk_reduction(spark):
     )
     reduction = 1 - indexed / n_flat
     assert reduction >= 0.70, f"indexed-chunk reduction {reduction:.0%}"
+
+
+def test_batch_bm25_matches_per_query(spark, sf_dir):
+    """One-job batched BM25 == the per-query operator for every query,
+    on matching docs (non-matching docs score 0 and are absent from the
+    batch output by construction)."""
+    from tlcn_oer_lakehouse_spark.operators.ranking import bm25_rank_batch
+    from tlcn_oer_lakehouse_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = [(1, ["table", "merge"]), (2, ["dup"]), (3, ["spark", "shuffle", "sort"])]
+    queries = spark.createDataFrame(qs, "query_id long, terms array<string>")
+
+    batch = bm25_rank_batch(docs, queries, top_k=None)
+    got = {(r.query_id, r.doc_id): r.bm25 for r in batch.collect()}
+
+    for qid, terms in qs:
+        solo = {
+            r.doc_id: round(r.bm25_raw, 9)
+            for r in bm25_rank(docs, terms).collect()
+        }
+        for doc_id, score in solo.items():
+            if score != 0.0:
+                assert got[(qid, doc_id)] == pytest.approx(score, abs=2e-9), (qid, doc_id)
+            else:
+                assert (qid, doc_id) not in got
+    # top-k form: ranks are per-query and bounded
+    topk = bm25_rank_batch(docs, queries, top_k=5)
+    per_q = {r.query_id for r in topk.collect()}
+    assert per_q == {1, 2, 3}
+    assert topk.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 5
