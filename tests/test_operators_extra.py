@@ -113,3 +113,40 @@ def test_contamination_df_cap_mirrors_oracle(spark, sf_dir):
 
     ok, msg = compare(spark, sf_dir, REGISTRY["td_contamination_check"])
     assert ok, msg
+
+
+def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
+    """Ingest-time near-dup: pairs from (existing, batch) must equal the
+    full-corpus pipeline's pairs restricted to pairs touching a batch
+    document — same banding, same exact-Jaccard verify, batch-scaled
+    work."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_near_duplicates,
+    )
+    from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
+
+    corpus = augmented_corpus(spark, sf_dir).persist()
+    batch_ids = {r.doc_id for r in corpus.filter(
+        (F.col("doc_id") >= 100000)).select("doc_id").collect()}
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    existing = corpus.filter(F.col("doc_id") < 100000)
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(
+            corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+            threshold=0.5,
+        ).collect()
+    }
+    expected = {p for p in full if p[0] in batch_ids or p[1] in batch_ids}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_incremental_pairs(
+            existing, batch, "doc_id", "text", shingle_n=3, num_hashes=16,
+            bands=4, threshold=0.5,
+        ).collect()
+    }
+    corpus.unpersist()
+    assert expected, "fixture must contain batch-touching near-dup pairs"
+    assert got == expected

@@ -423,3 +423,91 @@ def embedding_near_duplicates_blocked(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def minhash_incremental_pairs(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time near-dup detection: pairs involving the NEW batch only
+    (new×existing ∪ new×new) — the incremental form of
+    :func:`minhash_near_duplicates`.
+
+    Re-running the full pipeline per ingest re-pairs the whole corpus:
+    O(corpus) shuffles every batch.  Here only the batch is shingled and
+    banded in full; the existing side contributes (a) its band table for
+    the candidate probe and (b) shingles for ONLY the candidate docs
+    (semi-join pruned) for exact verification — so per-ingest work
+    scales with the batch and its collision set, not the corpus.  On a
+    deployment, the existing band/signature/shingle tables are the
+    persisted outputs of earlier runs (bucketed by band hash), making
+    the probe a co-located join; here they are derived in-plan.
+
+    Result is identical to the full pipeline's pairs restricted to pairs
+    touching a batch document (pinned by test)."""
+    sh_b = shingle_rows(batch, id_col, text_col, shingle_n).persist()
+
+    def _sig_cols():
+        return [
+            F.min(
+                (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+
+    sigs_b = sh_b.groupBy("doc").agg(
+        *_sig_cols(), F.count(F.lit(1)).alias("n_shingles")
+    )
+    sh_e = shingle_rows(existing, id_col, text_col, shingle_n).persist()
+    sigs_e = sh_e.groupBy("doc").agg(
+        *_sig_cols(), F.count(F.lit(1)).alias("n_shingles")
+    )
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        rows = num_hashes // bands
+        structs = [
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            "doc", F.explode(F.array(*structs)).alias("band")
+        ).select("doc", "band.band_no", "band.band_hash")
+
+    b_bands = _banded(sigs_b)
+    all_bands = b_bands.unionByName(_banded(sigs_e))
+    cands = (
+        b_bands.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    cand_docs = cands.select(F.col("doc_a").alias("doc")).unionByName(
+        cands.select(F.col("doc_b").alias("doc"))
+    ).distinct()
+    sh_needed = sh_b.unionByName(sh_e.join(cand_docs, "doc", "leftsemi"))
+    sizes = sigs_b.select("doc", "n_shingles").unionByName(
+        sigs_e.select("doc", "n_shingles")
+    )
+    verified = jaccard_verify_from(sh_needed, cands, sizes=sizes)
+    return verified.filter(F.col("jaccard") >= threshold)
