@@ -61,6 +61,7 @@ _DEFER_PAST_WINDOW = frozenset({
     "td_token_budget_shards",
     "semantic_match_subjects",
     "mm_pdf_hierarchical",
+    "td_data_card",
 })
 
 

@@ -341,6 +341,87 @@ ORDER BY s.doc_id
 """
 
 
+def data_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus data card (Datasheets-for-Datasets shape): the one-row
+    dataset summary a pretraining run records next to every corpus
+    snapshot — volume, language mix, length distribution, quality, and
+    duplication rate, in a single pass plus the dedup aggregate.
+
+    Runs over the augmented corpus (source docs + constructed exact
+    copies) so the duplication numbers exercise real duplicate
+    structure.  Every statistic is an exact expression with a DuckDB
+    twin; at 100 TB the percentiles swap to approx_percentile and the
+    distinct-fingerprint count to approx_count_distinct (documented
+    trade, same card schema)."""
+    from tlcn_oer_lakehouse_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+    from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
+
+    docs = augmented_corpus(spark, sf).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 9).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.95)), 6).alias("p95_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,9)"))
+            .cast("double") / F.count(F.lit(1)), 9,
+        ).alias("mean_quality"),
+        F.countDistinct("fp").alias("n_distinct_contents"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            / F.count(F.lit(1)).cast("double"), 9,
+        ).alias("dup_rate"),
+    )
+
+
+_CARD_TEMPLATE = """
+WITH __CORPUS__
+, stats AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+         round(CASE WHEN length(trim(text)) > 0 THEN
+             0.4 * least(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) / 100.0, 1.0)
+           + 0.3 * (len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+                    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+           + 0.3 * (1.0 - len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                          t -> list_contains([__STOPS__], t)))
+                          / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+         ELSE 0.0 END, 9) AS quality,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+       round(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9) AS mean_quality,
+       COUNT(DISTINCT fp) AS n_distinct_contents,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+       round((COUNT(*) - COUNT(DISTINCT fp)) / CAST(COUNT(*) AS DOUBLE), 9) AS dup_rate
+FROM stats
+"""
+
+
+def _data_card_sql() -> str:
+    from tlcn_oer_lakehouse_spark.functions.text import EN_STOPWORDS
+    from tlcn_oer_lakehouse_spark.queries.textops import CORPUS_SQL
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return _CARD_TEMPLATE.replace("__CORPUS__", CORPUS_SQL.strip()).replace(
+        "__STOPS__", stops
+    )
+
+
 SPECS = [
     QuerySpec("td_train_test_split", train_test_split, SPLIT_SQL,
               ref="new capability (training-data pipeline; hash-deterministic split)",
@@ -366,6 +447,10 @@ SPECS = [
     QuerySpec("td_vocab_coverage", vocab_coverage, VOCAB_SQL,
               ref="new capability (tokenizer vocabulary sizing curve)",
               doc="top-20 terms with cumulative coverage fraction",
+              tags=("traindata",)),
+    QuerySpec("td_data_card", data_card, _data_card_sql(),
+              ref="scale op: one-pass corpus datasheet (Datasheets for Datasets)",
+              doc="volume/length/quality/duplication card over the augmented corpus",
               tags=("traindata",)),
     QuerySpec("td_contamination_check", contamination_check, CONTAMINATION_SQL,
               ref="new capability (train->test 5-gram contamination)",
