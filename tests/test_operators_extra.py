@@ -150,3 +150,53 @@ def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
     corpus.unpersist()
     assert expected, "fixture must contain batch-touching near-dup pairs"
     assert got == expected
+
+
+def test_connected_components_path_graph(spark):
+    """A 6-node path (worst-case diameter for label propagation) plus an
+    isolated pair must resolve to exactly two components."""
+    from tlcn_oer_lakehouse_spark.operators.components import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {comp[n] for n in (1, 2, 3, 4, 5, 6)} == {1}
+    assert comp[10] == comp[11] == 10
+
+    clusters = {r.canonical_id: (r.member_ids_csv, r.cluster_size)
+                for r in duplicate_clusters(pairs).collect()}
+    assert clusters == {1: ("1,2,3,4,5,6", 6), 10: ("10,11", 2)}
+
+
+def test_deduplicated_corpus_keeps_canonicals(spark, sf_dir):
+    """Cluster-dedup apply: every cluster keeps exactly its canonical
+    member; documents outside any cluster pass through untouched."""
+    from tlcn_oer_lakehouse_spark.operators.components import (
+        connected_components,
+        deduplicated_corpus,
+    )
+    from tlcn_oer_lakehouse_spark.operators.dedup import minhash_near_duplicates
+    from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
+
+    corpus = augmented_corpus(spark, sf_dir).persist()
+    pairs = minhash_near_duplicates(
+        corpus, "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b").persist()
+
+    kept = deduplicated_corpus(corpus, pairs)
+    comp = connected_components(pairs)
+    n_nodes = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+
+    assert kept.count() == corpus.count() - (n_nodes - n_clusters)
+    # every canonical survives, every non-canonical is gone
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for r in comp.collect():
+        assert (r.node in kept_ids) == (r.node == r.component)
+    corpus.unpersist()
+    pairs.unpersist()

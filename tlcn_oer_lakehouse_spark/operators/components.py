@@ -1,0 +1,109 @@
+"""Distributed connected components over near-duplicate pair graphs —
+the cluster-resolution step that turns pairwise dedup output
+(minhash/simhash/embedding pairs) into an actually deduplicated corpus:
+each component keeps one canonical document, the rest are dropped or
+soft-linked.  The reference stops at exact-fingerprint groups
+(transformer.py:310-337); near-dup clustering is the scale-pipeline
+extension (SlimPajama/RefinedWeb-style cluster dedup).
+
+Algorithm: iterative minimum-label propagation on DataFrames — each
+round every node adopts the smallest label in its closed neighborhood
+(one symmetric-edge join + one min-aggregate per round, both keyed
+shuffles), converging in O(graph diameter) rounds.  Near-dup components
+are overwhelmingly small and star-shaped (copies of one source), so the
+diameter is tiny; for adversarial long-path graphs the documented
+production upgrade is the large-star/small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14), which
+converges in O(log² n) rounds with the same per-round join shape.
+
+The convergence check is one tiny aggregate per round (count of changed
+labels) — a scalar to the driver, never data."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component id is the minimum node id reachable from the node."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src_col: str = "doc_a", dst_col: str = "doc_b"
+) -> DataFrame:
+    """One row per near-dup cluster: canonical (minimum) id, members as
+    a sorted CSV string (driver-canonicalizer-safe), and size."""
+    comp = connected_components(pairs, src_col, dst_col)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.min("node").alias("canonical_id"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias(
+                "member_ids_csv"
+            ),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("canonical_id", "member_ids_csv", "cluster_size")
+    )
+
+
+def deduplicated_corpus(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The cluster-dedup apply step: drop every non-canonical member of
+    every near-dup cluster; untouched documents pass through.  One
+    left-anti join against the (small) non-canonical member set."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -62,6 +62,7 @@ _DEFER_PAST_WINDOW = frozenset({
     "semantic_match_subjects",
     "mm_pdf_hierarchical",
     "td_data_card",
+    "dedup_clusters",
 })
 
 

@@ -309,6 +309,42 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster resolution over MinHash near-dup pairs: connected
+    components (min-label propagation, operators/components.py) →
+    one row per cluster with canonical id, sorted member CSV, size.
+    The step that makes pairwise dedup actionable — at 100 TB the
+    component assignment feeds deduplicated_corpus's anti-join."""
+    from tlcn_oer_lakehouse_spark.operators.components import duplicate_clusters
+
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs).orderBy("canonical_id")
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle().strip()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u AS node, reach.r
+  FROM edges e JOIN reach ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT MIN(node) AS canonical_id,
+       array_to_string(list_sort(list(node)), ',') AS member_ids_csv,
+       COUNT(*) AS cluster_size
+FROM comp
+GROUP BY component
+ORDER BY canonical_id
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL,
               ref="transformer.py:860 (token count), 310-337 (fingerprint)",
@@ -325,6 +361,10 @@ SPECS = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL,
               ref="scale op; exact 3-gram Jaccard via shared-shingle join",
               doc="n-gram Jaccard near-dup pairs", tags=("dedup",)),
+    QuerySpec("dedup_clusters", dedup_clusters, _clusters_oracle(),
+              ref="scale op: near-dup cluster resolution (Kiveris et al. SoCC'14 family)",
+              doc="connected components over minhash pairs -> canonical clusters",
+              tags=("dedup",)),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(),
               ref="scale op; 32-bit simhash, hamming<=6",
               doc="SimHash near-dup pairs", tags=("dedup",)),
