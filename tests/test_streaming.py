@@ -247,3 +247,58 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.table("dedup_stream").collect())
     assert got == [1, 2, 3]
+
+
+def test_near_dup_ingest_flags_cross_batch_duplicates(spark, tmp_path):
+    """Streaming near-dup ingest: a doc arriving in batch 2 that
+    duplicates a batch-1 doc is flagged against the ingested corpus;
+    batch-internal duplicates are flagged too; the corpus table ends up
+    holding every doc once."""
+    from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        landing_stream,
+        near_dup_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now ok")],
+        schema,
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "corpus"), key="doc_id", fingerprint_col="text"
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    from pyspark.sql.types import _parse_datatype_string
+
+    stream = landing_stream(spark, f"{landing}/*", _parse_datatype_string(schema))
+    q = near_dup_ingest(
+        stream, table, pairs_dir, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination(120)
+
+    # batch 2: doc 11 duplicates doc 1 (cross-batch), docs 12/13 duplicate
+    # each other (intra-batch)
+    spark.createDataFrame(
+        [(11, base), (12, "one two three four five six seven eight nine ten"),
+         (13, "one two three four five six seven eight nine ten")],
+        schema,
+    ).coalesce(1).write.parquet(f"{landing}/b2")
+    q2 = near_dup_ingest(
+        landing_stream(spark, f"{landing}/*", _parse_datatype_string(schema)),
+        table, pairs_dir, str(tmp_path / "ckpt"), threshold=0.5,
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(pairs_dir).select("doc_a", "doc_b").collect()
+    }
+    assert (1, 2) in got          # batch-1 internal near-dup
+    assert (1, 11) in got         # cross-batch duplicate vs ingested corpus
+    assert (12, 13) in got        # batch-2 internal duplicate
+    assert (2, 11) in got         # near-dup via shared base text
+    assert table.read().count() == 6

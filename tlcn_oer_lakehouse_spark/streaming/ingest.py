@@ -130,3 +130,55 @@ def windowed_counts_stream(
             "sum_value",
         )
     )
+
+
+def near_dup_ingest(
+    stream_df: DataFrame,
+    corpus_table: ParquetMergeTable,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-duplicate detection at ingest: each micro-batch is
+    (1) checked against the already-ingested corpus AND itself with the
+    batch-scaled incremental MinHash operator, (2) appended to the
+    corpus table via MERGE, and (3) its near-dup pairs appended to
+    ``pairs_dir`` — so the pair log and the corpus stay causally
+    consistent (a doc's pairs are recorded in the same micro-batch that
+    admits it).
+
+    Composition of tested pieces: landing stream → foreachBatch →
+    operators/dedup.py:minhash_incremental_pairs →
+    ParquetMergeTable.merge_upsert.  Per-trigger work scales with the
+    batch and its collision set, not the corpus (the band probe is an
+    equi-join against the existing band table; on a deployment that
+    table is a persisted, bucketed output of previous batches)."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import minhash_incremental_pairs
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(id_col, text_col).persist()
+        spark = batch.sparkSession
+        if corpus_table.exists():
+            existing = corpus_table.read().select(id_col, text_col)
+        else:
+            existing = spark.createDataFrame([], batch.schema)
+        pairs = minhash_incremental_pairs(
+            existing, batch, id_col, text_col, threshold=threshold
+        ).withColumn("batch_id", F.lit(batch_id))
+        pairs.write.mode("append").parquet(pairs_dir)
+        corpus_table.merge_upsert(batch)
+        batch.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
