@@ -63,6 +63,7 @@ _DEFER_PAST_WINDOW = frozenset({
     "mm_pdf_hierarchical",
     "td_data_card",
     "dedup_clusters",
+    "td_pack_sequences",
 })
 
 

@@ -422,6 +422,87 @@ def _data_card_sql() -> str:
     )
 
 
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing — the training-row materialization step after
+    shard assignment: documents are packed into fixed-budget sequences
+    (2,048 tokens) in deterministic doc_id order; each output row is one
+    training sequence with its member docs, intra-sequence boundary
+    offsets (where each doc starts), token total, and a content hash of
+    the packed text.
+
+    Emits the boundary/han-hash summary rather than the concatenated
+    text so the row stays small and driver-canonicalizer-safe; the
+    packed text itself is `concat_ws(' ', ordered member texts)` and is
+    reproducible from the members.  The global-order window is the
+    correctness oracle; at 100 TB the assignment swaps to the two-phase
+    prefix sum of :func:`token_budget_shards_scalable` unchanged."""
+    seq_len = 2048
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned = (
+        docs.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("seq_id", ((F.col("cum") - 1) / seq_len).cast("long"))
+        .withColumn("start_off", (F.col("cum") - F.col("n_tokens")))
+    )
+    per_seq = assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("member_ids_csv"),
+    )
+    # boundary offsets are relative to the sequence start: collect the
+    # (doc, start) structs once, then array algebra — no extra shuffle
+    # (AQE reuses the seq_id hash partitioning for both aggregates)
+    bounds = assigned.groupBy("seq_id").agg(
+        F.min("start_off").alias("seq_start"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "start_off"))).alias("mem"),
+    ).select(
+        "seq_id",
+        F.concat_ws(
+            ",",
+            F.transform(F.col("mem"), lambda s: s.getField("start_off") - F.col("seq_start")),
+        ).alias("boundaries_csv"),
+        F.md5(
+            F.concat_ws(" ", F.transform(F.col("mem"), lambda s: s.getField("doc_id")))
+        ).alias("pack_key"),
+    )
+    return (
+        per_seq.drop("_ignore")
+        .join(bounds, "seq_id")
+        .select("seq_id", "n_docs", "seq_tokens", "member_ids_csv",
+                "boundaries_csv", "pack_key")
+        .orderBy("seq_id")
+    )
+
+
+PACK_SQL = """
+WITH assigned AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+         SUM(len(regexp_extract_all(text, '\\w+')))
+           OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, n_tokens, cum,
+         CAST(floor((cum - 1) / 2048) AS BIGINT) AS seq_id,
+         cum - n_tokens AS start_off
+  FROM assigned
+),
+seq_starts AS (SELECT seq_id, MIN(start_off) AS seq_start FROM marked GROUP BY seq_id)
+SELECT m.seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(m.n_tokens) AS BIGINT) AS seq_tokens,
+       array_to_string(array_agg(m.doc_id ORDER BY m.doc_id), ',') AS member_ids_csv,
+       array_to_string(array_agg(m.start_off - s.seq_start ORDER BY m.doc_id), ',') AS boundaries_csv,
+       md5(array_to_string(array_agg(m.doc_id ORDER BY m.doc_id), ' ')) AS pack_key
+FROM marked m JOIN seq_starts s ON m.seq_id = s.seq_id
+GROUP BY m.seq_id
+ORDER BY m.seq_id
+"""
+
+
 SPECS = [
     QuerySpec("td_train_test_split", train_test_split, SPLIT_SQL,
               ref="new capability (training-data pipeline; hash-deterministic split)",
@@ -447,6 +528,10 @@ SPECS = [
     QuerySpec("td_vocab_coverage", vocab_coverage, VOCAB_SQL,
               ref="new capability (tokenizer vocabulary sizing curve)",
               doc="top-20 terms with cumulative coverage fraction",
+              tags=("traindata",)),
+    QuerySpec("td_pack_sequences", pack_sequences, PACK_SQL,
+              ref="scale op: training-sequence packing (2048-token rows, boundary offsets)",
+              doc="fixed-budget sequence packing with member/boundary manifest",
               tags=("traindata",)),
     QuerySpec("td_data_card", data_card, _data_card_sql(),
               ref="scale op: one-pass corpus datasheet (Datasheets for Datasets)",
