@@ -200,3 +200,64 @@ def test_deduplicated_corpus_keeps_canonicals(spark, sf_dir):
         assert (r.node in kept_ids) == (r.node == r.component)
     corpus.unpersist()
     pairs.unpersist()
+
+
+def test_minhash_xxhash64_production_hash(spark, sf_dir):
+    """The production hash family (xxhash64 JVM intrinsic instead of
+    md5-prefix) must find every exact-copy pair the md5 family finds —
+    exact duplicates have identical shingle sets, so banding catches
+    them under ANY hash; verify is hash-independent (Jaccard 1.0)."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import minhash_near_duplicates
+    from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
+
+    corpus = augmented_corpus(spark, sf_dir).persist()
+    xx = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_duplicates(
+            corpus, "doc_id", "text", hash_fn="xxhash64"
+        ).collect()
+    }
+    corpus.unpersist()
+    for d in range(0, 500, 10):
+        pair = (d, d + 100000)
+        assert pair in xx, f"exact copy pair {pair} missed under xxhash64"
+        assert xx[pair] == 1.0
+
+
+def test_kmeans_partitions_separable_clusters(spark):
+    """Lloyd iterations must recover well-separated clusters regardless
+    of the (deliberately bad) lowest-id init, and assignment cost must
+    not increase across iterations."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.operators.clustering import (
+        kmeans_assign_once,
+        kmeans_fit_assign,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    centers = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    for i in range(90):
+        cx = centers[i % 3]
+        rows.append((i, [c + rnd.uniform(-0.5, 0.5) for c in cx]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = kmeans_fit_assign(df, "vec_id", "embedding", k=3, n_iter=3)
+    got = {r.vec_id: r.cluster_id for r in out.collect()}
+    # all members of one true cluster share a label, labels distinct
+    labels = [{got[i] for i in range(90) if i % 3 == m} for m in range(3)]
+    assert all(len(s) == 1 for s in labels)
+    assert len(set().union(*labels)) == 3
+    # total assignment cost shrinks vs the 0-iteration assignment
+    init = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    cost0 = kmeans_assign_once(df, init, "vec_id", "embedding").agg(
+        F.sum("dist")
+    ).first()[0]
+    cost3 = out.agg(F.sum("dist")).first()[0]
+    assert cost3 < cost0

@@ -1,0 +1,105 @@
+"""K-means clustering as iterative DataFrame algebra — the trained
+upgrade of the IVF centroid path (operators/similarity.py uses fixed
+vectors as centroids; real IVF trains them).  Lloyd's algorithm with
+every source of nondeterminism removed, so whole runs are
+oracle-replayable in SQL:
+
+- init: the ``k`` lowest-id vectors (no random seeds);
+- assignment: squared-L2 via a sequential zip_with fold (deterministic
+  double arithmetic), round-9 + centroid-id tie-break;
+- update: per-dimension means computed as DECIMAL(38,18) sums (exact,
+  order-independent — double sums would drift with partition order)
+  cast to double before the division.
+
+Each iteration is one broadcast-assign plus one (cluster, dim)-keyed
+aggregation — both scale-safe; the driver loop holds only the iteration
+counter, never data.  At 100 TB the init swaps to k-means|| sampling
+and the iteration count stays a constant — the per-iteration plan is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign_once(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """One assignment pass: every vector joins the broadcast centroid
+    set and keeps its argmin-distance cluster (round-9, id tie-break)."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(_sq_l2(F.col(vec_col), F.col("centroid_vec")), 9).alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"), "dist")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+    expl = assigned.select(
+        "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    # round the mean to 12 dp: the exact-decimal sum is order-independent
+    # in both engines, but decimal->double conversion could differ in the
+    # last ulp between implementations; 12 dp is far above double noise
+    # and far below any distance-tie sensitivity
+    dim_means = expl.groupBy("cluster_id", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("m")
+    )
+    return dim_means.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("centroid_vec")
+    ).select(F.col("cluster_id").alias("centroid_id"), "centroid_vec")
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations from the deterministic init and
+    return the final assignment (id, cluster_id, dist)."""
+    centroids = df.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "centroid_vec"
+        ),
+    )
+    work = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    for _ in range(n_iter):
+        assigned = kmeans_assign_once(work, centroids, id_col, "__v")
+        centroids = _recompute_centroids(assigned, "__v")
+    final = kmeans_assign_once(work, centroids, id_col, "__v")
+    return final.select(id_col, "cluster_id", "dist")

@@ -142,19 +142,35 @@ def minhash_lsh_candidate_pairs(
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exploded distinct shingles per document: (doc, shingle, bh) where
-    bh is the md5-prefix base hash.  The shared intermediate of the
-    minhash pipeline — computed (and persisted) ONCE, then reused by
-    signature aggregation, candidate banding and exact verify, instead of
-    re-deriving the tokenize→shingle→distinct→md5 chain per consumer."""
+    bh is the base hash.  The shared intermediate of the minhash
+    pipeline — computed (and persisted) ONCE, then reused by signature
+    aggregation, candidate banding and exact verify, instead of
+    re-deriving the tokenize→shingle→distinct→hash chain per consumer.
+
+    ``hash_fn``: 'md5' (default — md5-prefix integers, replayable in any
+    SQL engine, the oracle-checkable form) or 'xxhash64' (the production
+    form: one JVM intrinsic per shingle instead of a cryptographic hash
+    + hex parse; same positive-31-bit range so the affine family is
+    unchanged).  Exact-duplicate behavior is hash-independent; marginal
+    near-dup candidates may differ between families, which is why the
+    registered queries pin md5."""
+    if hash_fn == "xxhash64":
+        bh = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MINHASH_P)).cast("long")
+    else:
+        bh = _base_hash(F.col("shingle"))
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
         ).alias("shingle"),
-    ).withColumn("bh", _base_hash(F.col("shingle")))
+    ).withColumn("bh", bh)
 
 
 def jaccard_verify_from(
@@ -200,12 +216,14 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shared shingle set (persisted
     once) → affine-min signatures (+ per-doc shingle counts in the SAME
     shuffle) → banded candidate pairs → exact Jaccard verify → threshold
-    filter."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    filter.  ``hash_fn='xxhash64'`` selects the production hash (see
+    :func:`shingle_rows`)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n, hash_fn=hash_fn).persist()
 
     def _sig(i: int) -> Column:
         return F.min(

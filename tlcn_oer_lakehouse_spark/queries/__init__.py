@@ -64,6 +64,7 @@ _DEFER_PAST_WINDOW = frozenset({
     "td_data_card",
     "dedup_clusters",
     "td_pack_sequences",
+    "ann_kmeans_assign",
 })
 
 

@@ -218,7 +218,65 @@ LIMIT 10
 """
 
 
+def ann_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained-IVF upgrade: k-means (k=4, 2 deterministic Lloyd
+    iterations, lowest-id init) over the embeddings table, emitting the
+    final cluster assignment — the partition key a trained IVF layout
+    clusters the table by.  Fully deterministic (decimal-exact centroid
+    means, round-9 distances, id tie-breaks), so the ENTIRE iterative
+    run is replayed by the DuckDB oracle."""
+    from tlcn_oer_lakehouse_spark.operators.clustering import kmeans_fit_assign
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    return kmeans_fit_assign(emb, "vec_id", "embedding", k=4, n_iter=2).orderBy(
+        "vec_id"
+    )
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    sq = (
+        "round(list_sum(list_transform(generate_series(1, {d}), "
+        "j -> (e.v[j] - c.centroid_vec[j]) * (e.v[j] - c.centroid_vec[j]))), 9)"
+    ).format(d=dim)
+    parts = [
+        "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid_vec FROM embeddings WHERE vec_id < {k})",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"assign{i} AS (SELECT vec_id, v, centroid_id AS cluster_id FROM ("
+            f"SELECT e.vec_id, e.v, c.centroid_id, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq} ASC, c.centroid_id ASC) AS rn "
+            f"FROM vecs e CROSS JOIN cent{i} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"dims{i} AS (SELECT cluster_id, j, "
+            f"round(CAST(SUM(CAST(v[j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS m "
+            f"FROM assign{i}, generate_series(1, {dim}) t(j) GROUP BY cluster_id, j)"
+        )
+        parts.append(
+            f"cent{i + 1} AS (SELECT cluster_id AS centroid_id, "
+            f"array_agg(m ORDER BY j) AS centroid_vec FROM dims{i} GROUP BY cluster_id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, cluster_id, dist FROM (
+  SELECT e.vec_id, c.centroid_id AS cluster_id, {sq} AS dist,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq} ASC, c.centroid_id ASC) AS rn
+  FROM vecs e CROSS JOIN cent{n_iter} c
+)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+    )
+
+
 SPECS = [
+    QuerySpec("ann_kmeans_assign", ann_kmeans_assign, _kmeans_oracle(),
+              ref="scale op: trained IVF (deterministic Lloyd k-means, 2 iterations)",
+              doc="k=4 k-means assignment; whole iterative run oracle-replayed",
+              tags=("vector",)),
+
     QuerySpec("ann_ivf_topk", ann_ivf, ANN_IVF_SQL,
               ref="scale path for Q2: IVF inverted-file ANN (SURVEY §2.10)",
               doc="8-centroid IVF, n_probe=2, exact rescoring", tags=("vector",)),
