@@ -154,3 +154,32 @@ def test_vacuum_prunes_old_versions(spark, tmp_path):
         raise AssertionError("vacuumed version should not be readable")
     except ValueError:
         pass
+
+
+def test_reader_survives_head_swap(spark, tmp_path):
+    """Snapshot isolation claim (merge.py module docstring): a reader
+    holding a DataFrame over the table is unaffected by a concurrent
+    merge — the head symlink swap retains the displaced version dir, so
+    the old plan keeps resolving until vacuum removes that version."""
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), key="k", fingerprint_col="v")
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+
+    # reader opens the table BEFORE the merge...
+    old_reader = t.read()
+    # ...writer swaps in a new snapshot meanwhile
+    t.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"))
+
+    # the pre-swap reader still sees the pre-swap data, post-swap readers
+    # see the merged table; the head path never stopped resolving
+    assert sorted((r.k, r.v) for r in old_reader.collect()) == [(1, "a"), (2, "b")]
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "B"), (3, "c")
+    ]
+    # the displaced snapshot is a retained version until vacuumed
+    assert t.versions()
+    t.vacuum(keep_last=0)
+    assert not t.versions()

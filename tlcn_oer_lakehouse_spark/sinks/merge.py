@@ -75,7 +75,12 @@ class ParquetMergeTable:
         )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # pin the scan to the RESOLVED version dir, not the symlink: a
+        # plan holding symlink-routed file paths would break when a
+        # concurrent merge swaps the head, while version-dir paths stay
+        # valid until vacuum drops that version — this is what makes
+        # readers snapshot-isolated (see module docstring).
+        return self.spark.read.parquet(os.path.realpath(self.path))
 
     # -- writes -----------------------------------------------------------
 
