@@ -1,0 +1,107 @@
+"""Manifest-based data skipping: footer-stats bounds, range clustering,
+file pruning, partition-dir point bounds — and the invariant that a
+pruned scan returns exactly what a full scan + filter returns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.sinks.manifest import read_manifest, write_manifest
+from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+
+
+def _clustered_table(spark, tmp_path, n=10_000, files=8):
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "t"), key="id",
+        cluster_by=("id",), cluster_files=files,
+    )
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 7 % 1000).alias("val"),
+        F.md5(F.col("id").cast("string")).alias("record_fingerprint"),
+    )
+    t.create(df)
+    return t
+
+
+def test_manifest_written_with_bounds(spark, tmp_path):
+    t = _clustered_table(spark, tmp_path)
+    import os
+
+    manifest = read_manifest(os.path.realpath(t.path))
+    assert manifest is not None
+    assert len(manifest["files"]) == 8
+    for entry in manifest["files"]:
+        assert "id" in entry["bounds"]
+        mn, mx = entry["bounds"]["id"]
+        assert mn <= mx
+    # range clustering -> disjoint id ranges across files
+    ranges = sorted(tuple(e["bounds"]["id"]) for e in manifest["files"])
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+
+
+def test_range_predicate_prunes_files(spark, tmp_path):
+    t = _clustered_table(spark, tmp_path)
+    preds = [("id", ">=", 9000)]
+    files = t.pruned_files(preds)
+    assert files is not None and 0 < len(files) < 8
+    got = sorted(r.id for r in t.scan(preds).collect())
+    want = sorted(r.id for r in t.read().filter(F.col("id") >= 9000).collect())
+    assert got == want
+
+
+def test_equality_predicate_prunes_to_one_file(spark, tmp_path):
+    t = _clustered_table(spark, tmp_path)
+    files = t.pruned_files([("id", "=", 4242)])
+    assert files is not None and len(files) == 1
+    rows = t.scan([("id", "=", 4242)]).collect()
+    assert len(rows) == 1 and rows[0].val == 4242 * 7 % 1000
+
+
+def test_empty_selection_returns_empty_with_schema(spark, tmp_path):
+    t = _clustered_table(spark, tmp_path)
+    df = t.scan([("id", ">", 10_000_000)])
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "val", "record_fingerprint"}
+
+
+def test_partition_dirs_become_point_bounds(spark, tmp_path):
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "p"), key="id", partition_by=("bucket",)
+    )
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("bucket"),
+        F.md5(F.col("id").cast("string")).alias("record_fingerprint"),
+    )
+    t.create(df)
+    files = t.pruned_files([("bucket", "=", 2)])
+    assert files is not None
+    assert all("bucket=2" in f for f in files)
+    got = sorted(r.id for r in t.scan([("bucket", "=", 2)]).collect())
+    assert got == sorted(range(2, 1000, 4))
+
+
+def test_merge_refreshes_manifest(spark, tmp_path):
+    t = _clustered_table(spark, tmp_path, n=100, files=2)
+    t.merge_upsert(
+        spark.createDataFrame([(1_000_000, 7, "x")],
+                              ["id", "val", "record_fingerprint"])
+    )
+    files = t.pruned_files([("id", ">=", 1_000_000)])
+    assert files is not None and len(files) >= 1
+    assert [r.id for r in t.scan([("id", ">=", 1_000_000)]).collect()] == [1_000_000]
+
+
+def test_unclustered_table_keeps_all_files(spark, tmp_path):
+    # without stats on the predicate column, pruning must keep the file
+    t = ParquetMergeTable(spark, str(tmp_path / "u"), key="id")
+    t.create(spark.createDataFrame([(1, "a", "f1"), (2, "b", "f2")],
+                                   ["id", "val", "record_fingerprint"]))
+    import os
+
+    snap = os.path.realpath(t.path)
+    write_manifest(snap)
+    files = t.pruned_files([("nonexistent_col", ">=", 5)])
+    assert files is not None and len(files) > 0

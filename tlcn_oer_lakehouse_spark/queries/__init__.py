@@ -11,6 +11,7 @@ _MODULES = (
     "subqueries",
     "relational",
     "textops",
+    "quality",
     "vectorops",
     "retrieval",
     "lakehouse",
@@ -65,6 +66,10 @@ _DEFER_PAST_WINDOW = frozenset({
     "dedup_clusters",
     "td_pack_sequences",
     "ann_kmeans_assign",
+    # new in round 2 after the window was frozen (in-repo oracle-checked;
+    # driver rows round 3):
+    "pii_scrub",
+    "td_repetition_quality",
 })
 
 

@@ -1,0 +1,183 @@
+"""Corpus-safety queries: PII scrub and repetition-based quality gating.
+
+Two operators a training-data pipeline runs between ingest and shipping:
+
+- ``pii_scrub`` — typed PII detection counts + placeholder redaction
+  (functions/pii.py).  The sf corpora contain no natural PII, so the query
+  deterministically injects one PII span per ``doc_id % 6`` class (email /
+  ipv4 / phone / ssn / card / none) in BOTH engines, then detects and
+  redacts it — every pattern is exercised against both positive and
+  negative rows.
+- ``td_repetition_quality`` — Gopher-style repetition signals (Rae et al.
+  2021, §A1.1) computed on word 2-grams: top-2-gram fraction and
+  duplicate-2-gram fraction, plus the pass/fail gate.  Token-count
+  fractions stand in for the paper's character fractions — same signal,
+  exact integer arithmetic (deterministic across engines).
+
+Scale: ``pii_scrub`` is map-only regex work at scan speed.  The
+repetition query is explode → two partial-aggregated ``groupBy``s keyed
+by (doc_id, gram) then doc_id — linear in corpus size, map-side combine
+on both hops, no driver involvement.  (A shuffle-free array-expression
+form exists but is quadratic per document — wrong trade at 100 TB where
+single documents reach 10⁵ tokens.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.pii import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+)
+from tlcn_oer_lakehouse_spark.functions.text import shingles, tokens
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def _injected_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    tail = [
+        F.concat(F.lit(" contact agent"), d.cast("string"),
+                 F.lit("@example.com for details")),
+        F.concat(F.lit(" from host 10.0."), (d % 200).cast("string"),
+                 F.lit(".17 tonight")),
+        F.concat(F.lit(" call 555-867-"),
+                 F.lpad((d % 10000).cast("string"), 4, "0")),
+        F.concat(F.lit(" ssn 078-05-"),
+                 F.lpad((d % 10000).cast("string"), 4, "0")),
+        F.concat(F.lit(" card 4111-1111-1111-"),
+                 F.lpad((d % 10000).cast("string"), 4, "0")),
+    ]
+    sel = F.lit("")
+    for i, t in enumerate(tail):
+        sel = F.when(d % 6 == i, t).otherwise(sel)
+    return load(spark, sf, "documents").select(
+        "doc_id", F.concat(F.col("text"), sel).alias("text")
+    )
+
+
+PII_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id,
+         text || CASE doc_id % 6
+           WHEN 0 THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+           WHEN 1 THEN ' from host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.17 tonight'
+           WHEN 2 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 3 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 4 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _injected_corpus(spark, sf)
+    counts = pii_counts(F.col("text"))
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return corpus.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        total.alias("n_pii_total"),
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+def _pii_oracle() -> str:
+    count_cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"len(regexp_extract_all(text, '{pat}'))"
+                       for _, pat, _ in PII_PATTERNS)
+    redacted = "text"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH {PII_CORPUS_SQL.strip()}
+SELECT doc_id,
+       {count_cols},
+       {total} AS n_pii_total,
+       {redacted} AS redacted
+FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition quality
+# ---------------------------------------------------------------------------
+
+TOP_2GRAM_MAX = 0.20  # Gopher table A1: most-common-2-gram fraction cap
+DUP_2GRAM_MAX = 0.60  # fraction of 2-gram instances that are repeats
+
+
+def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("gram")
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.count("*").alias("n_distinct_2grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+    )
+    top_frac = F.col("top_cnt") / F.col("n_2grams")
+    dup_frac = F.col("dup_cnt") / F.col("n_2grams")
+    return agg.select(
+        "doc_id",
+        "n_2grams",
+        "n_distinct_2grams",
+        F.round(top_frac, 9).alias("top_2gram_frac"),
+        F.round(dup_frac, 9).alias("dup_2gram_frac"),
+        ((top_frac <= TOP_2GRAM_MAX) & (dup_frac <= DUP_2GRAM_MAX))
+        .alias("passes_repetition_gate"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+),
+per AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+         COUNT(*) AS n_distinct_2grams,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+  FROM per GROUP BY 1
+)
+SELECT doc_id, n_2grams, n_distinct_2grams,
+       round(top_cnt / n_2grams, 9) AS top_2gram_frac,
+       round(dup_cnt / n_2grams, 9) AS dup_2gram_frac,
+       (top_cnt / n_2grams <= {TOP_2GRAM_MAX} AND dup_cnt / n_2grams <= {DUP_2GRAM_MAX})
+         AS passes_repetition_gate
+FROM agg
+"""
+
+
+SPECS = [
+    QuerySpec("pii_scrub", pii_scrub, _pii_oracle(),
+              ref="scale op; completes the reference's metadata-only PII handling "
+                  "(transformer.py dc.contributor fields are stored unscrubbed)",
+              doc="typed PII detection + placeholder redaction", tags=("text",)),
+    QuerySpec("td_repetition_quality", repetition_quality, REPETITION_SQL,
+              ref="scale op; Gopher repetition signals (Rae et al. 2021 A1.1) "
+                  "as token-fraction analogs",
+              doc="top/dup 2-gram fractions + repetition gate", tags=("text",)),
+]

@@ -48,6 +48,11 @@ from tlcn_oer_lakehouse_spark.operators.incremental import (
     latest_wins,
     merge_upsert,
 )
+from tlcn_oer_lakehouse_spark.sinks.manifest import (
+    Predicate,
+    prune_files,
+    write_manifest,
+)
 
 
 class ParquetMergeTable:
@@ -59,6 +64,8 @@ class ParquetMergeTable:
         fingerprint_col: str = "record_fingerprint",
         ts_col: str | None = None,
         partition_by: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -66,6 +73,11 @@ class ParquetMergeTable:
         self.fingerprint_col = fingerprint_col
         self.ts_col = ts_col
         self.partition_by = tuple(partition_by)
+        # Iceberg sort-order analog: range-cluster each snapshot on these
+        # columns so per-file min/max bounds are disjoint and the manifest
+        # pruner (sinks/manifest.py) can skip files on range predicates.
+        self.cluster_by = tuple(cluster_by)
+        self.cluster_files = cluster_files
 
     # -- state ------------------------------------------------------------
 
@@ -81,6 +93,36 @@ class ParquetMergeTable:
         # valid until vacuum drops that version — this is what makes
         # readers snapshot-isolated (see module docstring).
         return self.spark.read.parquet(os.path.realpath(self.path))
+
+    def pruned_files(self, predicates: list[Predicate]) -> list[str] | None:
+        """Data files of the head snapshot that may match ``predicates``
+        per the manifest bounds (None → no manifest; full scan)."""
+        return prune_files(os.path.realpath(self.path), predicates)
+
+    def scan(self, predicates: list[Predicate]) -> DataFrame:
+        """Manifest-pruned read: plan the scan over only the files whose
+        [min, max] bounds can satisfy the (conjunctive) predicates, then
+        apply the predicates as real row filters.  Semantically identical
+        to ``read().filter(...)``; the manifest just shrinks the file
+        list before Spark ever lists or opens them — the plain-parquet
+        analog of Iceberg manifest pruning."""
+        snap = os.path.realpath(self.path)
+        files = self.pruned_files(predicates)
+        if files is None:
+            df = self.read()
+        elif not files:
+            df = self.read().limit(0)
+        else:
+            # basePath keeps hive-style partition columns resolvable when
+            # reading an explicit file subset
+            df = self.spark.read.option("basePath", snap).parquet(*files)
+        for col, op, val in predicates:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == val, ">=": c >= val, ">": c > val,
+                 "<=": c <= val, "<": c < val}[op]
+            )
+        return df
 
     # -- writes -----------------------------------------------------------
 
@@ -120,10 +162,15 @@ class ParquetMergeTable:
         (the Iceberg snapshot-log analog enabling time travel/rollback).
         Single-writer by contract (see module docstring)."""
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        if self.cluster_by:
+            df = df.repartitionByRange(
+                self.cluster_files, *[F.col(c) for c in self.cluster_by]
+            ).sortWithinPartitions(*self.cluster_by)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
+        write_manifest(staging)  # footer-stats manifest rides inside the snapshot
         # one-time migration of a legacy plain-dir head to a version dir
         if os.path.isdir(self.path) and not os.path.islink(self.path):
             nums = self._all_version_nums()
