@@ -70,6 +70,7 @@ _DEFER_PAST_WINDOW = frozenset({
     # driver rows round 3):
     "pii_scrub",
     "td_repetition_quality",
+    "j_range_interval",
 })
 
 

@@ -125,7 +125,69 @@ ORDER BY user_id, session_start
 """
 
 
+# ---------------------------------------------------------------------------
+# bucketed range join
+# ---------------------------------------------------------------------------
+
+_EPOCH_2024 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+_IV_STRIDE = 4 * 3600  # overlapping campaign windows: 6 h every 4 h
+_IV_LEN = 6 * 3600
+
+
+def range_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join (events × 100 overlapping 6-hour windows)
+    via :func:`~tlcn_oer_lakehouse_spark.operators.rangejoin.bucketed_range_join`
+    — the equi-join bucketing strategy Spark lacks natively; a naive
+    BETWEEN join would plan as a BroadcastNestedLoopJoin and fail the
+    registry-wide plan lint."""
+    from tlcn_oer_lakehouse_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load_events(spark, sf).select("event_id", "ts_sec", "value")
+    base = F.lit(_EPOCH_2024) + F.col("id") * _IV_STRIDE
+    intervals = spark.range(100).select(
+        F.col("id").alias("interval_id"),
+        base.alias("lo_sec"),
+        (base + _IV_LEN).alias("hi_sec"),
+    )
+    joined = bucketed_range_join(
+        ev, intervals, "ts_sec", "lo_sec", "hi_sec", bucket_width=_IV_LEN
+    )
+    return (
+        joined.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+RANGE_INTERVAL_SQL = f"""
+WITH ev AS (
+  SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_sec, value FROM events
+),
+iv AS (
+  SELECT i AS interval_id,
+         {_EPOCH_2024} + i * {_IV_STRIDE} AS lo_sec,
+         {_EPOCH_2024} + i * {_IV_STRIDE} + {_IV_LEN} AS hi_sec
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+)
+SELECT interval_id, COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM iv JOIN ev ON ev.ts_sec BETWEEN iv.lo_sec AND iv.hi_sec
+GROUP BY interval_id
+ORDER BY interval_id
+"""
+
+
 SPECS = [
+    QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
+              ref="scale op: bucketed range join (no native Spark strategy; "
+                  "Databricks range-join bin analog)",
+              doc="events-in-interval join via bucket equi-join + residual filter",
+              tags=("join",)),
     QuerySpec("st_tumbling_window", tumbling_event_counts, TUMBLING_SQL,
               ref="new capability (SURVEY §2.9: reference has none); streaming twin in streaming/ingest.py",
               doc="1-day tumbling windows per event_type", tags=("streaming", "bench")),
