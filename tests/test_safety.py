@@ -40,3 +40,26 @@ def test_status_split_and_metrics(spark):
     # error payload retained for debugging
     e3 = error_rows(wrapped).filter("id = 3").first()
     assert "negative: -5" in e3._error
+
+
+def test_observed_metrics_ride_the_action(spark):
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.operators.safety import with_observed_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, 250.0), (4, None)], ["id", "value"]
+    )
+    observed, obs = with_observed_metrics(
+        df,
+        "ingest_gate",
+        {
+            "n_negative": F.col("value") < 0,
+            "n_outlier": F.col("value") > 100,
+            "n_null_value": F.col("value").isNull(),
+        },
+    )
+    # one action drives BOTH the data and the metrics — no second job
+    assert observed.count() == 4
+    got = obs.get
+    assert got == {"n_rows": 4, "n_negative": 1, "n_outlier": 1, "n_null_value": 1}

@@ -74,3 +74,24 @@ def status_metrics(df: DataFrame) -> DataFrame:
     """The distributed replacement for the reference's driver-side metric
     dicts: failure-class counts as an ordinary aggregation."""
     return df.groupBy("_status").agg(F.count(F.lit(1)).alias("n")).orderBy("_status")
+
+
+def with_observed_metrics(df: DataFrame, name: str, conditions: dict[str, F.Column]):
+    """Zero-cost pipeline metrics via ``DataFrame.observe``: each named
+    condition becomes a count that rides the NEXT action on ``df`` —
+    no extra pass, no second job (``status_metrics`` by contrast costs
+    its own aggregation job).  This is how the reference's per-task
+    metric dicts (transformer.py:1977-2012) should surface in Spark:
+    accumulator-style, collected by the action that runs anyway.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action has consumed ``df``.  Works identically under batch and
+    (with named observations) Structured Streaming."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(metric_name)
+        for metric_name, cond in conditions.items()
+    ]
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows"), *metrics), obs

@@ -71,6 +71,7 @@ _DEFER_PAST_WINDOW = frozenset({
     "pii_scrub",
     "td_repetition_quality",
     "j_range_interval",
+    "td_unigram_surprisal",
 })
 
 

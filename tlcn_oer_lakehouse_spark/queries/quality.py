@@ -171,6 +171,64 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# unigram surprisal (corpus-LM information score)
+# ---------------------------------------------------------------------------
+
+INFO_GATE_BITS = 4.0  # mean surprisal below this ≈ stopword/boilerplate soup
+
+
+def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-unigram information score — the deterministic analog of
+    LM-perplexity quality filtering (CCNet/KenLM-style): train the
+    unigram model on the corpus itself (one groupBy), score every token
+    by its surprisal, average per document.
+
+    Surprisal is computed as ``floor(log2(N div cnt))`` via integer bit
+    length — transcendental ``log`` differs in the last ulp between JVM
+    and libm, which round-to-9 cannot fully mask, so the metric is
+    DEFINED on integer arithmetic and replays bit-identically in any
+    engine.  Plan: explode → vocab groupBy → 1:N vocab join (1-row
+    total broadcast) → per-doc aggregation; linear, never all-pairs."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(F.sum("cnt").alias("n_total"))
+    sbits = F.length(F.bin(F.expr("n_total div cnt"))) - 1
+    per = (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", sbits.alias("sbits"))
+    )
+    mean_bits = F.sum("sbits").cast("double") / F.count(F.lit(1))
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(mean_bits, 9).alias("avg_surprisal_bits"),
+        (mean_bits >= INFO_GATE_BITS).alias("passes_info_gate"),
+    )
+
+
+SURPRISAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+per AS (
+  SELECT doc_id, length(bin(n_total // cnt)) - 1 AS sbits
+  FROM tok JOIN vocab USING (t) CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(CAST(SUM(sbits) AS DOUBLE) / COUNT(*), 9) AS avg_surprisal_bits,
+       (CAST(SUM(sbits) AS DOUBLE) / COUNT(*) >= {INFO_GATE_BITS}) AS passes_info_gate
+FROM per
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("pii_scrub", pii_scrub, _pii_oracle(),
               ref="scale op; completes the reference's metadata-only PII handling "
@@ -180,4 +238,9 @@ SPECS = [
               ref="scale op; Gopher repetition signals (Rae et al. 2021 A1.1) "
                   "as token-fraction analogs",
               doc="top/dup 2-gram fractions + repetition gate", tags=("text",)),
+    QuerySpec("td_unigram_surprisal", unigram_surprisal, SURPRISAL_SQL,
+              ref="scale op; CCNet-style LM quality filtering with an "
+                  "engine-exact integer-surprisal unigram model",
+              doc="per-doc mean unigram surprisal + low-information gate",
+              tags=("text",)),
 ]
