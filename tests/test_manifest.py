@@ -105,3 +105,45 @@ def test_unclustered_table_keeps_all_files(spark, tmp_path):
     write_manifest(snap)
     files = t.pruned_files([("nonexistent_col", ">=", 5)])
     assert files is not None and len(files) > 0
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering: single-dimension predicates prune files for
+    EVERY participating column — the property plain range clustering on
+    (a, b) lacks (b-only predicates scan all files there)."""
+    n, files = 4096, 16
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.md5(F.col("id").cast("string")).alias("record_fingerprint"),
+    )
+    zt = ParquetMergeTable(
+        spark, str(tmp_path / "z"), key="id",
+        cluster_by=("a", "b"), cluster_files=files, zorder=True,
+    )
+    zt.create(df)
+
+    pruned_a = zt.pruned_files([("a", "=", 3)])
+    pruned_b = zt.pruned_files([("b", "=", 3)])
+    assert len(pruned_a) < files and len(pruned_b) < files
+    # conjunctive predicate prunes at least as hard as either alone
+    pruned_ab = zt.pruned_files([("a", "=", 3), ("b", "=", 3)])
+    assert len(pruned_ab) <= min(len(pruned_a), len(pruned_b))
+
+    # correctness: pruned scan == full filter, on all three predicates
+    for preds in ([("a", "=", 3)], [("b", "=", 3)], [("a", "=", 3), ("b", "=", 3)]):
+        got = sorted(r.id for r in zt.scan(preds).collect())
+        full = zt.read()
+        for col, _, val in preds:
+            full = full.filter(F.col(col) == val)
+        assert got == sorted(r.id for r in full.collect())
+
+    # contrast: lexicographic range clustering on (a, b) cannot prune
+    # b-only predicates (a is the leading sort key; b spans all files)
+    rt = ParquetMergeTable(
+        spark, str(tmp_path / "r"), key="id",
+        cluster_by=("a", "b"), cluster_files=files,
+    )
+    rt.create(df)
+    assert len(rt.pruned_files([("b", "=", 3)])) == files

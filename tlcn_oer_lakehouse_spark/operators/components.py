@@ -41,11 +41,19 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint, not persist: persist truncates recomputation but
+    # NOT lineage — after k rounds the logical plan nests k join+agg
+    # layers and AQE's plan-tree handling (re-optimization, tree-string
+    # logging) grows superlinearly, which can exhaust a small driver
+    # heap long before the data does.  Checkpointing each round keeps
+    # every plan one-round shallow.  On a cluster with executor churn,
+    # swap for reliable checkpoints (spark.sparkContext.setCheckpointDir
+    # on durable storage) — same call shape.
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -61,7 +69,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -69,7 +77,6 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

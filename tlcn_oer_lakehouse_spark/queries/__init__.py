@@ -72,6 +72,8 @@ _DEFER_PAST_WINDOW = frozenset({
     "td_repetition_quality",
     "j_range_interval",
     "td_unigram_surprisal",
+    "w4_distribution_ranks",
+    "o7_intersect_except",
 })
 
 

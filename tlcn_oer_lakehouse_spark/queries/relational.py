@@ -562,9 +562,67 @@ WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumbe
 """
 
 
+def w4_distribution_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions (beyond the reference's row_number):
+    ntile / percent_rank / cume_dist over account balance per nation.
+    The (c_acctbal, c_custkey) order key is unique, so every rank is
+    deterministic; percent_rank/cume_dist are exact small-integer ratios
+    evaluated in double — identical across engines."""
+    cust = load(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+W4_SQL = """
+SELECT c_nationkey, c_custkey,
+       ntile(4) OVER w AS balance_quartile,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 # ---------------------------------------------------------------------------
 # O — sorts / limits / set ops / explode
 # ---------------------------------------------------------------------------
+
+
+def o7_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """O-family set ops beyond union: INTERSECT / EXCEPT (distinct
+    semantics, matching SQL) over the nation-key sets of wealthy
+    customers vs suppliers, tagged and reassembled."""
+    a = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    b = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return (
+        a.intersect(b).withColumn("tag", F.lit("both"))
+        .unionByName(a.subtract(b).withColumn("tag", F.lit("cust_only")))
+        .unionByName(b.subtract(a).withColumn("tag", F.lit("supp_only")))
+    )
+
+
+O7_SQL = """
+WITH a AS (SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000),
+b AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT nk, 'both' AS tag FROM (SELECT nk FROM a INTERSECT SELECT nk FROM b)
+UNION ALL
+SELECT nk, 'cust_only' AS tag FROM (SELECT nk FROM a EXCEPT SELECT nk FROM b)
+UNION ALL
+SELECT nk, 'supp_only' AS tag FROM (SELECT nk FROM b EXCEPT SELECT nk FROM a)
+"""
 
 
 def o2_top1_limit(spark: SparkSession, sf: str) -> DataFrame:
@@ -782,6 +840,14 @@ SPECS = [
     QuerySpec("w3_running_and_lag", w3_running_and_lag, W3_SQL,
               ref="beyond reference (SURVEY §2.5: no analytic windows)",
               doc="running sum + lag/lead", tags=("window", "extension")),
+    QuerySpec("w4_distribution_ranks", w4_distribution_ranks, W4_SQL,
+              ref="beyond reference (SURVEY §2.5): distribution windows",
+              doc="ntile/percent_rank/cume_dist per nation",
+              tags=("window", "extension")),
+    QuerySpec("o7_intersect_except", o7_intersect_except, O7_SQL,
+              ref="beyond reference (SURVEY §2.6): INTERSECT/EXCEPT set ops",
+              doc="tagged intersect/except of customer vs supplier nation sets",
+              tags=("setop", "extension")),
     QuerySpec("o2_top1_limit", o2_top1_limit, O2_SQL,
               ref="transformer.py:1338-1346 (O2 orderBy.limit)",
               doc="global top-5", tags=("sort",)),

@@ -66,6 +66,7 @@ class ParquetMergeTable:
         partition_by: tuple[str, ...] = (),
         cluster_by: tuple[str, ...] = (),
         cluster_files: int = 8,
+        zorder: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -78,6 +79,9 @@ class ParquetMergeTable:
         # pruner (sinks/manifest.py) can skip files on range predicates.
         self.cluster_by = tuple(cluster_by)
         self.cluster_files = cluster_files
+        # zorder=True interleaves the cluster_by dims into a Morton key
+        # (multi-dim data skipping); False range-clusters on them in order
+        self.zorder = zorder
 
     # -- state ------------------------------------------------------------
 
@@ -163,9 +167,19 @@ class ParquetMergeTable:
         Single-writer by contract (see module docstring)."""
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
         if self.cluster_by:
-            df = df.repartitionByRange(
-                self.cluster_files, *[F.col(c) for c in self.cluster_by]
-            ).sortWithinPartitions(*self.cluster_by)
+            if self.zorder and len(self.cluster_by) > 1:
+                from tlcn_oer_lakehouse_spark.sinks.manifest import with_zvalue
+
+                df = (
+                    with_zvalue(df, list(self.cluster_by))
+                    .repartitionByRange(self.cluster_files, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                df = df.repartitionByRange(
+                    self.cluster_files, *[F.col(c) for c in self.cluster_by]
+                ).sortWithinPartitions(*self.cluster_by)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
