@@ -147,3 +147,51 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     )
     rt.create(df)
     assert len(rt.pruned_files([("b", "=", 3)])) == files
+
+
+def test_hidden_day_partitioning_prunes_on_source_column(spark, tmp_path):
+    """Iceberg-style hidden partitioning: the table partitions by
+    day(ts); predicates on ts itself prune partitions, and the derived
+    column never appears in the schema."""
+    import datetime as dt
+
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "h"), key="id",
+        partition_transforms={"ts_day": ("day", "ts")},
+    )
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 3, 12, 0, 0), f"f{i}")
+        for i in range(300)
+    ]
+    t.create(spark.createDataFrame(
+        rows, "id bigint, ts timestamp, record_fingerprint string"
+    ))
+
+    assert "ts_day" not in t.read().columns
+    all_files = t.pruned_files([])
+    pruned = t.pruned_files([("ts", ">=", dt.datetime(2024, 1, 3))])
+    assert 0 < len(pruned) < len(all_files)
+    assert all("ts_day=2024-01-03" in f for f in pruned)
+
+    got = sorted(r.id for r in t.scan([("ts", ">=", dt.datetime(2024, 1, 3))]).collect())
+    want = sorted(
+        r.id for r in t.read().filter(F.col("ts") >= "2024-01-03").collect()
+    )
+    assert got == want and "ts_day" not in t.scan([("ts", ">=", dt.datetime(2024, 1, 3))]).columns
+
+
+def test_hidden_bucket_partitioning_equality_prune(spark, tmp_path):
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "hb"), key="id",
+        partition_transforms={"id_b": ("bucket", "id", 8)},
+    )
+    t.create(spark.range(400).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("record_fingerprint")
+    ))
+    all_files = t.pruned_files([])
+    pruned = t.pruned_files([("id", "=", 123)])
+    assert 0 < len(pruned) < len(all_files)
+    rows = t.scan([("id", "=", 123)]).collect()
+    assert [r.id for r in rows] == [123]
+    # range predicates must NOT be mapped through the hash bucket
+    assert len(t.pruned_files([("id", ">=", 0)])) == len(all_files)

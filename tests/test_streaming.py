@@ -302,3 +302,59 @@ def test_near_dup_ingest_flags_cross_batch_duplicates(spark, tmp_path):
     assert (12, 13) in got        # batch-2 internal duplicate
     assert (2, 11) in got         # near-dup via shared base text
     assert table.read().count() == 6
+
+
+def test_scd2_streaming_dimension(spark, tmp_path):
+    """Streaming type-2 dimension maintenance: two micro-batches build a
+    version chain; replaying the second batch is a no-op on the chain."""
+    from pyspark.sql.types import TimestampType
+
+    from tlcn_oer_lakehouse_spark.streaming.ingest import scd2_ingest
+
+    schema = StructType(
+        [
+            StructField("cust_id", LongType()),
+            StructField("segment", StringType()),
+            StructField("event_ts", TimestampType()),
+        ]
+    )
+    landing = str(tmp_path / "dim_landing")
+    table = ParquetMergeTable(spark, str(tmp_path / "dim"), key="cust_id")
+    ckpt = str(tmp_path / "dim_ckpt")
+
+    import datetime as dt
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 2, 1)
+
+    def _land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{landing}/{name}")
+
+    def _run():
+        q = scd2_ingest(
+            landing_stream(spark, f"{landing}/*", schema),
+            table, key="cust_id", tracked_cols=["segment"],
+            ts_col="event_ts", checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _land([(1, "basic", t1), (2, "pro", t1)], "b1")
+    _run()
+    assert table.read().filter("is_current").count() == 2
+
+    # batch 2: customer 1 upgrades -> old version closes at t2
+    _land([(1, "pro", t2)], "b2")
+    _run()
+    rows = {(r.cust_id, r.segment): r for r in table.read().collect()}
+    assert len(rows) == 3
+    assert not rows[(1, "basic")].is_current
+    assert str(rows[(1, "basic")].valid_to) == str(t2)
+    assert rows[(1, "pro")].is_current and rows[(2, "pro")].is_current
+
+    # same batch content re-landed as a new file: fingerprints match ->
+    # chain unchanged (no double-open)
+    _land([(1, "pro", t2)], "b3")
+    _run()
+    assert table.read().count() == 3

@@ -67,6 +67,7 @@ class ParquetMergeTable:
         cluster_by: tuple[str, ...] = (),
         cluster_files: int = 8,
         zorder: bool = False,
+        partition_transforms: dict[str, tuple] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -82,6 +83,12 @@ class ParquetMergeTable:
         # zorder=True interleaves the cluster_by dims into a Morton key
         # (multi-dim data skipping); False range-clusters on them in order
         self.zorder = zorder
+        # hidden partition transforms (sinks/partitioning.py): derived
+        # values exist only as hive dirs — added before every write,
+        # stripped from every read, and source-column predicates map to
+        # them automatically in scan()
+        self.partition_transforms = dict(partition_transforms or {})
+        self.partition_by = tuple(self.partition_transforms) + self.partition_by
 
     # -- state ------------------------------------------------------------
 
@@ -96,11 +103,25 @@ class ParquetMergeTable:
         # concurrent merge swaps the head, while version-dir paths stay
         # valid until vacuum drops that version — this is what makes
         # readers snapshot-isolated (see module docstring).
-        return self.spark.read.parquet(os.path.realpath(self.path))
+        df = self.spark.read.parquet(os.path.realpath(self.path))
+        if self.partition_transforms:
+            df = df.drop(*self.partition_transforms)
+        return df
 
     def pruned_files(self, predicates: list[Predicate]) -> list[str] | None:
         """Data files of the head snapshot that may match ``predicates``
-        per the manifest bounds (None → no manifest; full scan)."""
+        per the manifest bounds (None → no manifest; full scan).
+        Source-column predicates additionally prune via the hidden
+        partition transforms (Iceberg-style: the caller never names the
+        derived column)."""
+        if self.partition_transforms:
+            from tlcn_oer_lakehouse_spark.sinks.partitioning import (
+                mapped_predicates,
+            )
+
+            predicates = list(predicates) + mapped_predicates(
+                predicates, self.partition_transforms
+            )
         return prune_files(os.path.realpath(self.path), predicates)
 
     def scan(self, predicates: list[Predicate]) -> DataFrame:
@@ -120,6 +141,8 @@ class ParquetMergeTable:
             # basePath keeps hive-style partition columns resolvable when
             # reading an explicit file subset
             df = self.spark.read.option("basePath", snap).parquet(*files)
+            if self.partition_transforms:
+                df = df.drop(*self.partition_transforms)
         for col, op, val in predicates:
             c = F.col(col)
             df = df.filter(
@@ -166,6 +189,18 @@ class ParquetMergeTable:
         (the Iceberg snapshot-log analog enabling time travel/rollback).
         Single-writer by contract (see module docstring)."""
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        if self.partition_transforms:
+            from tlcn_oer_lakehouse_spark.sinks.partitioning import (
+                transform_column,
+            )
+
+            df = df.select(
+                "*",
+                *[
+                    transform_column(spec).alias(name)
+                    for name, spec in self.partition_transforms.items()
+                ],
+            )
         if self.cluster_by:
             if self.zorder and len(self.cluster_by) > 1:
                 from tlcn_oer_lakehouse_spark.sinks.manifest import with_zvalue

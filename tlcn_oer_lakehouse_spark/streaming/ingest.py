@@ -65,6 +65,50 @@ def merge_ingest(
     return writer.start()
 
 
+def scd2_ingest(
+    stream_df: DataFrame,
+    table: ParquetMergeTable,
+    key: str,
+    tracked_cols: list[str],
+    ts_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming type-2 dimension maintenance: each micro-batch is
+    latest-wins-deduped, then SCD2-merged into ``table`` (history rows
+    close out, new versions open at the batch's max event time).  The
+    same :mod:`~tlcn_oer_lakehouse_spark.operators.scd2` algebra runs in
+    batch and streaming — foreachBatch replay after a crash re-detects
+    zero changes, so the version chain never double-opens."""
+    from tlcn_oer_lakehouse_spark.operators.incremental import latest_wins
+    from tlcn_oer_lakehouse_spark.operators.scd2 import scd2_init, scd2_merge
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = latest_wins(batch_df, key, [ts_col])
+        ts = batch.agg(F.max(ts_col)).first()[0]
+        rows = batch.drop(ts_col)
+        if not table.exists():
+            table.create(scd2_init(rows, ts))
+            return
+        dim = table.read()
+        merged = scd2_merge(dim, rows, key, tracked_cols, ts)
+        # materialize off the table being overwritten (localCheckpoint —
+        # same lineage-cut as the components loop), then full refresh:
+        # SCD2 rewrites are row-level state transitions, not appends
+        table._write_snapshot(merged.localCheckpoint())
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def enrich_stream(
     stream_df: DataFrame,
     dim_df: DataFrame,
