@@ -56,6 +56,8 @@ from tlcn_oer_lakehouse_spark.sinks.manifest import (
 
 
 class ParquetMergeTable:
+    TOMBSTONE_DIR = "_tombstones"  # _-prefix: invisible to Spark's file listing
+
     def __init__(
         self,
         spark: SparkSession,
@@ -103,9 +105,20 @@ class ParquetMergeTable:
         # concurrent merge swaps the head, while version-dir paths stay
         # valid until vacuum drops that version — this is what makes
         # readers snapshot-isolated (see module docstring).
-        df = self.spark.read.parquet(os.path.realpath(self.path))
+        return self._read_snapshot_dir(os.path.realpath(self.path))
+
+    def _read_snapshot_dir(self, snap: str) -> DataFrame:
+        """Read one immutable snapshot dir: strip hidden partition
+        columns and apply merge-on-read tombstones (both pinned to this
+        snapshot — later head swaps don't affect the plan)."""
+        df = self.spark.read.parquet(snap)
         if self.partition_transforms:
             df = df.drop(*self.partition_transforms)
+        tomb = os.path.join(snap, self.TOMBSTONE_DIR)
+        if os.path.isdir(tomb):
+            df = df.join(
+                self.spark.read.parquet(tomb), self.key, "left_anti"
+            )
         return df
 
     def pruned_files(self, predicates: list[Predicate]) -> list[str] | None:
@@ -143,6 +156,11 @@ class ParquetMergeTable:
             df = self.spark.read.option("basePath", snap).parquet(*files)
             if self.partition_transforms:
                 df = df.drop(*self.partition_transforms)
+            tomb = os.path.join(snap, self.TOMBSTONE_DIR)
+            if os.path.isdir(tomb):
+                df = df.join(
+                    self.spark.read.parquet(tomb), self.key, "left_anti"
+                )
         for col, op, val in predicates:
             c = F.col(col)
             df = df.filter(
@@ -220,6 +238,11 @@ class ParquetMergeTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
         write_manifest(staging)  # footer-stats manifest rides inside the snapshot
+        self._publish(staging)
+
+    def _publish(self, staging: str) -> str:
+        """Rename ``staging`` to the next immutable version dir and swap
+        the head symlink to it (one atomic ``os.replace``)."""
         # one-time migration of a legacy plain-dir head to a version dir
         if os.path.isdir(self.path) and not os.path.islink(self.path):
             nums = self._all_version_nums()
@@ -231,6 +254,7 @@ class ParquetMergeTable:
         tmp_link = f"{self.path}__ln_{uuid.uuid4().hex[:8]}"
         os.symlink(os.path.basename(vdir), tmp_link)
         os.replace(tmp_link, self.path)  # atomic head swap
+        return vdir
 
     # -- time travel -------------------------------------------------------
 
@@ -240,7 +264,7 @@ class ParquetMergeTable:
         d = self._version_dir(version)
         if not os.path.isdir(d):
             raise ValueError(f"version {version} not retained for {self.path}")
-        return self.spark.read.parquet(d)
+        return self._read_snapshot_dir(d)
 
     def history(self) -> list[dict]:
         """Snapshot log: retained versions plus the current head."""
@@ -263,8 +287,10 @@ class ParquetMergeTable:
         if not os.path.isdir(d):
             raise ValueError(f"version {version} not retained for {self.path}")
         # the version dir itself is untouched by the head swap, so the
-        # lazy scan stays valid while the staging write runs
-        self._write_snapshot(self.spark.read.parquet(d))
+        # lazy scan stays valid while the staging write runs; reading
+        # through _read_snapshot_dir keeps that version's tombstones
+        # applied (the restored head materializes them copy-on-write)
+        self._write_snapshot(self._read_snapshot_dir(d))
 
     def vacuum(self, keep_last: int = 2) -> int:
         """Drop all but the newest ``keep_last`` retained versions.
@@ -352,6 +378,57 @@ class ParquetMergeTable:
             for f in files
             if f.endswith(".parquet")
         )
+
+    def delete_where_mor(self, predicates: list[Predicate]) -> int:
+        """Merge-on-read delete (Iceberg v2 delete-file analog): the new
+        snapshot HARDLINKS the current data files — no data rewrite, so
+        deleting 100 rows from a 100 TB table costs one key-file write —
+        and adds the matching keys to a ``_tombstones/`` parquet that
+        every reader anti-joins.  Copy-on-write paths (``merge_upsert``,
+        ``compact``, ``rollback``) read through the tombstones and drop
+        them in their rewritten snapshot, so tombstone debt never
+        outlives the next rewrite.  Returns the number of newly
+        tombstoned keys."""
+        if not self.exists():
+            return 0
+        snap = os.path.realpath(self.path)
+        doomed = self._read_snapshot_dir(snap)
+        for col, op, val in predicates:
+            c = F.col(col)
+            doomed = doomed.filter(
+                {"=": c == val, ">=": c >= val, ">": c > val,
+                 "<=": c <= val, "<": c < val}[op]
+            )
+        new_keys = doomed.select(self.key).distinct().persist()
+        n_new = new_keys.count()
+        if n_new == 0:
+            new_keys.unpersist()
+            return 0
+        tomb_src = os.path.join(snap, self.TOMBSTONE_DIR)
+        if os.path.isdir(tomb_src):
+            all_keys = (
+                self.spark.read.parquet(tomb_src)
+                .unionByName(new_keys)
+                .distinct()
+            )
+        else:
+            all_keys = new_keys
+        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        for root, dirs, files in os.walk(snap):
+            dirs[:] = [d for d in dirs if d != self.TOMBSTONE_DIR]
+            dst_root = os.path.join(staging, os.path.relpath(root, snap))
+            os.makedirs(dst_root, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(dst_root, f))
+        # data files and _manifest.json are shared with the old snapshot
+        # (relative paths unchanged -> manifest bounds stay sound: a
+        # tombstone only removes rows, never widens a file's range)
+        all_keys.write.mode("overwrite").parquet(
+            os.path.join(staging, self.TOMBSTONE_DIR)
+        )
+        new_keys.unpersist()
+        self._publish(staging)
+        return n_new
 
     def merge_delete(self, current_keys: DataFrame) -> int:
         """MERGE WHEN MATCHED THEN DELETE for keys absent from
