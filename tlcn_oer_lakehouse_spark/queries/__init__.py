@@ -74,6 +74,7 @@ _DEFER_PAST_WINDOW = frozenset({
     "td_unigram_surprisal",
     "w4_distribution_ranks",
     "o7_intersect_except",
+    "a_approx_percentile",
 })
 
 

@@ -443,6 +443,42 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def a_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """t-digest approximate percentiles next to the exact sort-based
+    aggregate — the 100 TB quantile path (a whole-corpus percentile
+    cannot afford the per-group sort).  Sketch internals are
+    engine-specific, so (same device as ``a_approx_count_distinct``) the
+    query emits the exact values plus a boolean asserting the sketch
+    landed within 1% — which IS oracle-checkable."""
+    li = load(spark, sf, "lineitem")
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000
+    )
+    exact = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
+    grp = li.groupBy("l_returnflag").agg(
+        approx.alias("ap"), exact.alias("ex")
+    )
+    within = (
+        (F.abs(F.col("ap")[0] - F.col("ex")[0]) <= 0.01 * F.col("ex")[0])
+        & (F.abs(F.col("ap")[1] - F.col("ex")[1]) <= 0.01 * F.col("ex")[1])
+    )
+    return grp.select(
+        "l_returnflag",
+        F.round(F.col("ex")[0], 6).alias("exact_p50"),
+        F.round(F.col("ex")[1], 6).alias("exact_p95"),
+        within.alias("approx_within_1pct"),
+    ).orderBy("l_returnflag")
+
+
+A_APPROX_PCTL_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+       true AS approx_within_1pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def a_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass table profiling (beyond reference — its DAG validation
     counts tables row-by-row): row count, distinct keys, null counts,
@@ -823,6 +859,11 @@ SPECS = [
     QuerySpec("a_exact_percentile", a_exact_percentile, A_PERCENTILE_SQL,
               ref="beyond reference; create_schema.py:272-290 quartile intent",
               doc="exact interpolated quartiles per return flag",
+              tags=("relational",)),
+    QuerySpec("a_approx_percentile", a_approx_percentile, A_APPROX_PCTL_SQL,
+              ref="beyond reference: t-digest quantile sketch with "
+                  "oracle-checkable 1% accuracy bound",
+              doc="approx p50/p95 vs exact, bound emitted as boolean",
               tags=("relational",)),
     QuerySpec("a_column_profile", a_column_profile, A_PROFILE_SQL,
               ref="beyond reference; single-pass ingest-gate profiling",
