@@ -49,33 +49,49 @@ _DRIVER_GREEN_R01 = frozenset({
 })
 
 
-# Deferred behind the green set to fit the 50-entry window (they get
-# driver rows next round, when the window frees up):
-# - td_token_budget_shards shares its oracle SQL and output contract
-#   with td_token_budget_shards_scalable (which stays in front);
-# - semantic_match_subjects is additionally pinned by the 8/8 accuracy
-#   harness (tests/test_semantic_matcher.py).
-# - mm_pdf_hierarchical chains queries already in the window
-#   (mm_pdf_pages + chunk_hierarchical) and is pinned by the U5→U7
-#   end-to-end pytest.
-_DEFER_PAST_WINDOW = frozenset({
-    "td_token_budget_shards",
-    "semantic_match_subjects",
+# Queries the round-2 driver verified green (CORRECTNESS_r02.json, all
+# hash_match=true).  Union of r01+r02 greens goes to the back of the
+# registry; everything never driver-sampled sorts to the front so the
+# driver's 50-entry round-3 window finally covers it.
+_DRIVER_GREEN_R02 = frozenset({
+    "a_approx_count_distinct", "s1_json_extraction", "j8_fk_validation",
+    "a6_collect_list_struct", "f_null_handling", "text_stats",
+    "text_quality_langid", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "ann_ivf_topk", "knn_bruteforce",
+    "ann_sign_bucket", "dedup_embedding_cosine", "q4_keyword_extract",
+    "q5_context_rerank", "q7_index_diff", "q3_hybrid_lang_weighted",
+    "q1_inverted_index", "text_cdc_fingerprint", "q1_bm25_topk",
+    "q3_hybrid_fusion", "silver_normalize", "k1_merge_upsert",
+    "k2_merge_delete", "gold_fact_coverage", "gold_dim_customer",
+    "gold_bridge_weighted", "chunk_token_windows", "chunk_char_budget",
+    "chunk_hierarchical", "summarize_extractive", "st_tumbling_window",
+    "st_sliding_window", "st_session_window", "mm_binary_metadata",
+    "mm_image_features", "mm_frame_sample", "mm_pdf_pages", "mm_pdf_toc",
+    "match_subjects", "embed_documents", "embed_and_rank",
+    "td_train_test_split", "td_stratified_sample", "td_corpus_mixing",
+    "td_token_budget_shards_scalable", "td_vocab_coverage",
+    "td_contamination_check",
+})
+
+# The 14 registry entries that have never received a driver CORRECTNESS
+# row (VERDICT r2 "Next round" task 1) — pinned to the very front of the
+# round-3 window.  All are in-repo DuckDB-oracle green at sf0.01.
+_NEVER_SAMPLED_FIRST = (
     "mm_pdf_hierarchical",
-    "td_data_card",
+    "pii_scrub",
     "dedup_clusters",
     "td_pack_sequences",
-    "ann_kmeans_assign",
-    # new in round 2 after the window was frozen (in-repo oracle-checked;
-    # driver rows round 3):
-    "pii_scrub",
+    "td_data_card",
     "td_repetition_quality",
-    "j_range_interval",
     "td_unigram_surprisal",
-    "w4_distribution_ranks",
-    "o7_intersect_except",
+    "td_token_budget_shards",
     "a_approx_percentile",
-})
+    "ann_kmeans_assign",
+    "j_range_interval",
+    "o7_intersect_except",
+    "semantic_match_subjects",
+    "w4_distribution_ranks",
+)
 
 
 def _collect() -> dict[str, QuerySpec]:
@@ -89,14 +105,20 @@ def _collect() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query name: {spec.name}")
             registry[spec.name] = spec
     order = list(registry)
-    unchecked_first = sorted(
-        order,
-        key=lambda n: (
-            n in _DRIVER_GREEN_R01 or n in _DEFER_PAST_WINDOW,
-            order.index(n),
-        ),
-    )
-    return {n: registry[n] for n in unchecked_first}
+    pinned = {n: i for i, n in enumerate(_NEVER_SAMPLED_FIRST)}
+    green = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
+
+    def rank(n: str) -> tuple[int, int]:
+        # 0: never-driver-sampled round-2 backlog (pinned order);
+        # 1: brand-new round-3 queries (never sampled either);
+        # 2: already driver-green in r01/r02 — back of the line.
+        if n in pinned:
+            return (0, pinned[n])
+        if n not in green:
+            return (1, order.index(n))
+        return (2, order.index(n))
+
+    return {n: registry[n] for n in sorted(order, key=rank)}
 
 
 REGISTRY: dict[str, QuerySpec] = _collect()
