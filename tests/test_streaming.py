@@ -13,6 +13,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from tlcn_oer_lakehouse_spark.queries.base import load_events
 from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
 from tlcn_oer_lakehouse_spark.streaming.ingest import (
     enrich_stream,
@@ -60,21 +61,8 @@ def test_merge_ingest_two_batches(spark, tmp_path):
 def test_windowed_stream_matches_batch(spark, tmp_path):
     """The watermarked streaming aggregation over a finite file stream
     produces exactly the batch tumbling-window result."""
-    ev_schema = StructType(
-        [
-            StructField("ts", LongType()),  # ns (nanosAsLong)
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select(
-            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
-            "event_type",
-            "value",
-        )
+    src = load_events(spark, "/root/testdata/sf0.001").select(
+        "ts", "event_type", "value"
     )
     landing = str(tmp_path / "ev")
     src.coalesce(2).write.mode("overwrite").parquet(landing)

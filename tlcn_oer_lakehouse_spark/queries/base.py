@@ -15,9 +15,13 @@ Determinism contract (so value-hashes match bit-for-bit across engines):
 - Per-row scalar double math (``a * (1-b)``) is IEEE-754 deterministic and
   identical across engines; derived ratios divide a decimal-exact sum cast
   to double by an exact count.
-- ``events.ts`` is nanosecond-precision parquet; Spark truncates to µs
-  while DuckDB keeps ns — every use must ``date_trunc`` to second or
-  coarser on BOTH sides.
+- ``events.ts`` arrives in one of two parquet encodings depending on the
+  testdata generation: TIMESTAMP(NANOS) (read by Spark as epoch-ns BIGINT
+  via ``nanosAsLong``) or ``timestamp[us]`` (read as TIMESTAMP_NTZ).
+  :func:`load_events` normalises both to the same ``ts_ns``/``ts_sec``/
+  ``ts`` columns; DuckDB's ``epoch_ns(ts)`` handles both natively.  Every
+  sub-second use must still ``date_trunc`` to second or coarser on BOTH
+  sides (Spark timestamps are µs at best).
 - Output columns are aliased identically in builder and oracle (the driver
   sorts columns by name before hashing).
 """
@@ -57,27 +61,55 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table with nanosecond-timestamp handling.
+    """Load the events table, normalising either ``ts`` encoding.
 
-    Spark 4 rejects parquet TIMESTAMP(NANOS) outright
-    (PARQUET_TYPE_ILLEGAL); ``spark.sql.legacy.parquet.nanosAsLong``
-    reads it as epoch-nanosecond BIGINT.  We set the conf at runtime so
-    the driver's own session works too, then derive:
+    The generated ``events.parquet`` has shipped with two encodings of
+    ``ts`` over time, and this loader accepts both:
 
-    - ``ts_ns``  — raw epoch nanoseconds (BIGINT)
+    - parquet TIMESTAMP(NANOS): Spark 4 rejects it outright
+      (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+      is set, which reads it as epoch-nanosecond BIGINT.  We set the conf
+      before the read so the driver's own session works too.
+    - parquet ``timestamp[us]``: read natively as TIMESTAMP_NTZ (or
+      TIMESTAMP when NTZ inference is off); micros are extracted
+      timezone-free and scaled to ns.
+
+    Either way the returned frame exposes the same three columns:
+
+    - ``ts_ns``  — raw epoch nanoseconds (BIGINT; for µs sources this is
+      micros × 1000, which is exactly what DuckDB's ``epoch_ns`` yields)
     - ``ts_sec`` — epoch seconds via integer division (``div`` keeps the
       math in BIGINT; double division would lose precision at 1.7e18)
     - ``ts``     — second-truncated TIMESTAMP
 
     DuckDB oracle equivalents: ``epoch_ns(ts)``, ``epoch_ns(ts)//1000000000``,
-    ``make_timestamp((epoch_ns(ts)//1000000000) * 1000000)``.
+    ``make_timestamp((epoch_ns(ts)//1000000000) * 1000000)`` — DuckDB's
+    ``epoch_ns`` is encoding-agnostic, so oracles are unchanged.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype == "bigint":
+        # TIMESTAMP(NANOS) source read as epoch-ns LONG via nanosAsLong.
+        ev = ev.withColumnRenamed("ts", "ts_ns")
+    else:
+        # timestamp[us] source.  Extract raw micros without any timezone
+        # interpretation: TIMESTAMP_NTZ diffs against the NTZ epoch;
+        # TIMESTAMP (ltz) uses unix_micros, which is already tz-free.
+        if ts_dtype == "timestamp_ntz":
+            micros = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts_ns)"
+            )
+        else:
+            micros = F.unix_micros(F.col("ts_ns"))
+        # Rename first, then replace in place: keeps ts_ns at ts's original
+        # column position so the frame's schema is identical on both paths.
+        ev = ev.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts_ns", micros * F.lit(1000).cast("long")
+        )
     return (
-        ev.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+        ev.withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
         .withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
     )
