@@ -8,6 +8,11 @@ Runs the headline queries (tag "bench" in the registry) at
 Each query is forced to full execution via a count-style action that
 consumes every row (``write.format("noop")``) so the measured time is the
 whole plan, not a limit-k shortcut.
+
+Fault isolation: every query (and every stage probe) runs inside its own
+try/except — a failing builder costs one ``{"err": ...}`` row in the
+output, never the whole JSON line.  Round 3 lost its entire perf signal
+because one broken loader aborted the loop before anything printed.
 """
 
 from __future__ import annotations
@@ -30,29 +35,41 @@ def main() -> None:
     bench_specs = {n: s for n, s in sorted(REGISTRY.items()) if "bench" in s.tags}
 
     # warm the JVM + parquet footers once with the cheapest query
-    first = next(iter(bench_specs.values()))
-    first.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        first = next(iter(bench_specs.values()))
+        first.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warmup is best-effort; the timed run below reports the error
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors = 0
     for name, spec in bench_specs.items():
         t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — one row, not the round
+            errors += 1
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
-    total = round(sum(timings.values()), 4)
+    try:
+        stages = _stage_timings(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        stages = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stages": _stage_timings(spark, sf_dir),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "stages": stages,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 
@@ -77,26 +94,34 @@ def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
-    out: dict[str, float] = {}
-    corpus = augmented_corpus(spark, sf_dir)
-    sh = shingle_rows(corpus, "doc_id", "text", 3).persist()
-    out["minhash.shingles"] = run("shingles", sh)
-    sigs = sh.groupBy("doc").agg(
-        *[
-            F.min((F.col("bh") * (i * 4097 + 1) + i * 12289) % 2_147_483_647).alias(f"h{i}")
-            for i in range(16)
-        ],
-        F.count(F.lit(1)).alias("n_shingles"),
-    ).persist()
-    out["minhash.signatures"] = run("signatures", sigs)
-    cands = minhash_lsh_candidate_pairs(sigs, 16, 4).persist()
-    out["minhash.candidates"] = run("candidates", cands)
-    out["minhash.verify"] = run(
-        "verify", jaccard_verify_from(sh, cands, sizes=sigs.select("doc", "n_shingles"))
-    )
-    for df in (cands, sigs, sh):
-        df.unpersist()
-    out["contamination.full"] = run("contamination", contamination_check(spark, sf_dir))
+    out: dict[str, object] = {}
+    try:
+        corpus = augmented_corpus(spark, sf_dir)
+        sh = shingle_rows(corpus, "doc_id", "text", 3).persist()
+        out["minhash.shingles"] = run("shingles", sh)
+        sigs = sh.groupBy("doc").agg(
+            *[
+                F.min((F.col("bh") * (i * 4097 + 1) + i * 12289) % 2_147_483_647).alias(f"h{i}")
+                for i in range(16)
+            ],
+            F.count(F.lit(1)).alias("n_shingles"),
+        ).persist()
+        out["minhash.signatures"] = run("signatures", sigs)
+        cands = minhash_lsh_candidate_pairs(sigs, 16, 4).persist()
+        out["minhash.candidates"] = run("candidates", cands)
+        out["minhash.verify"] = run(
+            "verify", jaccard_verify_from(sh, cands, sizes=sigs.select("doc", "n_shingles"))
+        )
+        for df in (cands, sigs, sh):
+            df.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        out["minhash.err"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        out["contamination.full"] = run(
+            "contamination", contamination_check(spark, sf_dir)
+        )
+    except Exception as exc:  # noqa: BLE001
+        out["contamination.err"] = f"{type(exc).__name__}: {exc}"[:500]
     return out
 
 
