@@ -73,24 +73,31 @@ _DRIVER_GREEN_R02 = frozenset({
     "td_contamination_check",
 })
 
-# The 14 registry entries that have never received a driver CORRECTNESS
-# row (VERDICT r2 "Next round" task 1) — pinned to the very front of the
-# round-3 window.  All are in-repo DuckDB-oracle green at sf0.01.
-_NEVER_SAMPLED_FIRST = (
-    "mm_pdf_hierarchical",
-    "pii_scrub",
-    "dedup_clusters",
-    "td_pack_sequences",
-    "td_data_card",
-    "td_repetition_quality",
-    "td_unigram_surprisal",
-    "td_token_budget_shards",
-    "a_approx_percentile",
-    "ann_kmeans_assign",
+# Queries the round-3 driver verified green (CORRECTNESS_r03.json,
+# hash_match=true) beyond the r01/r02 unions — the previously
+# never-sampled backlog plus fresh TPC-H re-samples.
+_DRIVER_GREEN_R03 = frozenset({
+    "mm_pdf_hierarchical", "pii_scrub", "dedup_clusters", "td_pack_sequences",
+    "td_data_card", "td_repetition_quality", "td_unigram_surprisal",
+    "td_token_budget_shards", "a_approx_percentile", "ann_kmeans_assign",
+    "o7_intersect_except", "semantic_match_subjects", "w4_distribution_ranks",
+})
+
+# Round-4 priority window (VERDICT r3 "Next round" task 3): the 8
+# events-dependent queries broken by the regenerated testdata's
+# timestamp[us] encoding and repaired by the load_events dtype branch.
+# They need fresh driver rows — their r01/r02 greens are stale and
+# `j_range_interval` has NEVER had a green driver row (its only sample,
+# round 3, hit the loader bug).
+_REPAIRED_FIRST = (
     "j_range_interval",
-    "o7_intersect_except",
-    "semantic_match_subjects",
-    "w4_distribution_ranks",
+    "j_asof_event_order",
+    "s1_json_extraction",
+    "f_null_handling",
+    "silver_normalize",
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
 )
 
 
@@ -105,13 +112,13 @@ def _collect() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query name: {spec.name}")
             registry[spec.name] = spec
     order = list(registry)
-    pinned = {n: i for i, n in enumerate(_NEVER_SAMPLED_FIRST)}
-    green = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
+    pinned = {n: i for i, n in enumerate(_REPAIRED_FIRST)}
+    green = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R03
 
     def rank(n: str) -> tuple[int, int]:
-        # 0: never-driver-sampled round-2 backlog (pinned order);
-        # 1: brand-new round-3 queries (never sampled either);
-        # 2: already driver-green in r01/r02 — back of the line.
+        # 0: repaired events-dependent queries needing fresh driver rows;
+        # 1: brand-new round-4 queries (never sampled);
+        # 2: already driver-green on current-valid rows — back of the line.
         if n in pinned:
             return (0, pinned[n])
         if n not in green:
