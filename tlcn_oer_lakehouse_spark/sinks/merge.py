@@ -495,9 +495,21 @@ def sql_merge_upsert(
             f"WHERE NOT EXISTS (SELECT 1 FROM __merge_src s WHERE s.{key} = t.{key}) "
             f"UNION ALL SELECT {', '.join(columns)} FROM __merge_src"
         )
-        # materialize before overwriting the table being read
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").insertInto(
-            target_table, overwrite=True
-        )
+        # Materialize to a staging path before overwriting the table being
+        # read — executor-side, never through the driver (a .collect()
+        # here is a driver OOM at scale).  The warehouse dir is shared
+        # storage on a real cluster, so staging there works everywhere.
+        import uuid
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        staging = f"{warehouse}/__merge_staging_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(staging)
+        try:
+            spark.read.parquet(staging).write.mode("overwrite").insertInto(
+                target_table, overwrite=True
+            )
+        finally:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
         return "rewrite"
