@@ -63,6 +63,12 @@ class TestTextProperties:
         q = _one(spark, t, quality_score(F.col("t")))
         assert 0.0 <= q <= 1.0
 
+    def test_quality_score_empty_doc_is_zero(self, spark):
+        # ADVICE r02 #3: split('') yields [''] so an empty/whitespace doc
+        # used to score ~0.6; it must score exactly 0
+        for t in ("", "   ", "\t\n"):
+            assert _one(spark, t, quality_score(F.col("t"))) == 0.0
+
     @SETTINGS
     @given(t=texts, n=st.integers(min_value=2, max_value=4))
     def test_shingle_count(self, spark, t, n):

@@ -109,9 +109,10 @@ def quality_score(c: Column) -> Column:
     distinct_ratio = F.size(F.array_distinct(toks)) / n
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / n
     length_comp = F.least(n / F.lit(100.0), F.lit(1.0))
-    # guard on trimmed LENGTH, not token count: split('') yields [''] so
-    # size(tokens) is never 0 and empty/whitespace docs would score ~0.6
-    nonempty = F.length(F.trim(c)) > 0
+    # guard on any non-whitespace char, not token count: split('') yields
+    # [''] so size(tokens) is never 0, and trim() only strips 0x20 so a
+    # tab/newline-only doc would still score ~0.6
+    nonempty = F.length(F.regexp_replace(c, r"\s", "")) > 0
     return F.when(nonempty,
                   F.lit(0.4) * length_comp
                   + F.lit(0.3) * distinct_ratio

@@ -137,7 +137,7 @@ def _langid_oracle() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, lang,
-         length(trim(text)) > 0 AS nonempty,
+         length(regexp_replace(text, '\\s', '', 'g')) > 0 AS nonempty,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
   FROM documents
 ), scored AS (

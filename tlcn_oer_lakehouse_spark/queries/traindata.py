@@ -389,7 +389,7 @@ WITH __CORPUS__
 , stats AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\\w+')) AS n_tokens,
-         round(CASE WHEN length(trim(text)) > 0 THEN
+         round(CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0 THEN
              0.4 * least(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) / 100.0, 1.0)
            + 0.3 * (len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
                     / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
