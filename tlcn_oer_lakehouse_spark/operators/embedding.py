@@ -53,20 +53,45 @@ class HashEmbedder:
     def encode_batch(self, texts: pd.Series) -> pd.Series:
         return texts.map(self.encode_one)
 
+    def encode(self, texts: list[str]):
+        """The sentence-transformers batch API (model.encode(sentences) →
+        sequence of vectors) so this stand-in is call-compatible with a
+        real pretrained model (elasticsearch_sync.py:397 calls exactly
+        this surface)."""
+        return [self.encode_one(t) for t in texts]
 
-def embed_text_udf(dim: int = 16):
-    """Iterator-of-series pandas UDF with once-per-worker model init."""
+
+def embed_text_udf(dim: int = 16, model_factory=None):
+    """Iterator-of-series pandas UDF with once-per-worker model init.
+
+    ``model_factory`` is a zero-arg callable executed once per Python
+    worker process returning any object exposing the sentence-transformers
+    surface ``encode(list[str]) -> sequence of float vectors`` (numpy
+    arrays accepted).  Default: the deterministic :class:`HashEmbedder`.
+    Passing ``lambda: SentenceTransformer("intfloat/multilingual-e5-base")``
+    is the production path — nothing else changes.
+    """
+    factory = model_factory if model_factory is not None else (
+        lambda: HashEmbedder(dim)
+    )
 
     @F.pandas_udf("array<double>")
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        model = HashEmbedder(dim)  # loaded once per python worker
+        model = factory()  # loaded once per python worker
         for texts in batches:
-            yield model.encode_batch(texts)
+            vecs = model.encode(texts.fillna("").tolist())
+            yield pd.Series([[float(x) for x in v] for v in vecs])
 
     return _embed
 
 
 def embed_documents(
-    df: DataFrame, text_col: str = "text", dim: int = 16, out_col: str = "embedding"
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 16,
+    out_col: str = "embedding",
+    model_factory=None,
 ) -> DataFrame:
-    return df.withColumn(out_col, embed_text_udf(dim)(F.col(text_col)))
+    return df.withColumn(
+        out_col, embed_text_udf(dim, model_factory)(F.col(text_col))
+    )

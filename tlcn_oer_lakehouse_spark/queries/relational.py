@@ -101,6 +101,36 @@ FROM range(0, 30) t(i)
 """
 
 
+def s8_inferred_reference(spark: SparkSession, sf: str) -> DataFrame:
+    """S8: dynamic schema inference for API-scraped reference records
+    (transformer.py:1365-1408, giaotrinh_reference_loader.py) — ragged
+    record dicts become a typed frame: union-of-keys columns, declared
+    integer coercion (unparseable → null), nested values JSON-stringified,
+    remaining types from each column's first non-null sample."""
+    from tlcn_oer_lakehouse_spark.sources.reference_records import (
+        records_to_dataframe,
+    )
+
+    records = [
+        {"subject_id": "7", "subject_name": "Toan", "level": 1,
+         "meta": {"ten": "Toán", "code": "MATH"}},
+        {"subject_id": 12, "subject_name": "Vat ly", "level": 2, "active": True},
+        {"subject_id": "x9", "subject_name": "Hoa hoc", "weight": 2.5,
+         "tags": ["a", "b"]},
+    ]
+    return records_to_dataframe(spark, records, integer_cols=["subject_id"])
+
+
+S8_SQL = """
+SELECT * FROM (VALUES
+  (CAST(NULL AS BOOLEAN), 1, '{"ten": "Toán", "code": "MATH"}', 7,
+   'Toan', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+  (true, 2, NULL, 12, 'Vat ly', NULL, NULL),
+  (NULL, NULL, NULL, NULL, 'Hoa hoc', '["a", "b"]', CAST(2.5 AS DOUBLE))
+) AS t(active, level, meta, subject_id, subject_name, tags, weight)
+"""
+
+
 # ---------------------------------------------------------------------------
 # P — projection / derived columns / predicates
 # ---------------------------------------------------------------------------
@@ -823,6 +853,9 @@ SPECS = [
     QuerySpec("s6_range_source", s6_range_source, S6_SQL,
               ref="gold_analytics.py:399 (S6 range source)",
               doc="range → date spine", tags=("scan",)),
+    QuerySpec("s8_inferred_reference", s8_inferred_reference, S8_SQL,
+              ref="transformer.py:1365-1408 (dynamic reference schema inference)",
+              doc="union-of-keys record inference → typed dim", tags=("scan",)),
     QuerySpec("p2_derived_columns", p2_derived_columns, P2_SQL,
               ref="transformer.py:1603-1608 (P2 withColumn chains)",
               doc="string derivation chain", tags=("project",)),
