@@ -316,6 +316,120 @@ ORDER BY doc_id, chapter_number
 """
 
 
+def mm_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode round-trip: per-doc PCM WAV payloads are
+    synthesized from a closed-form integer waveform (sample i of doc d is
+    ``((d*31 + i*7) % 2001) - 1000``, sample rate ``8000 + (d%3)*4000``,
+    ``200 + (d%57)*10`` samples), encoded to RIFF bytes with
+    functions/wavio.py, then decoded back by the wav_features operator.
+    The oracle replays the closed form directly — if either the encoder
+    or the chunk-walking decoder is wrong, features cannot match."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.wavio import write_wav
+    from tlcn_oer_lakehouse_spark.operators.multimodal import wav_features
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                sr = 8000 + (d % 3) * 4000
+                n = 200 + (d % 57) * 10
+                i = np.arange(n, dtype=np.int64)
+                smp = ((d * 31 + i * 7) % 2001 - 1000).astype("<i2")
+                payloads.append(write_wav(smp, sr))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    wavs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return wav_features(wavs)
+
+
+MM_WAV_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS sr,
+         200 + (doc_id % 57) * 10 AS n
+  FROM documents
+),
+v AS (
+  SELECT doc_id, sr, n, ((doc_id * 31 + i * 7) % 2001) - 1000 AS smp
+  FROM (SELECT doc_id, sr, n, unnest(generate_series(0, n - 1)) AS i FROM p)
+)
+SELECT doc_id,
+       CAST(sr AS INT) AS sample_rate,
+       1 AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) / sr AS duration_sec,
+       sqrt(CAST(SUM(smp * smp) AS DOUBLE) / n) AS rms_amplitude,
+       CAST(MAX(abs(smp)) AS BIGINT) AS peak_amplitude,
+       'ok' AS decode_status
+FROM v
+GROUP BY doc_id, sr, n
+"""
+
+
+def mm_image_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode round-trip: per-doc P5 (grayscale netpbm)
+    rasters are synthesized from a closed-form pixel function
+    (``pixel(y, x) = (d*7 + y*w + x) * 31 % 256`` at ``w = 8 + d%13``,
+    ``h = 6 + d%11``), encoded with functions/netpbm.py, decoded back by
+    the image_features operator (dims, exact mean luma, nearest-neighbor
+    thumbnail).  The oracle replays the closed form, including the
+    thumbnail's stride selection — the md5 column is dropped only because
+    SQL engines hash VARCHARs, not raw blobs; thumb_pixel_sum pins the
+    same content."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.netpbm import write_pgm
+    from tlcn_oer_lakehouse_spark.operators.multimodal import image_features
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 13, 6 + d % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = ((d * 7 + yy * w + xx) * 31 % 256).astype(np.uint8)
+                payloads.append(write_pgm(px))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return image_features(imgs, thumb_side=4).drop("thumb_md5")
+
+
+MM_IMAGE_SQL = """
+WITH p AS (
+  SELECT doc_id, 8 + doc_id % 13 AS w, 6 + doc_id % 11 AS h,
+         CAST(ceil(greatest(8 + doc_id % 13, 6 + doc_id % 11) / 4.0) AS BIGINT) AS k
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, k, y, x,
+         (doc_id * 7 + y * w + x) * 31 % 256 AS v
+  FROM (SELECT doc_id, w, h, k, unnest(generate_series(0, h - 1)) AS y FROM p),
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x)
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       1 AS channels,
+       CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_luma,
+       CAST(CAST(ceil(w / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_width,
+       CAST(CAST(ceil(h / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_height,
+       CAST(SUM(CASE WHEN y % k = 0 AND x % k = 0 THEN v ELSE 0 END) AS BIGINT)
+         AS thumb_pixel_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h, k
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_metadata", mm_binary_metadata, MM_META_SQL,
               ref="transformer.py:570-609 (S7/U4 asset stat enrichment)",
@@ -339,4 +453,12 @@ SPECS = [
               ref="transformer.py:689-709 ∘ 895-1119 (U5→U7 chain on real bytes)",
               doc="typeset→parse→3-tier chunk; oracle = tier algebra on source text",
               tags=("multimodal", "pdf")),
+    QuerySpec("mm_wav_decode", mm_wav_decode, MM_WAV_SQL,
+              ref="transformer.py:570-609 (S7 media assets) — real PCM decode",
+              doc="RIFF encode→chunk-walk decode→amplitude features round trip",
+              tags=("multimodal", "audio")),
+    QuerySpec("mm_image_decode", mm_image_decode, MM_IMAGE_SQL,
+              ref="transformer.py:689-709 (U5 decode shape) — real raster decode",
+              doc="netpbm encode→decode→luma/thumbnail features round trip",
+              tags=("multimodal", "image")),
 ]
