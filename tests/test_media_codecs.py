@@ -135,3 +135,43 @@ class TestDecodeOperators:
         assert decode_asset(df, "wav").collect()[0].decode_status == "ok"
         with pytest.raises(NotImplementedError):
             decode_asset(df, "jpeg")
+
+
+class TestCodecProperties:
+    """Hypothesis round-trips: encode∘decode is identity for arbitrary
+    sample arrays / rasters — pure-Python, no Spark jobs, so examples
+    are cheap."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0,
+                 max_size=300),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_wav_round_trip_any_samples(self, samples, sr):
+        smp = np.array(samples, dtype=np.int16)
+        out, got_sr, ch = read_wav(write_wav(smp, sr))
+        assert got_sr == sr and ch == 1
+        assert np.array_equal(out, smp)
+
+    @given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40),
+           st.integers(min_value=0, max_value=2**32 - 1))
+    @settings(max_examples=50, deadline=None)
+    def test_pgm_round_trip_any_raster(self, w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(read_netpbm(write_pgm(px)), px)
+
+    @given(st.integers(min_value=1, max_value=64), st.integers(min_value=1, max_value=64),
+           st.integers(min_value=1, max_value=16))
+    @settings(max_examples=50, deadline=None)
+    def test_downsample_dims_formula(self, w, h, max_side):
+        px = np.zeros((h, w), dtype=np.uint8)
+        th = downsample_nearest(px, max_side)
+        k = max(1, -(-max(h, w) // max_side))
+        assert th.shape == (-(-h // k), -(-w // k))
+        # ceil(m / ceil(m / s)) <= s: the thumbnail never exceeds max_side
+        assert max(th.shape) <= max_side
