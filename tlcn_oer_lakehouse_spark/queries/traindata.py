@@ -503,6 +503,145 @@ ORDER BY m.seq_id
 """
 
 
+def td_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole corpus-preparation pipeline as ONE composed DataFrame
+    plan — what a user actually runs at 100 TB: score (quality + langid)
+    → gate (quality ≥ 0.55) → exact-dedup (canonical = min doc_id per
+    content fingerprint) → sliding-window chunk → hash split → per
+    (split, lang_pred) manifest.  Every stage is the same operator the
+    standalone registry queries verify; this entry verifies their
+    COMPOSITION end-to-end against one oracle.
+
+    Plan shape (audited via .explain): 4 keyed shuffles (fingerprint
+    window, two manifest groupBys, chunk→meta doc_id join — broadcast at
+    test SF) and zero nested-loop joins or global windows; chunking is
+    array expressions inside codegen.  The canon branch fans out to two
+    consumers, so Spark scans the source once per branch — at 100 TB
+    persist canon (or materialize the silver table between stages, as
+    pipelines/medallion.py does); it stays unpersisted here so the
+    oracle comparison covers the full recompute."""
+    from tlcn_oer_lakehouse_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+    from tlcn_oer_lakehouse_spark.operators.chunking import token_window_chunks
+
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.round(quality_score(F.col("text")), 9).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.55)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canon = (
+        kept.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    b = _bucket(F.col("doc_id"), 100)
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    meta = canon.select("doc_id", "quality", "lang_pred", split.alias("split"))
+    doc_stats = meta.groupBy("split", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("quality").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+    )
+    chunks = token_window_chunks(canon, "doc_id", "text", window=50, stride=40)
+    chunk_stats = (
+        chunks.join(meta.select("doc_id", "split", "lang_pred"), "doc_id")
+        .groupBy("split", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("sum_tokens"),
+        )
+    )
+    return (
+        doc_stats.join(chunk_stats, ["split", "lang_pred"], "left")
+        .select(
+            "split",
+            "lang_pred",
+            "n_docs",
+            "mean_quality",
+            F.coalesce("n_chunks", F.lit(0).cast("long")).alias("n_chunks"),
+            F.coalesce("sum_tokens", F.lit(0).cast("long")).alias("sum_tokens"),
+        )
+    )
+
+
+def _pipeline_e2e_sql() -> str:
+    from tlcn_oer_lakehouse_spark.functions.text import EN_STOPWORDS, LANG_MARKERS
+
+    score_exprs = []
+    for lang, ms in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in ms)
+        score_exprs.append(
+            f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    ladder = " ".join(f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs)
+    stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(regexp_replace(text, '\\s', '', 'g')) > 0 AS nonempty,
+         string_split({norm}, ' ') AS tk
+  FROM documents
+), sc AS (
+  SELECT doc_id, text, tk, nonempty, {', '.join(score_exprs)},
+         len(tk) AS n, len(list_distinct(tk)) AS nd,
+         len(list_filter(tk, t -> list_contains([{stop_list}], t))) AS nstop
+  FROM base
+), scored AS (
+  SELECT doc_id, text, tk,
+         round(CASE WHEN nonempty THEN
+           0.4 * least(n / 100.0, 1.0) + 0.3 * (nd / n) + 0.3 * (1.0 - nstop / n)
+         ELSE 0.0 END, 9) AS quality,
+         CASE WHEN {m} <= 0 THEN 'und' {ladder} END AS lang_pred
+  FROM sc
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.55
+), canon AS (
+  SELECT doc_id, text, tk, quality, lang_pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), meta AS (
+  SELECT doc_id, quality, lang_pred,
+         CASE WHEN {_bucket_sql('doc_id', 100)} < 80 THEN 'train'
+              WHEN {_bucket_sql('doc_id', 100)} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM canon
+), wins AS (
+  SELECT doc_id,
+         len(string_split(array_to_string(tk[s:s+49], ' '), ' ')) AS chunk_tokens
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(1, len(tk)), 40)) AS s
+        FROM canon)
+  WHERE s = 1 OR s - 40 + 50 - 1 < len(tk)
+), doc_stats AS (
+  SELECT split, lang_pred, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+           AS mean_quality
+  FROM meta GROUP BY 1, 2
+), chunk_stats AS (
+  SELECT split, lang_pred, COUNT(*) AS n_chunks,
+         CAST(SUM(chunk_tokens) AS BIGINT) AS sum_tokens
+  FROM wins JOIN meta USING (doc_id) GROUP BY 1, 2
+)
+SELECT split, lang_pred, n_docs, mean_quality,
+       coalesce(n_chunks, 0) AS n_chunks,
+       coalesce(sum_tokens, 0) AS sum_tokens
+FROM doc_stats LEFT JOIN chunk_stats USING (split, lang_pred)
+"""
+
+
 SPECS = [
     QuerySpec("td_train_test_split", train_test_split, SPLIT_SQL,
               ref="new capability (training-data pipeline; hash-deterministic split)",
@@ -541,4 +680,9 @@ SPECS = [
               ref="new capability (train->test 5-gram contamination)",
               doc="per-test-doc contaminated-shingle rate vs train set",
               tags=("traindata", "bench")),
+    QuerySpec("td_pipeline_e2e", td_pipeline_e2e, _pipeline_e2e_sql(),
+              ref="composition: transformer.py silver flow re-shaped as one plan "
+                  "(score→gate→dedup→chunk→split→manifest)",
+              doc="whole corpus-prep pipeline composed end-to-end, one oracle",
+              tags=("traindata", "pipeline")),
 ]
