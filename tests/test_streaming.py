@@ -346,3 +346,82 @@ def test_scd2_streaming_dimension(spark, tmp_path):
     _land([(1, "pro", t2)], "b3")
     _run()
     assert table.read().count() == 3
+
+
+def test_corpus_prep_ingest_gates_dedups_and_chunks(spark, tmp_path):
+    """Streaming corpus-prep twin of td_pipeline_e2e: quality-gated,
+    deduped within batch AND against the admitted corpus, chunked with
+    the batch chunker; replayed duplicates are no-ops."""
+    import glob
+
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        corpus_prep_ingest,
+        landing_stream,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    schema = "doc_id long, text string"
+    landing = str(tmp_path / "landing")
+    # batch 1: doc 1 good, doc 2 exact dup of doc 1 (loses, higher id),
+    # doc 3 empty (quality 0 -> gated out), doc 4 distinct good doc
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, "   "), (4, base + " extra tokens here")],
+        schema,
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "corpus"), key="doc_id",
+        fingerprint_col="record_fingerprint",
+    )
+    chunks_dir = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = corpus_prep_ingest(
+        landing_stream(spark, f"{landing}/*", _parse(schema)),
+        table, chunks_dir, ckpt,
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in table.read().collect()) == [1, 4]
+
+    # batch 2: doc 5 duplicates the ADMITTED doc 1 -> rejected by the
+    # corpus anti-join; doc 6 is new
+    spark.createDataFrame(
+        [(5, base), (6, "totally fresh content words appear in this document now")],
+        schema,
+    ).coalesce(1).write.parquet(f"{landing}/b2")
+    q2 = corpus_prep_ingest(
+        landing_stream(spark, f"{landing}/*", _parse(schema)),
+        table, chunks_dir, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.doc_id for r in table.read().collect()) == [1, 4, 6]
+
+    chunks = spark.read.parquet(chunks_dir)
+    got_docs = sorted(r.doc_id for r in chunks.select("doc_id").distinct().collect())
+    assert got_docs == [1, 4, 6]
+    # chunker parity: same operator as the batch path on the same docs
+    from tlcn_oer_lakehouse_spark.operators.chunking import token_window_chunks
+
+    admitted = spark.createDataFrame(
+        [(1, base), (4, base + " extra tokens here"),
+         (6, "totally fresh content words appear in this document now")],
+        schema,
+    )
+    want = sorted(
+        (r.doc_id, r.chunk_order, r.chunk_text)
+        for r in token_window_chunks(admitted, "doc_id", "text").collect()
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_order, r.chunk_text) for r in chunks.collect()
+    )
+    assert got == want
+
+
+def _parse(ddl):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)

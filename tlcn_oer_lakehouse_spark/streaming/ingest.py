@@ -226,3 +226,82 @@ def near_dup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_prep_ingest(
+    stream_df: DataFrame,
+    corpus_table: ParquetMergeTable,
+    chunks_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.55,
+    window: int = 50,
+    stride: int = 40,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of queries/traindata.py:td_pipeline_e2e — the whole
+    corpus-prep flow applied incrementally at ingest: each micro-batch is
+    (1) scored (quality + langid) and gated, (2) exact-deduped against
+    BOTH itself (min id wins) and the already-admitted corpus (fingerprint
+    anti-join — per-trigger cost ∝ batch × matching fingerprints, an
+    equi-join, never a corpus rescan of text), (3) admitted to the corpus
+    table via MERGE, and (4) sliding-window chunked with the SAME chunker
+    the batch pipeline uses, chunks appended under ``chunks_dir``.
+
+    Replay safety: foreachBatch may re-deliver a batch after a crash; the
+    corpus anti-join drops already-admitted fingerprints, so re-admission
+    is a no-op and chunks are re-appended only for rows that survive it.
+
+    Composition of tested pieces: landing stream → functions/text.py
+    scoring → operators/chunking.py:token_window_chunks →
+    ParquetMergeTable.merge_upsert."""
+    from tlcn_oer_lakehouse_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+    from tlcn_oer_lakehouse_spark.operators.chunking import token_window_chunks
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        scored = batch_df.select(
+            id_col,
+            text_col,
+            F.round(quality_score(F.col(text_col)), 9).alias("quality"),
+            lang_id(F.col(text_col)).alias("lang_pred"),
+            fingerprint(F.col(text_col)).alias("record_fingerprint"),
+        ).filter(F.col("quality") >= min_quality)
+        w = Window.partitionBy("record_fingerprint").orderBy(id_col)
+        batch_canon = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if corpus_table.exists():
+            seen = corpus_table.read().select("record_fingerprint")
+            batch_canon = batch_canon.join(
+                seen, "record_fingerprint", "left_anti"
+            )
+        admitted = batch_canon.persist()
+        if not admitted.isEmpty():
+            corpus_table.merge_upsert(admitted)
+            (
+                token_window_chunks(admitted, id_col, text_col, window, stride)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(chunks_dir)
+            )
+        admitted.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
