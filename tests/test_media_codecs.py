@@ -175,3 +175,42 @@ class TestCodecProperties:
         assert th.shape == (-(-h // k), -(-w // k))
         # ceil(m / ceil(m / s)) <= s: the thumbnail never exceeds max_side
         assert max(th.shape) <= max_side
+
+
+class TestStreamingDecode:
+    def test_wav_features_on_binary_stream(self, spark, tmp_path):
+        """The decode operators are stream-transparent: the same
+        mapInPandas stage runs on a readStream source micro-batch —
+        multimodal ingest composes with Structured Streaming."""
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from tlcn_oer_lakehouse_spark.operators.multimodal import wav_features
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        )
+        landing = str(tmp_path / "wav_landing")
+        rows = [
+            (1, bytearray(write_wav(np.array([3, -4], dtype=np.int16), 8000))),
+            (2, bytearray(b"junk")),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{landing}/b1")
+
+        stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+        q = (
+            wav_features(stream)
+            .writeStream.format("memory")
+            .queryName("wav_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.doc_id: r for r in spark.table("wav_stream_test").collect()}
+        assert got[1].decode_status == "ok" and got[1].n_samples == 2
+        assert got[2].decode_status.startswith("ValueError")

@@ -207,6 +207,61 @@ def wav_features(
     )
 
 
+def wav_window_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 256,
+) -> DataFrame:
+    """1→N audio windowing over REAL decoded samples: each asset fans out
+    to ``ceil(n / window_samples)`` non-overlapping windows with exact
+    per-window energy stats (integer sum-of-squares → one double
+    division/sqrt) — the frame layer a VAD / audio-feature pipeline
+    builds on.  Fan-out happens inside the task; no shuffle.  Undecodable
+    payloads yield a single error row (window_no = -1)."""
+    import math
+
+    from tlcn_oer_lakehouse_spark.functions.wavio import read_wav
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: list[dict] = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                try:
+                    samples, _sr, _ch = read_wav(bytes(payload))
+                    s64 = samples.astype("int64")
+                    for k in range(0, max(1, -(-s64.size // window_samples))):
+                        seg = s64[k * window_samples : (k + 1) * window_samples]
+                        if seg.size == 0:
+                            continue
+                        sum_sq = int((seg * seg).sum())
+                        rows.append(
+                            {
+                                id_col: int(doc_id),
+                                "window_no": k,
+                                "n_samples": int(seg.size),
+                                "rms": math.sqrt(sum_sq / seg.size),
+                                "peak": int(np.abs(seg).max()),
+                            }
+                        )
+                except Exception:  # noqa: BLE001 — per-asset isolation
+                    rows.append(
+                        {id_col: int(doc_id), "window_no": -1,
+                         "n_samples": -1, "rms": 0.0, "peak": -1}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "window_no", "n_samples", "rms", "peak"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _windows,
+        schema=(
+            f"{id_col} long, window_no int, n_samples long, rms double, "
+            "peak long"
+        ),
+    )
+
+
 def image_features(
     df: DataFrame,
     id_col: str = "doc_id",

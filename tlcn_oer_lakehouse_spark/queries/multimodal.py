@@ -371,6 +371,53 @@ GROUP BY doc_id, sr, n
 """
 
 
+def mm_wav_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """1→N audio windowing on real decoded PCM: the same closed-form
+    waveform as mm_wav_decode, fanned out to 256-sample windows with
+    exact per-window energy — oracle replays the closed form grouped by
+    ``i // 256``."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.wavio import write_wav
+    from tlcn_oer_lakehouse_spark.operators.multimodal import wav_window_energy
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                sr = 8000 + (d % 3) * 4000
+                n = 200 + (d % 57) * 10
+                i = np.arange(n, dtype=np.int64)
+                smp = ((d * 31 + i * 7) % 2001 - 1000).astype("<i2")
+                payloads.append(write_wav(smp, sr))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    wavs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return wav_window_energy(wavs, window_samples=256)
+
+
+MM_WAV_WINDOWS_SQL = """
+WITH p AS (
+  SELECT doc_id, 200 + (doc_id % 57) * 10 AS n FROM documents
+),
+v AS (
+  SELECT doc_id, i // 256 AS window_no,
+         ((doc_id * 31 + i * 7) % 2001) - 1000 AS smp
+  FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM p)
+)
+SELECT doc_id,
+       CAST(window_no AS INT) AS window_no,
+       COUNT(*) AS n_samples,
+       sqrt(CAST(SUM(smp * smp) AS DOUBLE) / COUNT(*)) AS rms,
+       CAST(MAX(abs(smp)) AS BIGINT) AS peak
+FROM v
+GROUP BY doc_id, window_no
+"""
+
+
 def mm_image_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode round-trip: per-doc P5 (grayscale netpbm)
     rasters are synthesized from a closed-form pixel function
@@ -461,4 +508,8 @@ SPECS = [
               ref="transformer.py:689-709 (U5 decode shape) — real raster decode",
               doc="netpbm encode→decode→luma/thumbnail features round trip",
               tags=("multimodal", "image")),
+    QuerySpec("mm_wav_windows", mm_wav_windows, MM_WAV_WINDOWS_SQL,
+              ref="scale op: audio frame windowing (1→N on real decoded PCM)",
+              doc="256-sample window energies from chunk-walked WAV decode",
+              tags=("multimodal", "audio")),
 ]
