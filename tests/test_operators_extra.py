@@ -289,3 +289,13 @@ def test_embed_documents_accepts_real_model_object(spark):
     )
     got = {r.doc_id: r.embedding for r in out.collect()}
     assert got == {1: [2.0] * 4, 2: [4.0] * 4}
+
+
+def test_countmin_estimate_dominates_exact(spark, sf_dir):
+    """CMS one-sided error: estimate >= exact count for every tracked
+    term (collisions only ever inflate a cell)."""
+    from tlcn_oer_lakehouse_spark.queries.traindata import countmin_heavy_hitters
+
+    rows = countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.cms_estimate >= r.exact_tf for r in rows)

@@ -503,6 +503,86 @@ ORDER BY m.seq_id
 """
 
 
+def countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus term stream — the
+    sketch path for building stoplists / hot-key guards at 100 TB where
+    an exact per-term groupBy is the dominant shuffle.  Depth 4 × width
+    1024; the hash family is the same portable md5-prefix integer used
+    throughout, so the ORACLE REPLAYS THE SKETCH EXACTLY (cell-for-cell)
+    rather than checking a probabilistic bound.  Output: top-20 exact
+    terms with their CMS estimates — estimate ≥ exact always (one-sided
+    error), equality iff no collisions on all 4 rows.
+
+    Scale shape: the sketch table is ≤ depth×width rows regardless of
+    corpus size (a fixed-size partial aggregate — the whole point); the
+    estimate join touches only the 80 (term, row) probes of the top-k."""
+    from tlcn_oer_lakehouse_spark.functions.text import tokens
+
+    depth, width = 4, 1024
+    docs = load(spark, sf, "documents")
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+
+    def _cell(i: int) -> F.Column:
+        return _bucket(F.concat_ws("|", F.lit(str(i)), F.col("term")), width)
+
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_tf"))
+    top = tf.orderBy(F.desc("exact_tf"), F.asc("term")).limit(20)
+    cms = (
+        terms.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("row"), _cell(i).alias("col"))
+                    for i in range(depth)
+                ])
+            ).alias("cell")
+        )
+        .groupBy("cell.row", "cell.col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = top.select(
+        "term", "exact_tf",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row"), _cell(i).alias("col"))
+                for i in range(depth)
+            ])
+        ).alias("cell"),
+    ).select("term", "exact_tf", "cell.row", "cell.col")
+    return (
+        probes.join(F.broadcast(cms), ["row", "col"])
+        .groupBy("term", "exact_tf")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select("term", "exact_tf", "cms_estimate")
+    )
+
+
+CMS_SQL = f"""
+WITH terms AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS exact_tf FROM terms GROUP BY term
+), top AS (
+  SELECT term, exact_tf FROM tf ORDER BY exact_tf DESC, term LIMIT 20
+), rows AS (
+  SELECT unnest([0, 1, 2, 3]) AS row
+), cms AS (
+  SELECT row, {_bucket_sql("CAST(row AS VARCHAR) || '|' || term", 1024)} AS col,
+         COUNT(*) AS c
+  FROM terms CROSS JOIN rows
+  GROUP BY 1, 2
+), probes AS (
+  SELECT t.term, t.exact_tf, r.row,
+         {_bucket_sql("CAST(r.row AS VARCHAR) || '|' || t.term", 1024)} AS col
+  FROM top t CROSS JOIN rows r
+)
+SELECT p.term, p.exact_tf, MIN(c.c) AS cms_estimate
+FROM probes p JOIN cms c ON p.row = c.row AND p.col = c.col
+GROUP BY p.term, p.exact_tf
+"""
+
+
 def td_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """The whole corpus-preparation pipeline as ONE composed DataFrame
     plan — what a user actually runs at 100 TB: score (quality + langid)
@@ -680,6 +760,11 @@ SPECS = [
               ref="new capability (train->test 5-gram contamination)",
               doc="per-test-doc contaminated-shingle rate vs train set",
               tags=("traindata", "bench")),
+    QuerySpec("a_countmin_sketch", countmin_heavy_hitters, CMS_SQL,
+              ref="scale op: count-min sketch (Cormode-Muthukrishnan) heavy hitters; "
+                  "portable hash family → oracle replays the sketch cell-for-cell",
+              doc="depth-4 CMS estimates vs exact top-20 term counts",
+              tags=("traindata", "sketch")),
     QuerySpec("td_pipeline_e2e", td_pipeline_e2e, _pipeline_e2e_sql(),
               ref="composition: transformer.py silver flow re-shaped as one plan "
                   "(score→gate→dedup→chunk→split→manifest)",
