@@ -299,3 +299,40 @@ def test_countmin_estimate_dominates_exact(spark, sf_dir):
     rows = countmin_heavy_hitters(spark, sf_dir).collect()
     assert len(rows) == 20
     assert all(r.cms_estimate >= r.exact_tf for r in rows)
+
+
+def test_pq_adc_topk_beats_random_selection(spark, sf_dir):
+    """PQ quality floor that is robust to testdata regeneration: the
+    ADC-selected top-10's mean TRUE distance must beat the corpus mean
+    (the estimate must carry real signal, whatever the random corpus
+    looks like). Exact value parity is pinned by the ann_pq_adc oracle."""
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.operators.clustering import _sq_l2, pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    top = pq_adc_topk(
+        corpus, query, "vec_id", "embedding",
+        train=emb, m=8, sub_dim=8, k=16, n_iter=1, topk=10,
+    ).collect()
+    assert len(top) == 10
+    assert all(r.est_dist >= 0 and r.true_dist >= 0 for r in top)
+    pq_mean_true = sum(r.true_dist for r in top) / len(top)
+
+    q = query.select(F.col("embedding").alias("qv"))
+    corpus_mean_true = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            _sq_l2(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.transform(F.col("qv"), lambda x: x.cast("double")),
+            ).alias("d")
+        )
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
+    assert pq_mean_true < corpus_mean_true

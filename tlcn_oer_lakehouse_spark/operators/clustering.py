@@ -79,7 +79,7 @@ def _recompute_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
     ).select(F.col("cluster_id").alias("centroid_id"), "centroid_vec")
 
 
-def kmeans_fit_assign(
+def kmeans_fit(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -87,7 +87,7 @@ def kmeans_fit_assign(
     n_iter: int = 2,
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations from the deterministic init and
-    return the final assignment (id, cluster_id, dist)."""
+    return the trained centroids (centroid_id, centroid_vec)."""
     centroids = df.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("centroid_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
@@ -101,5 +101,118 @@ def kmeans_fit_assign(
     for _ in range(n_iter):
         assigned = kmeans_assign_once(work, centroids, id_col, "__v")
         centroids = _recompute_centroids(assigned, "__v")
+    return centroids
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations from the deterministic init and
+    return the final assignment (id, cluster_id, dist)."""
+    centroids = kmeans_fit(df, id_col, vec_col, k, n_iter)
+    work = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
     final = kmeans_assign_once(work, centroids, id_col, "__v")
     return final.select(id_col, "cluster_id", "dist")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train: DataFrame | None = None,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    n_iter: int = 1,
+    topk: int = 10,
+) -> DataFrame:
+    """Product quantization with asymmetric-distance (ADC) top-k — the
+    memory-compressed ANN path (Jégou et al. 2011): vectors are encoded
+    as ``m`` sub-codes (one per ``sub_dim``-wide subspace, each from its
+    own deterministically-trained k-means codebook); query-to-vector
+    distance is approximated by summing the query's precomputed distance
+    to each assigned sub-centroid.
+
+    Scale shape: codebooks are m × k rows (broadcast); encoding is a
+    broadcast-assign per subspace; the ADC estimate is a broadcast join
+    of the m×k distance table against the code columns — the corpus is
+    never compared pairwise and full vectors are needed only at encode
+    time (a PQ-encoded 100 TB corpus stores m bytes per vector).
+
+    Determinism: inherits the k-means contract (decimal-exact means,
+    round-9 distances, id tie-breaks); the per-subspace contributions
+    are summed in fixed subspace order before one final round-9, so the
+    whole pipeline — training included — is SQL-replayable.
+
+    Output: (id, est_dist, true_dist) for the ``topk`` nearest by
+    estimated distance (ties → lower id), with the exact full-dimension
+    distance alongside to expose the approximation error."""
+    train = train if train is not None else corpus
+
+    def _sub(df: DataFrame, i: int, out: str) -> DataFrame:
+        return df.select(
+            *df.columns,
+            F.slice(F.col(vec_col), i * sub_dim + 1, sub_dim).alias(out),
+        )
+
+    est = None
+    for i in range(m):
+        cents = kmeans_fit(
+            _sub(train, i, "__sub").select(id_col, "__sub"),
+            id_col, "__sub", k, n_iter,
+        )
+        codes = kmeans_assign_once(
+            _sub(corpus, i, "__sub").select(
+                F.col(id_col),
+                F.transform(F.col("__sub"), lambda x: x.cast("double")).alias("__sub"),
+            ),
+            cents, id_col, "__sub",
+        ).select(id_col, F.col("cluster_id"))
+        dtab = (
+            _sub(query, i, "__qsub")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                F.col("centroid_id").alias("cluster_id"),
+                F.round(
+                    _sq_l2(
+                        F.transform(F.col("__qsub"), lambda x: x.cast("double")),
+                        F.col("centroid_vec"),
+                    ),
+                    9,
+                ).alias(f"d{i}"),
+            )
+        )
+        contrib = codes.join(F.broadcast(dtab), "cluster_id").select(id_col, f"d{i}")
+        est = contrib if est is None else est.join(contrib, id_col)
+    # fixed-order sum (d0 + d1 + ...) — never a SUM over an unordered set,
+    # so float addition order is identical in any engine
+    total = F.lit(0.0)
+    for i in range(m):
+        total = total + F.col(f"d{i}")
+    q_full = query.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv")
+    )
+    true_d = corpus.crossJoin(F.broadcast(q_full)).select(
+        F.col(id_col),
+        F.round(
+            _sq_l2(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.col("__qv"),
+            ),
+            9,
+        ).alias("true_dist"),
+    )
+    return (
+        est.select(F.col(id_col), F.round(total, 9).alias("est_dist"))
+        .join(true_d, id_col)
+        .orderBy(F.col("est_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -271,6 +271,94 @@ ORDER BY vec_id
     )
 
 
+def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-10 (operators/clustering.py:pq_adc_topk):
+    codebooks trained on the full table (deterministic Lloyd per 16-dim
+    subspace), corpus = every vector but the query (vec_id 0), estimate =
+    fixed-order sum of the query's distances to assigned sub-centroids.
+    The oracle replays training, encoding AND the ADC arithmetic."""
+    from tlcn_oer_lakehouse_spark.operators.clustering import pq_adc_topk
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    return pq_adc_topk(
+        corpus, query, "vec_id", "embedding",
+        train=emb, m=8, sub_dim=8, k=16, n_iter=1, topk=10,
+    )
+
+
+def _pq_oracle(m: int = 8, sub: int = 8, k: int = 16, n_iter: int = 1) -> str:
+    def sq(d: int) -> str:
+        return (
+            f"round(list_sum(list_transform(generate_series(1, {d}), "
+            "j -> (e.v[j] - c.centroid_vec[j]) * (e.v[j] - c.centroid_vec[j]))), 9)"
+        )
+
+    parts = [
+        "vecsF AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+    ]
+    for i in range(m):
+        a, b = i * sub + 1, (i + 1) * sub
+        parts.append(
+            f"vecs_{i} AS (SELECT vec_id, "
+            f"list_transform(embedding[{a}:{b}], x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings)"
+        )
+        parts.append(
+            f"cent0_{i} AS (SELECT vec_id AS centroid_id, v AS centroid_vec "
+            f"FROM vecs_{i} WHERE vec_id < {k})"
+        )
+        for it in range(n_iter):
+            parts.append(
+                f"assign{it}_{i} AS (SELECT vec_id, v, centroid_id AS cluster_id FROM ("
+                f"SELECT e.vec_id, e.v, c.centroid_id, "
+                f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq(sub)} ASC, c.centroid_id ASC) AS rn "
+                f"FROM vecs_{i} e CROSS JOIN cent{it}_{i} c) WHERE rn = 1)"
+            )
+            parts.append(
+                f"dims{it}_{i} AS (SELECT cluster_id, j, "
+                f"round(CAST(SUM(CAST(v[j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS mn "
+                f"FROM assign{it}_{i}, generate_series(1, {sub}) t(j) GROUP BY cluster_id, j)"
+            )
+            parts.append(
+                f"cent{it + 1}_{i} AS (SELECT cluster_id AS centroid_id, "
+                f"array_agg(mn ORDER BY j) AS centroid_vec FROM dims{it}_{i} GROUP BY cluster_id)"
+            )
+        parts.append(
+            f"codes_{i} AS (SELECT vec_id, centroid_id AS cluster_id FROM ("
+            f"SELECT e.vec_id, c.centroid_id, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq(sub)} ASC, c.centroid_id ASC) AS rn "
+            f"FROM vecs_{i} e CROSS JOIN cent{n_iter}_{i} c WHERE e.vec_id != 0) WHERE rn = 1)"
+        )
+        parts.append(
+            f"dtab_{i} AS (SELECT c.centroid_id AS cluster_id, {sq(sub)} AS d{i} "
+            f"FROM cent{n_iter}_{i} c CROSS JOIN (SELECT v FROM vecs_{i} WHERE vec_id = 0) e)"
+        )
+        parts.append(
+            f"contrib_{i} AS (SELECT vec_id, d{i} FROM codes_{i} JOIN dtab_{i} USING (cluster_id))"
+        )
+    joins = " ".join(f"JOIN contrib_{i} USING (vec_id)" for i in range(1, m))
+    total = " + ".join(f"d{i}" for i in range(m))
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+est AS (
+  SELECT vec_id, round({total}, 9) AS est_dist
+  FROM contrib_0 {joins}
+),
+tru AS (
+  SELECT e.vec_id, {sq(64).replace('c.centroid_vec', 'q.v')} AS true_dist
+  FROM vecsF e CROSS JOIN (SELECT v FROM vecsF WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
+)
+SELECT est.vec_id, est_dist, true_dist
+FROM est JOIN tru ON est.vec_id = tru.vec_id
+ORDER BY est_dist ASC, est.vec_id ASC
+LIMIT 10
+"""
+    )
+
+
 SPECS = [
     QuerySpec("ann_kmeans_assign", ann_kmeans_assign, _kmeans_oracle(),
               ref="scale op: trained IVF (deterministic Lloyd k-means, 2 iterations)",
@@ -280,6 +368,11 @@ SPECS = [
     QuerySpec("ann_ivf_topk", ann_ivf, ANN_IVF_SQL,
               ref="scale path for Q2: IVF inverted-file ANN (SURVEY §2.10)",
               doc="8-centroid IVF, n_probe=2, exact rescoring", tags=("vector",)),
+    QuerySpec("ann_pq_adc", ann_pq_adc, _pq_oracle(),
+              ref="scale op: product quantization + ADC (Jégou et al. 2011) — "
+                  "m-byte codes, broadcast codebooks, no pairwise compare",
+              doc="8×8d/k=16 PQ codebooks, ADC top-10 with true-distance column",
+              tags=("vector",)),
     QuerySpec("knn_bruteforce", knn_bruteforce, KNN_SQL,
               ref="chatbot_api.py:227-242 (Q2 kNN) → SURVEY §2.10 rebuild mapping",
               doc="exact cosine top-10", tags=("vector", "bench")),
