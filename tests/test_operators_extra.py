@@ -336,3 +336,20 @@ def test_pq_adc_topk_beats_random_selection(spark, sf_dir):
         .collect()[0][0]
     )
     assert pq_mean_true < corpus_mean_true
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Structural Bloom guarantee, robust to any testdata: every exactly
+    contaminated shingle is bloom-positive (n_bloom_positive >= n_exact
+    per doc), and the filter is not saturated (FP well under the shingle
+    total)."""
+    from tlcn_oer_lakehouse_spark.queries.traindata import (
+        bloom_contamination_prefilter,
+    )
+
+    rows = bloom_contamination_prefilter(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_bloom_positive >= r.n_exact for r in rows)
+    total = sum(r.n_shingles for r in rows)
+    fp = sum(r.n_false_positive for r in rows)
+    assert fp < 0.1 * total

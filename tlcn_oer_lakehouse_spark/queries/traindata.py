@@ -503,6 +503,125 @@ ORDER BY m.seq_id
 """
 
 
+def bloom_contamination_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """The Bloom-filter membership pre-filter the contamination check's
+    docstring names as its 100 TB form: the train side collapses to a
+    bounded bit set (≤ 2^18 positions regardless of corpus size — a
+    broadcastable structure), test shingles probe it with 3 portable
+    hashes, and only bloom-positive shingles would proceed to the exact
+    string join.  Output compares the bloom verdict to the exact verdict
+    per test doc: no false negatives (bloom ≥ exact, structurally) and
+    the realized false-positive count is visible.  The oracle replays
+    the bit positions hash-for-hash."""
+    from tlcn_oer_lakehouse_spark.functions.text import shingles, tokens
+
+    depth, mbits, n = 3, 1 << 18, 5
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    with_split = docs.filter((b < 80) | (b >= 90)).select(
+        "doc_id",
+        (b < 80).alias("is_train"),
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), n))).alias(
+            "shingle"
+        ),
+    )
+
+    def _positions() -> F.Column:
+        return F.array_distinct(
+            F.array(*[
+                _bucket(F.concat_ws("|", F.lit(str(i)), F.col("shingle")), mbits)
+                for i in range(depth)
+            ])
+        )
+
+    train = with_split.filter(F.col("is_train"))
+    bloom = (
+        train.select(F.explode(_positions()).alias("pos")).distinct()
+    )
+    train_set = train.select("shingle").distinct().withColumn("exact_hit", F.lit(1))
+
+    test = with_split.filter(~F.col("is_train")).select(
+        "doc_id", "shingle", _positions().alias("poss"), F.size(_positions()).alias("n_pos")
+    )
+    hits = (
+        test.select("doc_id", "shingle", "n_pos", F.explode("poss").alias("pos"))
+        .join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "shingle", "n_pos")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    verdict = (
+        test.select("doc_id", "shingle", "n_pos")
+        .join(hits.select("doc_id", "shingle", "h"), ["doc_id", "shingle"], "left")
+        .withColumn(
+            "bloom_hit",
+            (F.coalesce(F.col("h"), F.lit(0)) == F.col("n_pos")).cast("int"),
+        )
+        .join(train_set, "shingle", "left")
+        .withColumn("exact_hit", F.coalesce(F.col("exact_hit"), F.lit(0)))
+    )
+    return (
+        verdict.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("bloom_hit").alias("n_bloom_positive"),
+            F.sum("exact_hit").alias("n_exact"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_bloom_positive", "n_exact",
+            (F.col("n_bloom_positive") - F.col("n_exact")).alias("n_false_positive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_sql(depth: int = 3, mbits: int = 1 << 18, n: int = 5) -> str:
+    shingle_expr = (
+        "list_transform(generate_series(1, greatest(0, len(tk) - {n} + 1)), "
+        "i -> array_to_string(tk[i:i+{m}], ' '))"
+    ).format(n=n, m=n - 1)
+    poss = ", ".join(
+        _bucket_sql(f"'{i}' || '|' || shingle", mbits) for i in range(depth)
+    )
+    return f"""
+WITH split AS (
+  SELECT doc_id, {_bucket_sql('doc_id', 100)} < 80 AS is_train,
+         unnest(list_distinct({shingle_expr})) AS shingle
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+        WHERE {_bucket_sql('doc_id', 100)} < 80 OR {_bucket_sql('doc_id', 100)} >= 90)
+), posed AS (
+  SELECT doc_id, is_train, shingle, list_distinct([{poss}]) AS poss
+  FROM split
+), bloom AS (
+  SELECT DISTINCT unnest(poss) AS pos FROM posed WHERE is_train
+), train_set AS (
+  SELECT DISTINCT shingle FROM posed WHERE is_train
+), test AS (
+  SELECT doc_id, shingle, poss, len(poss) AS n_pos FROM posed WHERE NOT is_train
+), hits AS (
+  SELECT t.doc_id, t.shingle, COUNT(*) AS h
+  FROM (SELECT doc_id, shingle, unnest(poss) AS pos FROM test) t
+  JOIN bloom b ON t.pos = b.pos
+  GROUP BY 1, 2
+), verdict AS (
+  SELECT t.doc_id,
+         CASE WHEN coalesce(h.h, 0) = t.n_pos THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+  FROM test t
+  LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.shingle = h.shingle
+  LEFT JOIN train_set ts ON t.shingle = ts.shingle
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(exact_hit) AS BIGINT) AS n_exact,
+       CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_positive
+FROM verdict
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the corpus term stream — the
     sketch path for building stoplists / hot-key guards at 100 TB where
@@ -760,6 +879,12 @@ SPECS = [
               ref="new capability (train->test 5-gram contamination)",
               doc="per-test-doc contaminated-shingle rate vs train set",
               tags=("traindata", "bench")),
+    QuerySpec("td_bloom_contamination", bloom_contamination_prefilter, _bloom_sql(),
+              ref="scale op: Bloom membership pre-filter — the 100 TB form the "
+                  "contamination check's docstring names; bounded bit set, "
+                  "broadcastable, zero false negatives",
+              doc="3-hash/2^18-bit bloom verdict vs exact train membership",
+              tags=("traindata", "sketch")),
     QuerySpec("a_countmin_sketch", countmin_heavy_hitters, CMS_SQL,
               ref="scale op: count-min sketch (Cormode-Muthukrishnan) heavy hitters; "
                   "portable hash family → oracle replays the sketch cell-for-cell",
