@@ -150,6 +150,7 @@ _BNLJ_ALLOWED = {
     "knn_bruteforce",         # 1-row query vector
     "ann_ivf_topk",           # 1-row query + 8-row centroids
     "ann_kmeans_assign",      # k=4 broadcast centroid set (O(k) rows)
+    "ann_pq_adc",             # k=16-row codebooks + 1-row query per subspace
     "td_unigram_surprisal",   # 1-row corpus-total broadcast
     "embed_and_rank",         # 1-row query embedding
     "semantic_match_subjects",  # 6-row subject dim
