@@ -425,3 +425,68 @@ def _parse(ddl):
     from pyspark.sql.types import _parse_datatype_string
 
     return _parse_datatype_string(ddl)
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """CMS additivity across micro-batches: the streaming-accumulated
+    sketch over two landing files is cell-for-cell identical to the
+    batch sketch over their union, and point estimates dominate exact
+    counts."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from tlcn_oer_lakehouse_spark.functions.text import tokens
+    from tlcn_oer_lakehouse_spark.queries.traindata import _bucket
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        cms_estimate,
+        cms_ingest,
+        cms_merged,
+        landing_stream,
+    )
+
+    schema = _parse_datatype_string("doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    b1 = [(1, "apple banana apple cherry"), (2, "banana durian")]
+    b2 = [(3, "apple elderberry banana banana")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{landing}/b1")
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = cms_ingest(landing_stream(spark, f"{landing}/*", schema), sketch_dir, ckpt)
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{landing}/b2")
+    q2 = cms_ingest(landing_stream(spark, f"{landing}/*", schema), sketch_dir, ckpt)
+    q2.awaitTermination(120)
+
+    # batch sketch over the union
+    all_docs = spark.createDataFrame(b1 + b2, schema)
+    terms = all_docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    batch_cells = sorted(
+        (r.row, r.col, r.c)
+        for r in terms.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(F.concat_ws("|", F.lit(str(i)), F.col("term")), 1024).alias("col"),
+                    )
+                    for i in range(4)
+                ])
+            ).alias("cell")
+        )
+        .groupBy("cell.row", "cell.col")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    stream_cells = sorted((r.row, r.col, r.c) for r in cms_merged(spark, sketch_dir).collect())
+    assert stream_cells == batch_cells
+
+    exact = {r.term: r.n for r in terms.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r.term: r.cms_estimate
+        for r in cms_estimate(
+            spark, sketch_dir, terms.select("term").distinct()
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    assert est["banana"] >= 4  # 1+1+2 across batches

@@ -305,3 +305,104 @@ def corpus_prep_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_ingest(
+    stream_df: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming count-min sketch accumulation: each micro-batch's term
+    stream collapses to its own ≤ depth×width partial sketch (a tiny
+    fixed-size aggregate regardless of batch size) appended under
+    ``sketch_dir``; the live sketch is the cell-wise SUM of all partials
+    — CMS is additive, so merge == append + groupBy, no read-modify-write
+    of prior state and no state store.  Point estimates read the merged
+    table with ``cms_estimate``.
+
+    Same hash family as queries/traindata.py:countmin_heavy_hitters, so
+    a streaming-accumulated sketch is bit-identical to the batch sketch
+    over the union of the batches (pinned by test)."""
+    from tlcn_oer_lakehouse_spark.functions.text import tokens
+    from tlcn_oer_lakehouse_spark.queries.traindata import _bucket
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        terms = batch_df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        cells = terms.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(
+                            F.concat_ws("|", F.lit(str(i)), F.col("term")), width
+                        ).alias("col"),
+                    )
+                    for i in range(depth)
+                ])
+            ).alias("cell")
+        )
+        (
+            cells.groupBy("cell.row", "cell.col")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sketch_dir)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cms_merged(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The live sketch: cell-wise sum of every appended partial."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    spark: SparkSession,
+    sketch_dir: str,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate term counts against the merged sketch: min over
+    the depth probe cells (the CMS read path)."""
+    from tlcn_oer_lakehouse_spark.queries.traindata import _bucket
+
+    probes = terms.select(
+        F.col(term_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _bucket(
+                        F.concat_ws("|", F.lit(str(i)), F.col(term_col)), width
+                    ).alias("col"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("cell"),
+    ).select(term_col, "cell.row", "cell.col")
+    merged = cms_merged(spark, sketch_dir)
+    return (
+        probes.join(F.broadcast(merged), ["row", "col"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )
