@@ -106,3 +106,33 @@ def test_transform_with_state_accumulates_across_restarts(spark, tmp_path):
     assert got2[1] == (3, 16.0)
     assert got2[3] == (1, 7.0)
     assert 2 not in got2
+
+
+def test_stateful_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The same stateful operator on the production state store: Spark
+    bundles RocksDBStateStoreProvider (the provider a real cluster uses
+    for state larger than executor heap); state must accumulate across
+    restarts identically to the default HDFS-backed provider."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        landing, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [(1, 10.0), (1, 5.0), (2, 1.0)], SCHEMA
+        ).coalesce(1).write.parquet(f"{landing}/b1")
+        got1 = _run_once(spark, landing, ckpt, "rocks_t1")
+        assert got1 == {1: (2, 15.0), 2: (1, 1.0)}
+        spark.createDataFrame(
+            [(1, 1.0), (3, 7.0)], SCHEMA
+        ).coalesce(1).write.parquet(f"{landing}/b2")
+        got2 = _run_once(spark, landing, ckpt, "rocks_t2")
+        assert got2[1] == (3, 16.0) and got2[3] == (1, 7.0)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
