@@ -490,3 +490,22 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     assert set(est) == set(exact)
     assert all(est[t] >= exact[t] for t in exact)
     assert est["banana"] >= 4  # 1+1+2 across batches
+
+
+def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
+    """A crash-replayed micro-batch appends its partial sketch twice;
+    the merged read must collapse the duplicate (batch partials are
+    deterministic, so (batch_id, row, col) identifies a replay)."""
+    from tlcn_oer_lakehouse_spark.streaming.ingest import cms_merged
+
+    rows = [(0, 0, 5, 0), (0, 0, 5, 0), (1, 7, 2, 0), (0, 0, 3, 1)]
+    spark.createDataFrame(
+        rows, "row int, col long, c long, batch_id long"
+    ).write.parquet(str(tmp_path / "sketch"))
+    got = {
+        (r.row, r.col): r.c
+        for r in cms_merged(spark, str(tmp_path / "sketch")).collect()
+    }
+    # batch 0's (0,0,5) counted once despite the replayed duplicate,
+    # then batch 1's (0,0,3) adds on top
+    assert got == {(0, 0): 8, (1, 7): 2}

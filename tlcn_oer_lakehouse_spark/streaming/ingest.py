@@ -366,9 +366,15 @@ def cms_ingest(
 
 
 def cms_merged(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """The live sketch: cell-wise sum of every appended partial."""
+    """The live sketch: cell-wise sum of every appended partial.
+
+    Replay-safe: foreachBatch is at-least-once, so a crash-replayed
+    batch appends its (bit-identical, deterministic) partial twice —
+    the ``(batch_id, row, col)`` dropDuplicates collapses replays
+    before the sum, making the merged sketch exactly-once."""
     return (
         spark.read.parquet(sketch_dir)
+        .dropDuplicates(["batch_id", "row", "col"])
         .groupBy("row", "col")
         .agg(F.sum("c").alias("c"))
     )
