@@ -400,7 +400,9 @@ def test_corpus_prep_ingest_gates_dedups_and_chunks(spark, tmp_path):
     q2.awaitTermination(120)
     assert sorted(r.doc_id for r in table.read().collect()) == [1, 4, 6]
 
-    chunks = spark.read.parquet(chunks_dir)
+    from tlcn_oer_lakehouse_spark.streaming.ingest import read_chunks
+
+    chunks = read_chunks(spark, chunks_dir)
     got_docs = sorted(r.doc_id for r in chunks.select("doc_id").distinct().collect())
     assert got_docs == [1, 4, 6]
     # chunker parity: same operator as the batch path on the same docs

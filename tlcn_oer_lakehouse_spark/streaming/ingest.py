@@ -288,13 +288,20 @@ def corpus_prep_ingest(
             )
         admitted = batch_canon.persist()
         if not admitted.isEmpty():
-            corpus_table.merge_upsert(admitted)
+            # Chunks BEFORE corpus admission: a crash between the two
+            # writes replays the batch with the docs still un-admitted,
+            # so chunks re-append (duplicates) rather than vanish (loss —
+            # the failure mode of the reverse order, where replay finds
+            # the docs already in the corpus and skips their chunks).
+            # Chunk ids are content-addressed, so duplicates are
+            # bit-identical rows; read_chunks collapses them.
             (
                 token_window_chunks(admitted, id_col, text_col, window, stride)
                 .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("append")
                 .parquet(chunks_dir)
             )
+            corpus_table.merge_upsert(admitted)
         admitted.unpersist()
 
     writer = (
@@ -412,3 +419,11 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def read_chunks(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """Exactly-once view of the streamed chunk log: chunk_id is
+    content-addressed (md5 of doc, order, text prefix), so replay
+    duplicates are bit-identical rows — one dropDuplicates collapses
+    them."""
+    return spark.read.parquet(chunks_dir).dropDuplicates(["chunk_id"])
