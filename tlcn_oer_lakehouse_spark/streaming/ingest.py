@@ -196,7 +196,10 @@ def near_dup_ingest(
 
     Composition of tested pieces: landing stream → foreachBatch →
     operators/dedup.py:minhash_incremental_pairs →
-    ParquetMergeTable.merge_upsert.  Per-trigger work scales with the
+    ParquetMergeTable.merge_upsert.  Pairs are written BEFORE corpus
+    admission, so a crash between the two replays into duplicate pair
+    rows (bit-identical, batch_id-tagged) rather than lost ones;
+    :func:`read_pairs` collapses them.  Per-trigger work scales with the
     batch and its collision set, not the corpus (the band probe is an
     equi-join against the existing band table; on a deployment that
     table is a persisted, bucketed output of previous batches)."""
@@ -419,6 +422,14 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Exactly-once view of the streamed near-dup pair log: replayed
+    batches re-emit bit-identical rows, so a full-row dropDuplicates
+    collapses them."""
+    df = spark.read.parquet(pairs_dir)
+    return df.dropDuplicates(df.columns)
 
 
 def read_chunks(spark: SparkSession, chunks_dir: str) -> DataFrame:
