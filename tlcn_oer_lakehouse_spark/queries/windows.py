@@ -182,6 +182,112 @@ ORDER BY interval_id
 """
 
 
+# z-normalized "spike" template for subsequence search; length == _TS_L
+_TS_L = 8
+_TS_TEMPLATE = (0.0, 1.0, 3.0, 7.0, 3.0, 1.0, 0.0, -1.0)
+
+
+def ts_subsequence_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series subsequence similarity search (the streaming-data
+    similarity shape of EDBT'19, distilled): every length-8 subsequence
+    of each user's value series — materialized as ``lead()`` columns,
+    never per-row lists — is z-normalized and scored against a
+    z-normalized spike template by squared distance; top-3 windows per
+    user.  One shuffle on user_id; constant-width arithmetic thereafter,
+    so the plan is a single windowed scan at any corpus size.  Flat/
+    constant windows (zero variance) are excluded — z-scores are
+    undefined there (mirrored in the oracle)."""
+    import math
+
+    L, tmpl = _TS_L, _TS_TEMPLATE
+    tm = sum(tmpl) / L
+    tsd = math.sqrt(sum(x * x for x in tmpl) / L - tm * tm)
+    tz = [(x - tm) / tsd for x in tmpl]
+
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    leads = [F.lead("value", j).over(w).alias(f"v{j}") for j in range(L)]
+    base = ev.select("user_id", "event_id", *leads).filter(
+        F.col(f"v{L - 1}").isNotNull()
+    )
+    sv = sum((F.col(f"v{j}") for j in range(1, L)), F.col("v0"))
+    sv2 = sum((F.col(f"v{j}") * F.col(f"v{j}") for j in range(1, L)),
+              F.col("v0") * F.col("v0"))
+    m = sv / F.lit(float(L))
+    var = sv2 / F.lit(float(L)) - m * m
+    scored = base.withColumn("m", m).withColumn("var", var).filter(
+        F.col("var") > 0
+    ).withColumn("s", F.sqrt(F.col("var")))
+    dist = None
+    for j in range(L):
+        term = (F.col(f"v{j}") - F.col("m")) / F.col("s") - F.lit(tz[j])
+        term = term * term
+        dist = term if dist is None else dist + term
+    ranked = (
+        scored.withColumn("dist", F.round(dist, 9))
+        .select("user_id", F.col("event_id").alias("start_event_id"), "dist")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("dist").asc(), F.col("start_event_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "start_event_id", "dist", "rnk")
+        .orderBy("user_id", "rnk")
+    )
+    return ranked
+
+
+def _ts_subseq_sql() -> str:
+    import math
+
+    L, tmpl = _TS_L, _TS_TEMPLATE
+    tm = sum(tmpl) / L
+    tsd = math.sqrt(sum(x * x for x in tmpl) / L - tm * tm)
+    tz = [(x - tm) / tsd for x in tmpl]
+    lead_cols = ", ".join(
+        f"lead(value, {j}) OVER w AS v{j}" for j in range(L)
+    )
+    sv = " + ".join(f"v{j}" for j in range(L))
+    sv2 = " + ".join(f"v{j} * v{j}" for j in range(L))
+    dist = " + ".join(
+        f"((v{j} - m) / s - ({tz[j]!r})) * ((v{j} - m) / s - ({tz[j]!r}))"
+        for j in range(L)
+    )
+    return f"""
+WITH led AS (
+  SELECT user_id, event_id, {lead_cols}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+stats AS (
+  SELECT user_id, event_id, {", ".join(f"v{j}" for j in range(L))},
+         ({sv}) / {float(L)} AS m,
+         ({sv2}) / {float(L)} - (({sv}) / {float(L)}) * (({sv}) / {float(L)}) AS var
+  FROM led WHERE v{L - 1} IS NOT NULL
+),
+scored AS (
+  SELECT user_id, event_id, m, sqrt(var) AS s,
+         {", ".join(f"v{j}" for j in range(L))}
+  FROM stats WHERE var > 0
+),
+ranked AS (
+  SELECT user_id, event_id AS start_event_id, round({dist}, 9) AS dist,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY round({dist}, 9) ASC, event_id ASC) AS rnk
+  FROM scored
+)
+SELECT user_id, start_event_id, dist, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY user_id, rnk
+"""
+
+
 SPECS = [
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
@@ -197,4 +303,9 @@ SPECS = [
     QuerySpec("st_session_window", session_windows, SESSION_SQL,
               ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
               doc="6h-gap session windows per user", tags=("streaming",)),
+    QuerySpec("ts_subsequence_search", ts_subsequence_search, _ts_subseq_sql(),
+              ref="scale op: time-series subsequence similarity (EDBT'19 "
+                  "streaming-similarity shape) — lead() columns, no lists",
+              doc="z-normalized spike-template match, top-3 windows per user",
+              tags=("window", "timeseries")),
 ]
