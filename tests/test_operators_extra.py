@@ -353,3 +353,25 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     total = sum(r.n_shingles for r in rows)
     fp = sum(r.n_false_positive for r in rows)
     assert fp < 0.1 * total
+
+
+def test_deletion_neighborhood_complete_for_distance_one(spark):
+    """FastSS completeness: insert / delete / substitute pairs must all
+    surface through the variant equi-join (no false negatives at
+    distance 1), and an unrelated string must not."""
+    from tlcn_oer_lakehouse_spark.operators.matching import (
+        deletion_neighborhood_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "kitte"), (3, "kittten"), (4, "mitten"), (5, "zzz")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame([(10, "kitten")], "rid long, rname string")
+    got = {
+        (r.lid, r.edit_dist)
+        for r in deletion_neighborhood_join(
+            left, right, "lid", "rid", "lname", "rname"
+        ).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 1), (4, 1)}

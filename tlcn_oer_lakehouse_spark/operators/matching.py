@@ -100,3 +100,60 @@ def top_ngram_subjects(
         top.withColumn("subject_id", F.row_number().over(w))
         .select("subject_id", F.col("shingle").alias("subject_name"), "doc_freq")
     )
+
+
+def deletion_variants(c):
+    """The FastSS deletion neighborhood of a string: the string itself
+    plus every single-character deletion, deduplicated.  Two strings
+    within edit distance 1 (insert / delete / substitute) ALWAYS share a
+    variant: deletion/insertion pairs share the shorter string,
+    substitution pairs share the both-sides-deleted form — so an
+    equi-join on variants is a complete candidate generator for
+    distance-1 matching."""
+    from pyspark.sql import functions as F
+
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            F.substr(c, F.lit(1), i - F.lit(1)),
+            F.substr(c, i + F.lit(1), F.length(c)),
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.length(c) > 0, F.concat(F.array(c), dels)).otherwise(F.array(c))
+    )
+
+
+def deletion_neighborhood_join(
+    left,
+    right,
+    left_id: str,
+    right_id: str,
+    left_str: str,
+    right_str: str,
+):
+    """Fuzzy entity-resolution join at edit distance ≤ 1 via
+    deletion-neighborhood blocking (FastSS): both sides explode their
+    variants, candidates come from ONE equi-join on the variant string
+    (bucket-sized, never all-pairs — the same topology as minhash
+    banding), and `levenshtein` verifies survivors.  At 100 TB the
+    variant table is ~|s| rows per string and the join key is
+    high-cardinality, so candidates stay proportional to true matches,
+    not to the cross product."""
+    from pyspark.sql import functions as F
+
+    lv = left.select(
+        F.col(left_id), F.col(left_str),
+        F.explode(deletion_variants(F.col(left_str))).alias("__var"),
+    )
+    rv = right.select(
+        F.col(right_id), F.col(right_str),
+        F.explode(deletion_variants(F.col(right_str))).alias("__var"),
+    )
+    cand = lv.join(rv, "__var").dropDuplicates([left_id, right_id])
+    return cand.filter(
+        F.levenshtein(F.col(left_str), F.col(right_str)) <= 1
+    ).select(
+        left_id, left_str, right_id, right_str,
+        F.levenshtein(F.col(left_str), F.col(right_str)).alias("edit_dist"),
+    )

@@ -131,6 +131,70 @@ SELECT * FROM (VALUES
 """
 
 
+def j_fuzzy_deletion(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy entity-resolution join via FastSS deletion-neighborhood
+    blocking (operators/matching.py): a deterministically corrupted copy
+    of the supplier names (one char dropped at position keyed by
+    suppkey) is matched back to the clean dimension at edit distance ≤ 1
+    through ONE variant equi-join + levenshtein verify — the blocked
+    fuzzy-join a silver dedup/entity-resolution pass runs instead of an
+    all-pairs edit-distance cross product."""
+    from tlcn_oer_lakehouse_spark.operators.matching import (
+        deletion_neighborhood_join,
+    )
+
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    p = (F.col("s_suppkey") % F.length("s_name")) + 1
+    dirty = supp.select(
+        F.col("s_suppkey").alias("dirty_key"),
+        F.concat(
+            F.substr(F.col("s_name"), F.lit(1), p - F.lit(1)),
+            F.substr(F.col("s_name"), p + F.lit(1), F.length("s_name")),
+        ).alias("dirty_name"),
+    )
+    return deletion_neighborhood_join(
+        dirty, supp, "dirty_key", "s_suppkey", "dirty_name", "s_name"
+    ).orderBy("dirty_key", "s_suppkey")
+
+
+J_FUZZY_SQL = """
+WITH dirty AS (
+  SELECT s_suppkey AS dirty_key,
+         substring(s_name, 1, CAST(s_suppkey % length(s_name) AS INT))
+           || substring(s_name, CAST(s_suppkey % length(s_name) AS INT) + 2,
+                        length(s_name)) AS dirty_name
+  FROM supplier
+),
+lv AS (
+  SELECT dirty_key, dirty_name, unnest(list_distinct(
+           list_prepend(dirty_name, list_transform(
+             generate_series(1, length(dirty_name)),
+             i -> substring(dirty_name, 1, i - 1)
+                  || substring(dirty_name, i + 1, length(dirty_name))))))
+           AS var
+  FROM dirty
+),
+rv AS (
+  SELECT s_suppkey, s_name, unnest(list_distinct(
+           list_prepend(s_name, list_transform(
+             generate_series(1, length(s_name)),
+             i -> substring(s_name, 1, i - 1)
+                  || substring(s_name, i + 1, length(s_name))))))
+           AS var
+  FROM supplier
+),
+cand AS (
+  SELECT DISTINCT dirty_key, dirty_name, s_suppkey, s_name
+  FROM lv JOIN rv USING (var)
+)
+SELECT dirty_key, dirty_name, s_suppkey, s_name,
+       CAST(levenshtein(dirty_name, s_name) AS INT) AS edit_dist
+FROM cand
+WHERE levenshtein(dirty_name, s_name) <= 1
+ORDER BY dirty_key, s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # P — projection / derived columns / predicates
 # ---------------------------------------------------------------------------
@@ -856,6 +920,11 @@ SPECS = [
     QuerySpec("s8_inferred_reference", s8_inferred_reference, S8_SQL,
               ref="transformer.py:1365-1408 (dynamic reference schema inference)",
               doc="union-of-keys record inference → typed dim", tags=("scan",)),
+    QuerySpec("j_fuzzy_deletion", j_fuzzy_deletion, J_FUZZY_SQL,
+              ref="scale op: FastSS deletion-neighborhood fuzzy join — "
+                  "blocked candidates, never all-pairs edit distance",
+              doc="corrupted supplier names resolved at edit distance ≤ 1",
+              tags=("join", "dedup")),
     QuerySpec("p2_derived_columns", p2_derived_columns, P2_SQL,
               ref="transformer.py:1603-1608 (P2 withColumn chains)",
               doc="string derivation chain", tags=("project",)),
