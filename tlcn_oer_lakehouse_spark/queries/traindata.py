@@ -503,6 +503,35 @@ ORDER BY m.seq_id
 """
 
 
+def td_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis): each doc draws a hash-uniform u ∈ (0, 1] and
+    keys on ln(u) / weight (weight = n_chars, so longer docs are
+    proportionally likelier); the top-50 keys ARE the weighted sample.
+    Map-only scoring + one top-k — no rand(), so re-runs and the DuckDB
+    oracle reproduce the identical sample; the log-form key avoids the
+    u^(1/w) cluster-at-1.0 that would make round-9 ties common."""
+    docs = load(spark, sf, "documents")
+    h = _bucket(F.col("doc_id"), 2_147_483_648)
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(2147483648.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       round(ln(({_bucket_sql('doc_id', 2147483648)} + 1) / 2147483648.0)
+             / n_chars, 12) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def bloom_contamination_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     """The Bloom-filter membership pre-filter the contamination check's
     docstring names as its 100 TB form: the train side collapses to a
@@ -879,6 +908,11 @@ SPECS = [
               ref="new capability (train->test 5-gram contamination)",
               doc="per-test-doc contaminated-shingle rate vs train set",
               tags=("traindata", "bench")),
+    QuerySpec("td_weighted_sample", td_weighted_sample, WEIGHTED_SAMPLE_SQL,
+              ref="scale op: Efraimidis-Spirakis weighted sampling without "
+                  "replacement — hash-uniform, map-only, resumable",
+              doc="length-weighted top-50 sample via ln(u)/w keys",
+              tags=("traindata",)),
     QuerySpec("td_bloom_contamination", bloom_contamination_prefilter, _bloom_sql(),
               ref="scale op: Bloom membership pre-filter — the 100 TB form the "
                   "contamination check's docstring names; bounded bit set, "

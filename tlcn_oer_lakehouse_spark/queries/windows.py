@@ -182,6 +182,66 @@ ORDER BY interval_id
 """
 
 
+def w5_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    first view, the first click strictly after it, the first purchase
+    strictly after that; one summary row with stage counts and mean
+    time-to-convert.  Three co-keyed aggregations + user_id equi-joins —
+    every shuffle shares the user key, so at scale the funnel is one
+    partitioning reused end-to-end (no event-order window over the whole
+    stream)."""
+    ev = load_events(spark, sf).select("user_id", "event_type", "ts_ns")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    funnel = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    return funnel.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+        F.round(
+            F.sum((F.col("t3") - F.col("t1")).cast("decimal(38,0)")).cast("double")
+            / F.count("t3")
+            / F.lit(1000000000.0),
+            6,
+        ).alias("avg_conversion_sec"),
+    )
+
+
+W5_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+t1 AS (SELECT user_id, MIN(ts_ns) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts_ns) AS t2
+       FROM ev e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_ns > t1.t1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts_ns) AS t3
+       FROM ev e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_ns > t2.t2 GROUP BY e.user_id)
+SELECT COUNT(t1.t1) AS n_view,
+       COUNT(t2.t2) AS n_click_after_view,
+       COUNT(t3.t3) AS n_purchase_after_click,
+       round(CAST(SUM(CAST(t3.t3 - t1.t1 AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(t3.t3) / 1000000000.0, 6) AS avg_conversion_sec
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""
+
+
 # z-normalized "spike" template for subsequence search; length == _TS_L
 _TS_L = 8
 _TS_TEMPLATE = (0.0, 1.0, 3.0, 7.0, 3.0, 1.0, 0.0, -1.0)
@@ -303,6 +363,11 @@ SPECS = [
     QuerySpec("st_session_window", session_windows, SESSION_SQL,
               ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
               doc="6h-gap session windows per user", tags=("streaming",)),
+    QuerySpec("w5_funnel", w5_funnel, W5_FUNNEL_SQL,
+              ref="scale op: ordered conversion funnel (co-keyed aggregations, "
+                  "one reused user partitioning, no global event-order window)",
+              doc="view→click→purchase stage counts + mean conversion time",
+              tags=("window", "timeseries")),
     QuerySpec("ts_subsequence_search", ts_subsequence_search, _ts_subseq_sql(),
               ref="scale op: time-series subsequence similarity (EDBT'19 "
                   "streaming-similarity shape) — lead() columns, no lists",
