@@ -375,3 +375,16 @@ def test_deletion_neighborhood_complete_for_distance_one(spark):
         ).collect()
     }
     assert got == {(1, 0), (2, 1), (3, 1), (4, 1)}
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL accuracy: with 1024 registers the standard error is
+    1.04/sqrt(1024) ~ 3.3%; assert a generous 5-sigma bound so the test
+    is robust to testdata regeneration while still catching a broken
+    estimator (which is typically off by orders of magnitude)."""
+    from tlcn_oer_lakehouse_spark.queries.traindata import hll_cardinality
+
+    row = hll_cardinality(spark, sf_dir).collect()[0]
+    assert row.n_exact > 0
+    rel_err = abs(row.hll_estimate - row.n_exact) / row.n_exact
+    assert rel_err < 5 * 1.04 / 32  # ~16%

@@ -511,3 +511,54 @@ def test_streaming_cms_replay_is_exactly_once(spark, tmp_path):
     # batch 0's (0,0,5) counted once despite the replayed duplicate,
     # then batch 1's (0,0,3) adds on top
     assert got == {(0, 0): 8, (1, 7): 2}
+
+
+def test_streaming_hll_equals_batch_registers(spark, tmp_path):
+    """HLL merges by register-wise max, which is idempotent — streaming
+    accumulation over two batches (with a simulated replay append) is
+    bit-identical to the batch sketch over the union."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from tlcn_oer_lakehouse_spark.functions.text import tokens
+    from tlcn_oer_lakehouse_spark.queries.traindata import hll_register_cols
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        hll_ingest,
+        hll_merged_registers,
+        landing_stream,
+    )
+
+    schema = _parse_datatype_string("doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    b1 = [(1, "apple banana cherry durian"), (2, "banana elderberry fig")]
+    b2 = [(3, "grape apple honeydew kiwi lime mango")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{landing}/b1")
+    regs_dir = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = hll_ingest(landing_stream(spark, f"{landing}/*", schema), regs_dir, ckpt)
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{landing}/b2")
+    q2 = hll_ingest(landing_stream(spark, f"{landing}/*", schema), regs_dir, ckpt)
+    q2.awaitTermination(120)
+    # simulate a crash-replay of batch 2: append its partial again
+    terms2 = spark.createDataFrame(b2, schema).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    i2, r2 = hll_register_cols(F.col("term"))
+    terms2.select(i2.alias("idx"), r2.alias("rank")).groupBy("idx").agg(
+        F.max("rank").alias("r")
+    ).write.mode("append").parquet(regs_dir)
+
+    all_terms = spark.createDataFrame(b1 + b2, schema).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    idx, rank = hll_register_cols(F.col("term"))
+    batch_regs = sorted(
+        (r.idx, r.r)
+        for r in all_terms.select(idx.alias("idx"), rank.alias("rank"))
+        .groupBy("idx").agg(F.max("rank").alias("r")).collect()
+    )
+    stream_regs = sorted(
+        (r.idx, r.r) for r in hll_merged_registers(spark, regs_dir).collect()
+    )
+    assert stream_regs == batch_regs

@@ -651,6 +651,121 @@ ORDER BY doc_id
 """
 
 
+# HLL geometry shared by the batch query and streaming/ingest.py:hll_ingest
+HLL_M = 1024          # registers (p = 10)
+HLL_VBITS = 22        # remaining hash bits after the register index
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_register_cols(term: F.Column) -> tuple[F.Column, F.Column]:
+    """(register index, rank) of one item under the portable md5-prefix
+    hash: idx = low 10 bits, rank = leading-zero count of the remaining
+    22 bits + 1 (via the length of the binary string — integer-exact in
+    any engine, no float log2)."""
+    h = F.conv(F.substring(F.md5(term.cast("string")), 1, 8), 16, 10).cast("long")
+    idx = h % HLL_M
+    # h < 2^32 is exact in double and 1024 is a power of two, so the
+    # division is exact and the cast truncation equals integer division
+    v = (h / HLL_M).cast("long")
+    rank = F.when(v == 0, F.lit(HLL_VBITS + 1)).otherwise(
+        F.lit(HLL_VBITS + 1) - F.length(F.bin(v))
+    )
+    return idx, rank
+
+
+def hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable HyperLogLog over the corpus's distinct tokens — the
+    cardinality sketch completing the CMS (counts) / Bloom (membership)
+    family: 1024 registers from the shared md5-prefix hash, rank via
+    integer binary-length (no float log2), estimate with the standard
+    small-range linear-counting correction.  The register sum uses exact
+    DECIMAL powers of two, so the whole sketch — registers AND estimate —
+    replays bit-for-bit in the oracle; output carries the exact distinct
+    count so the sketch error is visible (σ ≈ 1.04/√1024 ≈ 3.3%)."""
+    import math
+
+    from tlcn_oer_lakehouse_spark.functions.text import tokens
+
+    docs = load(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).select(
+        F.concat_ws("|", F.col("doc_id"), F.col("term")).alias("item")
+    )
+    idx, rank = hll_register_cols(F.col("item"))
+    regs = (
+        terms.select(idx.alias("idx"), rank.alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("r"))
+    )
+    # Σ 2^-r over present registers, in exact decimal (2^-23 needs 23
+    # decimal digits — DECIMAL(38,30) holds it exactly; float summation
+    # order would diverge between engines)
+    pow2 = F.lit(2.0) ** (-F.col("r").cast("double"))
+    s_present = F.sum(pow2.cast("decimal(38,30)")).cast("double")
+    n_present = F.count(F.lit(1))
+    agg = regs.agg(
+        s_present.alias("s_present"), n_present.alias("n_present")
+    )
+    m = float(HLL_M)
+    alpha = _HLL_ALPHA
+    est = agg.select(
+        (F.lit(m) - F.col("n_present")).alias("zeros"),
+        (
+            F.lit(alpha * m * m)
+            / (F.lit(m) - F.col("n_present") + F.col("s_present"))
+        ).alias("raw"),
+    ).select(
+        "zeros",
+        F.when(
+            (F.col("raw") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+            F.lit(m) * F.log(F.lit(m) / F.col("zeros")),
+        )
+        .otherwise(F.col("raw"))
+        .alias("est"),
+    )
+    exact = terms.agg(F.countDistinct("item").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        F.col("n_exact"),
+        F.round("est", 6).alias("hll_estimate"),
+        (F.lit(m) - F.col("zeros")).cast("long").alias("n_registers_used"),
+    )
+
+
+def _hll_sql() -> str:
+    m, vb, alpha = HLL_M, HLL_VBITS, _HLL_ALPHA
+    h = "CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)"
+    return f"""
+WITH terms AS (
+  SELECT CAST(doc_id AS VARCHAR) || '|' || unnest(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS term
+  FROM documents
+), hashed AS (
+  SELECT {h} % {m} AS idx, {h} // {m} AS v FROM terms
+), regs AS (
+  SELECT idx, MAX(CASE WHEN v = 0 THEN {vb + 1}
+                       ELSE {vb + 1} - length(bin(v)) END) AS r
+  FROM hashed GROUP BY idx
+), agg AS (
+  SELECT CAST(SUM(CAST(power(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE) AS s_present,
+         COUNT(*) AS n_present
+  FROM regs
+), est AS (
+  SELECT CAST({m} AS DOUBLE) - n_present AS zeros,
+         CAST({alpha * m * m!r} AS DOUBLE)
+           / (CAST({m} AS DOUBLE) - n_present + s_present) AS raw
+  FROM agg
+)
+SELECT (SELECT COUNT(DISTINCT term) FROM terms) AS n_exact,
+       round(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros)
+                  ELSE raw END, 6) AS hll_estimate,
+       CAST(CAST({m} AS DOUBLE) - zeros AS BIGINT) AS n_registers_used
+FROM est
+"""
+
+
 def countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the corpus term stream — the
     sketch path for building stoplists / hot-key guards at 100 TB where
@@ -918,6 +1033,11 @@ SPECS = [
                   "contamination check's docstring names; bounded bit set, "
                   "broadcastable, zero false negatives",
               doc="3-hash/2^18-bit bloom verdict vs exact train membership",
+              tags=("traindata", "sketch")),
+    QuerySpec("a_hll_sketch", hll_cardinality, _hll_sql(),
+              ref="scale op: portable HyperLogLog (Flajolet et al.) — register-"
+                  "exact oracle replay incl. the estimate arithmetic",
+              doc="1024-register HLL distinct (doc,term) estimate vs exact",
               tags=("traindata", "sketch")),
     QuerySpec("a_countmin_sketch", countmin_heavy_hitters, CMS_SQL,
               ref="scale op: count-min sketch (Cormode-Muthukrishnan) heavy hitters; "

@@ -438,3 +438,54 @@ def read_chunks(spark: SparkSession, chunks_dir: str) -> DataFrame:
     duplicates are bit-identical rows — one dropDuplicates collapses
     them."""
     return spark.read.parquet(chunks_dir).dropDuplicates(["chunk_id"])
+
+
+def hll_ingest(
+    stream_df: DataFrame,
+    registers_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming HyperLogLog accumulation: each micro-batch's term
+    stream collapses to its register maxima (≤ HLL_M rows) appended
+    under ``registers_dir``; the live sketch is the register-wise MAX of
+    all partials.  max is idempotent, so crash-replayed batches are
+    absorbed with NO dedupe step — the merge is exactly-once by algebra,
+    not bookkeeping (contrast cms_ingest, whose additive merge needs the
+    batch_id dedupe).  Same geometry as queries/traindata.py's
+    a_hll_sketch, so streaming-accumulated registers are bit-identical
+    to the batch sketch (pinned by test)."""
+    from tlcn_oer_lakehouse_spark.functions.text import tokens
+    from tlcn_oer_lakehouse_spark.queries.traindata import hll_register_cols
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        terms = batch_df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        idx, rank = hll_register_cols(F.col("term"))
+        (
+            terms.select(idx.alias("idx"), rank.alias("rank"))
+            .groupBy("idx")
+            .agg(F.max("rank").alias("r"))
+            .write.mode("append")
+            .parquet(registers_dir)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_merged_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
+    """The live HLL sketch: register-wise max over every partial."""
+    return (
+        spark.read.parquet(registers_dir)
+        .groupBy("idx")
+        .agg(F.max("r").alias("r"))
+    )
