@@ -151,6 +151,7 @@ _BNLJ_ALLOWED = {
     "ann_ivf_topk",           # 1-row query + 8-row centroids
     "ann_kmeans_assign",      # k=4 broadcast centroid set (O(k) rows)
     "ann_pq_adc",             # k=16-row codebooks + 1-row query per subspace
+    "a_hll_sketch",           # 1-row estimate × 1-row exact count
     "td_unigram_surprisal",   # 1-row corpus-total broadcast
     "embed_and_rank",         # 1-row query embedding
     "semantic_match_subjects",  # 6-row subject dim
@@ -176,3 +177,23 @@ def test_registry_wide_no_accidental_cross_products(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, offenders
+
+
+def test_priority_queries_inside_driver_window():
+    """The driver's correctness gate samples the FIRST 50 registry
+    entries. Every query needing a fresh driver row this round — the 8
+    events-loader repairs plus all round-4 additions — must sort inside
+    that window, or it silently goes unverified."""
+    from tlcn_oer_lakehouse_spark.queries import REGISTRY, _REPAIRED_FIRST
+
+    order = list(REGISTRY)
+    window = set(order[:50])
+    needs_row = set(_REPAIRED_FIRST) | {
+        "s8_inferred_reference", "mm_wav_decode", "mm_image_decode",
+        "mm_wav_windows", "td_pipeline_e2e", "a_countmin_sketch",
+        "td_bloom_contamination", "ann_pq_adc", "ts_subsequence_search",
+        "j_fuzzy_deletion", "w5_funnel", "td_weighted_sample",
+        "a_hll_sketch",
+    }
+    missing = needs_row - window
+    assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
