@@ -388,3 +388,21 @@ def test_hll_estimate_within_error_bound(spark, sf_dir):
     assert row.n_exact > 0
     rel_err = abs(row.hll_estimate - row.n_exact) / row.n_exact
     assert rel_err < 5 * 1.04 / 32  # ~16%
+
+
+def test_pagerank_is_a_distribution(spark):
+    """Ranks are positive and sum to ~1 (no dangling mass on a
+    symmetric graph); the hub of a star out-ranks its leaves."""
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.operators.components import pagerank
+
+    # star: 1 is the hub of 2,3,4; separate pair 5-6
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    rows = {r.node: r.rank for r in pagerank(pairs, n_iter=3).collect()}
+    assert all(v > 0 for v in rows.values())
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    assert rows[1] > rows[2] == rows[3] == rows[4]
+    assert rows[5] == rows[6]

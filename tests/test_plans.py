@@ -152,6 +152,7 @@ _BNLJ_ALLOWED = {
     "ann_kmeans_assign",      # k=4 broadcast centroid set (O(k) rows)
     "ann_pq_adc",             # k=16-row codebooks + 1-row query per subspace
     "a_hll_sketch",           # 1-row estimate × 1-row exact count
+    "g_pagerank",             # 1-row node-count frame per iteration
     "td_unigram_surprisal",   # 1-row corpus-total broadcast
     "embed_and_rank",         # 1-row query embedding
     "semantic_match_subjects",  # 6-row subject dim
@@ -193,7 +194,7 @@ def test_priority_queries_inside_driver_window():
         "mm_wav_windows", "td_pipeline_e2e", "a_countmin_sketch",
         "td_bloom_contamination", "ann_pq_adc", "ts_subsequence_search",
         "j_fuzzy_deletion", "w5_funnel", "td_weighted_sample",
-        "a_hll_sketch",
+        "a_hll_sketch", "g_pagerank",
     }
     missing = needs_row - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"

@@ -114,3 +114,58 @@ def deduplicated_corpus(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    n_iter: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair graph as iterative DataFrame
+    algebra — the graph-centrality companion to connected components
+    (e.g. ranking canonical candidates inside near-dup clusters by how
+    networked they are).  Per iteration: one edge⋈rank equi-join keyed
+    on the source + one per-node aggregate — the same bounded per-round
+    shape as min-label propagation; the driver holds only the iteration
+    counter.
+
+    Determinism contract (mirrors the k-means recipe): contributions are
+    summed as exact DECIMAL(38,18) (order-independent — float summation
+    would drift with partition order), ranks round to 12 dp per
+    iteration; symmetric edges mean every node has in- and out-edges, so
+    there is no dangling-mass term to redistribute."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    nst = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nst)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
+        )
+        ranks = sums.crossJoin(F.broadcast(nst)).select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) / F.col("n") + F.lit(damping) * F.col("s"),
+                12,
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

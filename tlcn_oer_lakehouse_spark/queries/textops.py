@@ -321,6 +321,46 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("canonical_id")
 
 
+def g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph centrality over the near-dup pair graph: 2-iteration
+    PageRank (operators/components.py:pagerank) on the symmetric MinHash
+    pair edges — ranks canonical candidates inside duplicate clusters by
+    connectivity.  The oracle replays both iterations: contributions sum
+    as exact decimals, ranks round to 12 dp per iteration."""
+    from tlcn_oer_lakehouse_spark.operators.components import pagerank
+
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    return pagerank(pairs, n_iter=2).orderBy("node")
+
+
+def _pagerank_oracle(n_iter: int = 2, damping: float = 0.85) -> str:
+    parts = [
+        f"pairs AS ({_minhash_oracle().strip()})",
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b AS u, doc_a AS v FROM pairs)",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u)",
+        "nodes AS (SELECT DISTINCT u AS node FROM edges)",
+        "nst AS (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nst)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"c{i + 1} AS (SELECT e.v AS node, "
+            f"CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS s "
+            f"FROM edges e JOIN r{i} r ON e.u = r.node JOIN deg d ON e.u = d.u "
+            f"GROUP BY e.v)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT node, "
+            f"round(CAST({1.0 - damping!r} AS DOUBLE) / n "
+            f"+ CAST({damping!r} AS DOUBLE) * s, 12) AS rank FROM c{i + 1}, nst)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{n_iter} ORDER BY node"
+    )
+
+
 def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle().strip()}),
@@ -365,6 +405,11 @@ SPECS = [
               ref="scale op: near-dup cluster resolution (Kiveris et al. SoCC'14 family)",
               doc="connected components over minhash pairs -> canonical clusters",
               tags=("dedup",)),
+    QuerySpec("g_pagerank", g_pagerank, _pagerank_oracle(),
+              ref="scale op: PageRank as iterative DataFrame algebra — "
+                  "decimal-exact contribution sums, both iterations replayed",
+              doc="2-iteration PageRank over the near-dup pair graph",
+              tags=("graph", "dedup")),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(),
               ref="scale op; 32-bit simhash, hamming<=6",
               doc="SimHash near-dup pairs", tags=("dedup",)),
