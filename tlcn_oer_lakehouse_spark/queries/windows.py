@@ -182,6 +182,38 @@ ORDER BY interval_id
 """
 
 
+def w6_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active epoch
+    week; for each (cohort_week, weeks_since_first) cell, how many of
+    that cohort were active — the standard product-analytics retention
+    triangle.  Two user-keyed aggregations sharing one partitioning;
+    integer week math (epoch seconds div 604800) is engine-exact."""
+    ev = load_events(spark, sf).select(
+        "user_id", F.expr("ts_sec div 604800").alias("week")
+    )
+    weeks = ev.distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+W6_COHORT_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 604800 AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS weeks_since, COUNT(*) AS n_users
+FROM weeks JOIN first USING (user_id)
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
+
 def w5_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: per user, the
     first view, the first click strictly after it, the first purchase
@@ -363,6 +395,11 @@ SPECS = [
     QuerySpec("st_session_window", session_windows, SESSION_SQL,
               ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
               doc="6h-gap session windows per user", tags=("streaming",)),
+    QuerySpec("w6_cohort_retention", w6_cohort_retention, W6_COHORT_SQL,
+              ref="scale op: cohort retention triangle (two co-keyed aggs, "
+                  "integer week math)",
+              doc="users active per (cohort_week, weeks_since_first) cell",
+              tags=("window", "timeseries")),
     QuerySpec("w5_funnel", w5_funnel, W5_FUNNEL_SQL,
               ref="scale op: ordered conversion funnel (co-keyed aggregations, "
                   "one reused user partitioning, no global event-order window)",
