@@ -182,6 +182,53 @@ ORDER BY interval_id
 """
 
 
+def w7_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    estimate): consecutive event pairs via ``lead()`` over each user's
+    time-ordered stream, counted globally, with the per-source
+    transition probability — the sequence-mining primitive behind
+    session-flow and next-event-prediction features.  One user-keyed
+    window + one tiny groupBy; the probability divides exact counts."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf).select("user_id", "event_type", "ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.round(F.col("n") / F.sum("n").over(w_from), 9),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+W7_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ns(ts), event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / SUM(n) OVER (PARTITION BY from_type), 9) AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 def w6_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their first active epoch
     week; for each (cohort_week, weeks_since_first) cell, how many of
@@ -395,6 +442,11 @@ SPECS = [
     QuerySpec("st_session_window", session_windows, SESSION_SQL,
               ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
               doc="6h-gap session windows per user", tags=("streaming",)),
+    QuerySpec("w7_event_transitions", w7_event_transitions, W7_TRANSITIONS_SQL,
+              ref="scale op: first-order event transition matrix (sequence "
+                  "mining primitive; one user-keyed window)",
+              doc="consecutive event-type pairs with transition probability",
+              tags=("window", "timeseries")),
     QuerySpec("w6_cohort_retention", w6_cohort_retention, W6_COHORT_SQL,
               ref="scale op: cohort retention triangle (two co-keyed aggs, "
                   "integer week math)",
