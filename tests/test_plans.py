@@ -194,7 +194,7 @@ def test_priority_queries_inside_driver_window():
         "mm_wav_windows", "td_pipeline_e2e", "a_countmin_sketch",
         "td_bloom_contamination", "ann_pq_adc", "ts_subsequence_search",
         "j_fuzzy_deletion", "w5_funnel", "td_weighted_sample",
-        "a_hll_sketch", "g_pagerank", "w6_cohort_retention", "w7_event_transitions",
+        "a_hll_sketch", "g_pagerank", "w6_cohort_retention", "w7_event_transitions", "w8_activity_streaks",
     }
     missing = needs_row - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"

@@ -182,6 +182,61 @@ ORDER BY interval_id
 """
 
 
+def w8_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern on distinct active days: ``day -
+    row_number`` is constant within a run of consecutive days, so one
+    user-keyed window plus two aggregates produce streak lengths with no
+    self-join.  Integer day math (epoch seconds div 86400) is
+    engine-exact."""
+    from pyspark.sql import Window
+
+    days = (
+        load_events(spark, sf)
+        .select("user_id", F.expr("ts_sec div 86400").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("streak_len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W8_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS streak_len
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id, MAX(streak_len) AS longest_streak,
+       COUNT(*) AS n_streaks,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def w7_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user event-type transition matrix (first-order Markov
     estimate): consecutive event pairs via ``lead()`` over each user's
@@ -442,6 +497,11 @@ SPECS = [
     QuerySpec("st_session_window", session_windows, SESSION_SQL,
               ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
               doc="6h-gap session windows per user", tags=("streaming",)),
+    QuerySpec("w8_activity_streaks", w8_activity_streaks, W8_STREAKS_SQL,
+              ref="scale op: gaps-and-islands streaks (one user-keyed window, "
+                  "no self-join)",
+              doc="longest consecutive-day streak / streak count per user",
+              tags=("window", "timeseries")),
     QuerySpec("w7_event_transitions", w7_event_transitions, W7_TRANSITIONS_SQL,
               ref="scale op: first-order event transition matrix (sequence "
                   "mining primitive; one user-keyed window)",
