@@ -137,6 +137,105 @@ class TestDecodeOperators:
             decode_asset(df, "jpeg")
 
 
+class TestPngCodec:
+    """functions/pngio.py: real compressed decode — stdlib-zlib DEFLATE,
+    chunk CRCs, all five scanline filters, palette expansion."""
+
+    def _round_trip(self, px, mode):
+        from tlcn_oer_lakehouse_spark.functions.pngio import read_png, write_png
+
+        out = read_png(write_png(px, filter_mode=mode))
+        assert out.shape == px.shape
+        assert np.array_equal(out, px)
+
+    @pytest.mark.parametrize("mode", ["none", "mixed"])
+    def test_gray_rgb_rgba_round_trips(self, mode):
+        rng = np.random.default_rng(7)
+        for shape in [(6, 9), (5, 8, 3), (7, 4, 4), (1, 1), (12, 3, 3)]:
+            self._round_trip(rng.integers(0, 256, size=shape, dtype=np.uint8), mode)
+
+    def test_mixed_filters_exercise_every_type(self):
+        # 6 rows -> scanline filters 0,1,2,3,4,0 all present in the stream
+        import zlib
+
+        from tlcn_oer_lakehouse_spark.functions.pngio import write_png
+
+        px = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+        payload = write_png(px, filter_mode="mixed")
+        idat_off = payload.index(b"IDAT") + 4
+        (length,) = __import__("struct").unpack_from(">I", payload, idat_off - 8)
+        raw = zlib.decompress(payload[idat_off : idat_off + length])
+        stride = 5 * 3
+        filters = [raw[y * (1 + stride)] for y in range(6)]
+        assert filters == [0, 1, 2, 3, 4, 0]
+
+    def test_palette_expansion(self):
+        import struct
+        import zlib
+
+        from tlcn_oer_lakehouse_spark.functions.pngio import (
+            _SIGNATURE,
+            _chunk,
+            read_png,
+        )
+
+        idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+        png = (
+            _SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        out = read_png(png)
+        assert out.shape == (2, 2, 3)
+        assert np.array_equal(out, pal[idx])
+
+    def test_crc_corruption_rejected(self):
+        from tlcn_oer_lakehouse_spark.functions.pngio import read_png, write_png
+
+        payload = bytearray(write_png(np.zeros((3, 3), dtype=np.uint8)))
+        payload[payload.index(b"IDAT") + 6] ^= 0xFF  # flip an IDAT byte
+        with pytest.raises((ValueError, Exception)):
+            read_png(bytes(payload))
+
+    @pytest.mark.parametrize(
+        "payload", [b"", b"\x89PNG\r\n\x1a\x00rest", b"not a png at all"]
+    )
+    def test_rejects_non_png(self, payload):
+        from tlcn_oer_lakehouse_spark.functions.pngio import read_png
+
+        with pytest.raises(ValueError):
+            read_png(payload)
+
+    def test_image_features_sniffs_png(self, spark):
+        from tlcn_oer_lakehouse_spark.functions.pngio import write_png
+        from tlcn_oer_lakehouse_spark.operators.multimodal import image_features
+
+        px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+        rows = [
+            (1, bytearray(write_png(px, filter_mode="mixed"))),
+            (2, bytearray(write_pgm(px[:, :, 0].copy()))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r for r in image_features(df, thumb_side=4).collect()}
+        assert (got[1].width, got[1].height, got[1].channels) == (4, 3, 3)
+        assert got[1].mean_luma == sum(range(36)) / 36
+        assert (got[2].width, got[2].height, got[2].channels) == (4, 3, 1)
+
+    def test_decode_asset_accepts_png(self, spark):
+        from tlcn_oer_lakehouse_spark.functions.pngio import write_png
+        from tlcn_oer_lakehouse_spark.operators.multimodal import decode_asset
+
+        df = spark.createDataFrame(
+            [(1, bytearray(write_png(np.ones((2, 2), dtype=np.uint8))))],
+            "doc_id long, payload binary",
+        )
+        assert decode_asset(df, "png").collect()[0].decode_status == "ok"
+
+
 class TestCodecProperties:
     """Hypothesis round-trips: encode∘decode is identity for arbitrary
     sample arrays / rasters — pure-Python, no Spark jobs, so examples
@@ -164,6 +263,18 @@ class TestCodecProperties:
         rng = np.random.default_rng(seed)
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
         assert np.array_equal(read_netpbm(write_pgm(px)), px)
+
+    @given(st.integers(min_value=1, max_value=24), st.integers(min_value=1, max_value=24),
+           st.sampled_from([1, 3, 4]), st.integers(min_value=0, max_value=2**32 - 1),
+           st.sampled_from(["none", "mixed"]))
+    @settings(max_examples=40, deadline=None)
+    def test_png_round_trip_any_raster(self, w, h, channels, seed, mode):
+        from tlcn_oer_lakehouse_spark.functions.pngio import read_png, write_png
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if channels == 1 else (h, w, channels)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(read_png(write_png(px, filter_mode=mode)), px)
 
     @given(st.integers(min_value=1, max_value=64), st.integers(min_value=1, max_value=64),
            st.integers(min_value=1, max_value=16))

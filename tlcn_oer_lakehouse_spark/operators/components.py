@@ -169,3 +169,59 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph via
+    degree-ordered edge orientation — the MapReduce-classic fix for "the
+    curse of the last reducer" (Suri & Vassilvitskii, WWW'11): every
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, so wedge enumeration fans out from each node's
+    *lower-degree* endpoints only.  A hub of degree d contributes
+    O(#edges-to-higher-degree-nodes²) wedges instead of O(d²) — total
+    work is O(m^1.5) regardless of skew, the bound hand-partitioned
+    hash schemes can't beat.
+
+    Plan shape: degree aggregate → two broadcast-or-shuffle equi-joins
+    to attach endpoint degrees → self-join of the oriented edge list on
+    the wedge apex → one equi-join closing the wedge against the edge
+    list → explode each triangle's three corners → count per node.  No
+    inequality-only (nested-loop) joins anywhere: the closing edge is
+    looked up by exact (lo, hi) key, which the total (degree, id) order
+    makes canonical.
+    """
+    p = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).distinct()
+    edges = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    with_deg = (
+        p.join(deg.select(F.col("u").alias("_u"), F.col("d").alias("du")),
+               F.col("u") == F.col("_u")).drop("_u")
+        .join(deg.select(F.col("u").alias("_v"), F.col("d").alias("dv")),
+              F.col("v") == F.col("_v")).drop("_v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    e1 = ori.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    e2 = ori.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = e1.join(e2, "s").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = ori.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select(
+        F.col("s").alias("a"), "b", "c"
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -10,12 +10,13 @@ UTF-8 payloads in tests), metadata extraction is pure column expressions,
 and the Python-side stages are Arrow-vectorized ``mapInPandas`` UDFs —
 the idiomatic replacement for the reference's per-row Python loops.
 
-Real image/audio decode libraries are not in this container, so
-``decode_asset`` gates them behind ``NotImplementedError`` while
-``fake_image_features`` / ``frame_sample`` implement deterministic
-byte-level semantics end-to-end — the Spark plumbing (schemas, Arrow
-binary round-trip, 1→N row fan-out, per-batch vectorization) is real
-and oracle-verified.
+Real decode runs in-repo for pdf/wav/pgm/ppm *and* PNG (DEFLATE via the
+stdlib ``zlib`` — functions/pngio.py walks chunks, inflates IDAT and
+unfilters all five scanline filters); only formats whose codecs truly
+aren't in this container (jpeg/webp/mp3/mp4) stay gated behind
+``NotImplementedError``, with ``fake_image_features`` / ``frame_sample``
+covering their byte-level plumbing (schemas, Arrow binary round-trip,
+1→N row fan-out, per-batch vectorization) end-to-end.
 
 Scale notes: binary payloads stay columnar through Arrow; mapInPandas
 processes ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows per
@@ -79,22 +80,25 @@ def decode_asset(df: DataFrame, kind: str) -> DataFrame:
     - ``wav``  — functions/wavio.py (RIFF chunk walk, 16-bit PCM) →
       per-asset audio features;
     - ``pgm``/``ppm`` — functions/netpbm.py (binary netpbm raster) →
-      per-asset image features.
+      per-asset image features;
+    - ``png`` — functions/pngio.py (chunk walk, stdlib-zlib IDAT
+      inflate, all 5 scanline unfilters, palette expansion) → the same
+      image features: real *compressed* raster decode.
 
-    Only *compressed* codecs (jpeg/png/mp3/mp4…) require libraries
-    absent from this container and stay an explicit, tested stub — swap
-    in PIL/librosa/pyav on a cluster image; the Spark plumbing is the
+    Only codecs that require libraries absent from this container
+    (jpeg/webp/mp3/mp4…) stay an explicit, tested stub — swap in
+    PIL/librosa/pyav on a cluster image; the Spark plumbing is the
     same mapInPandas shape as the implemented paths."""
     if kind == "pdf":
         return pdf_page_texts(df)
     if kind == "wav":
         return wav_features(df)
-    if kind in ("pgm", "ppm"):
+    if kind in ("pgm", "ppm", "png"):
         return image_features(df)
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "container; uncompressed formats (pdf/wav/pgm/ppm) decode for real, "
-        "and fake_image_features/frame_sample cover the byte-level path"
+        "container; pdf/wav/pgm/ppm/png decode for real, and "
+        "fake_image_features/frame_sample cover the byte-level path"
     )
 
 
@@ -268,7 +272,8 @@ def image_features(
     payload_col: str = "payload",
     thumb_side: int = 4,
 ) -> DataFrame:
-    """REAL image decode (binary netpbm via functions/netpbm.py) as an
+    """REAL image decode (binary netpbm via functions/netpbm.py, or PNG
+    via functions/pngio.py — sniffed per payload by magic bytes) as an
     Arrow-batched ``mapInPandas`` stage: raster → dimensions, exact mean
     luma (integer sum / pixel count), and nearest-neighbor thumbnail
     dimensions + checksum (the resize path).  Invalid payloads yield an
@@ -277,13 +282,19 @@ def image_features(
         downsample_nearest,
         read_netpbm,
     )
+    from tlcn_oer_lakehouse_spark.functions.pngio import read_png
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows: list[dict] = []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
                 try:
-                    px = read_netpbm(bytes(payload))
+                    raw = bytes(payload)
+                    px = (
+                        read_png(raw)
+                        if raw[:4] == b"\x89PNG"
+                        else read_netpbm(raw)
+                    )
                     h, w = px.shape[:2]
                     channels = 1 if px.ndim == 2 else px.shape[2]
                     total = int(px.astype("int64").sum())

@@ -477,6 +477,66 @@ GROUP BY doc_id, w, h, k
 """
 
 
+def mm_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL *compressed* image decode round-trip: per-doc RGB rasters
+    from a closed-form pixel function (``v(y, x, c) = (d*7 + (y*w + x)*3
+    + c) * 17 % 256`` at ``w = 7 + d%12``, ``h = 5 + d%9``) are
+    PNG-encoded with functions/pngio.py using a *different scanline
+    filter per row* (y % 5 — Sub/Up/Average/Paeth all exercised), then
+    DEFLATE-inflated, unfiltered and feature-extracted by the same
+    image_features operator as netpbm.  The oracle replays the closed
+    form — a value mismatch anywhere in chunk parsing, inflation or any
+    of the five unfilter paths shifts mean_luma/thumb_pixel_sum."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.pngio import write_png
+    from tlcn_oer_lakehouse_spark.operators.multimodal import image_features
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                w, h = 7 + d % 12, 5 + d % 9
+                yy, xx, cc = np.mgrid[0:h, 0:w, 0:3]
+                px = ((d * 7 + (yy * w + xx) * 3 + cc) * 17 % 256).astype(np.uint8)
+                payloads.append(write_png(px, filter_mode="mixed"))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return image_features(imgs, thumb_side=4).drop("thumb_md5")
+
+
+MM_PNG_SQL = """
+WITH p AS (
+  SELECT doc_id, 7 + doc_id % 12 AS w, 5 + doc_id % 9 AS h,
+         CAST(ceil(greatest(7 + doc_id % 12, 5 + doc_id % 9) / 4.0) AS BIGINT) AS k
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, k, y, x, c,
+         (doc_id * 7 + (y * w + x) * 3 + c) * 17 % 256 AS v
+  FROM (SELECT doc_id, w, h, k, unnest(generate_series(0, h - 1)) AS y FROM p),
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS c)
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(SUM(v) AS DOUBLE) / (w * h * 3) AS mean_luma,
+       CAST(CAST(ceil(w / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_width,
+       CAST(CAST(ceil(h / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_height,
+       CAST(SUM(CASE WHEN y % k = 0 AND x % k = 0 THEN v ELSE 0 END) AS BIGINT)
+         AS thumb_pixel_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h, k
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_metadata", mm_binary_metadata, MM_META_SQL,
               ref="transformer.py:570-609 (S7/U4 asset stat enrichment)",
@@ -507,6 +567,10 @@ SPECS = [
     QuerySpec("mm_image_decode", mm_image_decode, MM_IMAGE_SQL,
               ref="transformer.py:689-709 (U5 decode shape) — real raster decode",
               doc="netpbm encode→decode→luma/thumbnail features round trip",
+              tags=("multimodal", "image")),
+    QuerySpec("mm_png_decode", mm_png_decode, MM_PNG_SQL,
+              ref="transformer.py:689-709 (U5 decode shape) — real compressed decode",
+              doc="PNG encode (per-row filters)→inflate→unfilter→features round trip",
               tags=("multimodal", "image")),
     QuerySpec("mm_wav_windows", mm_wav_windows, MM_WAV_WINDOWS_SQL,
               ref="scale op: audio frame windowing (1→N on real decoded PCM)",

@@ -361,6 +361,59 @@ def _pagerank_oracle(n_iter: int = 2, damping: float = 0.85) -> str:
     )
 
 
+def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph (parts linked
+    when they share an order) via degree-ordered orientation
+    (operators/components.py:triangle_counts) — the clustering-
+    coefficient primitive, and the canonical skew-proof graph pattern:
+    orientation bounds wedge fan-out by O(m^1.5) however hubby the
+    graph gets.  Pair generation itself is bounded too: ≤ 7 items per
+    order ⇒ ≤ 21 pairs per order, a per-row-constant explode."""
+    from tlcn_oer_lakehouse_spark.operators.components import triangle_counts
+
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(pairs).orderBy("node")
+
+
+TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+ori AS (
+  SELECT CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.u ELSE p.v END AS s,
+         CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.v ELSE p.u END AS t,
+         CASE WHEN (da.d, p.u) < (db.d, p.v) THEN db.d ELSE da.d END AS dt
+  FROM pairs p JOIN deg da ON p.u = da.node JOIN deg db ON p.v = db.node
+),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM ori e1
+  JOIN ori e2 ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+  JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
 def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle().strip()}),
@@ -410,6 +463,11 @@ SPECS = [
                   "decimal-exact contribution sums, both iterations replayed",
               doc="2-iteration PageRank over the near-dup pair graph",
               tags=("graph", "dedup")),
+    QuerySpec("g_triangle_count", g_triangle_count, TRIANGLE_SQL,
+              ref="scale op: degree-ordered triangle counting "
+                  "(Suri & Vassilvitskii WWW'11) — O(m^1.5) skew-proof wedges",
+              doc="per-node triangles on the order co-purchase graph",
+              tags=("graph",)),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(),
               ref="scale op; 32-bit simhash, hamming<=6",
               doc="SimHash near-dup pairs", tags=("dedup",)),
