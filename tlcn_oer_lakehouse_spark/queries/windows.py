@@ -482,6 +482,121 @@ ORDER BY user_id, rnk
 """
 
 
+def w9_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions per event type via the sweep-line
+    (interval-stabbing) pattern: each event opens a 30-minute session
+    ``[ts, ts+1800)``; +1/-1 boundary deltas union together, a running
+    sum over each type's time-ordered boundary stream tracks active
+    sessions, and the max of that running sum is the answer.  One keyed
+    shuffle on the (low-cardinality, evenly loaded) event type; ends
+    sort before starts at the same instant because the interval is
+    half-open.  The classic alternative — self-joining events against
+    overlapping events — is O(n·overlap) and skew-bound; the sweep is
+    linear in boundaries."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf).select("event_type", "ts_sec")
+    starts = ev.select(
+        "event_type", F.col("ts_sec").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type", (F.col("ts_sec") + 1800).alias("t"), F.lit(-1).alias("delta")
+    )
+    bounds = starts.unionByName(ends)
+    # per (type, instant): ends first (delta asc) — aggregate deltas at
+    # the same instant so window ordering has a deterministic total key
+    agg = bounds.groupBy("event_type", "t").agg(F.sum("delta").alias("d"))
+    w = Window.partitionBy("event_type").orderBy("t")
+    running = agg.withColumn("active", F.sum("d").over(w))
+    return (
+        running.groupBy("event_type")
+        .agg(
+            F.max("active").alias("peak_concurrent"),
+            F.count(F.lit(1)).alias("n_boundary_instants"),
+        )
+        .orderBy("event_type")
+    )
+
+
+W9_CONCURRENCY_SQL = """
+WITH ev AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+bounds AS (
+  SELECT event_type, ts_sec AS t, 1 AS delta FROM ev
+  UNION ALL
+  SELECT event_type, ts_sec + 1800 AS t, -1 AS delta FROM ev
+),
+agg AS (SELECT event_type, t, SUM(delta) AS d FROM bounds GROUP BY 1, 2),
+running AS (
+  SELECT event_type, t,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t) AS active
+  FROM agg
+)
+SELECT event_type,
+       MAX(active) AS peak_concurrent,
+       COUNT(*) AS n_boundary_instants
+FROM running GROUP BY event_type ORDER BY event_type
+"""
+
+
+def w10_cooccurrence_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: which event-type pairs the same user
+    performs, with support (distinct users) and lift against independent
+    marginals — the A-Priori first pass / recommendation-seed primitive.
+    Baskets are per-user *distinct* type sets, so pair fan-out per user
+    is bounded by (|type vocabulary| choose 2), a constant — the pair
+    self-join is keyed on user_id and cannot blow up however many raw
+    events a hot user has.  Lift divides exact counts at the end."""
+    baskets = load_events(spark, sf).select("user_id", "event_type").distinct()
+    n_users = load_events(spark, sf).select("user_id").distinct().count()
+    a = baskets.select("user_id", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    marg = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"),
+                                    F.col("m").alias("m_a"))), "type_a")
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"),
+                                    F.col("m").alias("m_b"))), "type_b")
+        .select(
+            "type_a", "type_b", "support",
+            F.round(
+                F.col("support") * F.lit(n_users)
+                / (F.col("m_a") * F.col("m_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+W10_COOCCUR_SQL = """
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS support
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+marg AS (SELECT event_type, COUNT(*) AS m FROM baskets GROUP BY 1)
+SELECT p.type_a, p.type_b, p.support,
+       round(p.support * nu.n / (ma.m * mb.m), 9) AS lift
+FROM pairs p
+JOIN marg ma ON p.type_a = ma.event_type
+JOIN marg mb ON p.type_b = mb.event_type
+CROSS JOIN nu
+ORDER BY type_a, type_b
+"""
+
+
 SPECS = [
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
@@ -497,6 +612,16 @@ SPECS = [
     QuerySpec("st_session_window", session_windows, SESSION_SQL,
               ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
               doc="6h-gap session windows per user", tags=("streaming",)),
+    QuerySpec("w9_max_concurrency", w9_max_concurrency, W9_CONCURRENCY_SQL,
+              ref="scale op: sweep-line peak concurrency — linear in "
+                  "boundaries vs the O(n·overlap) self-join alternative",
+              doc="peak concurrent 30-min sessions per event type",
+              tags=("window", "timeseries")),
+    QuerySpec("w10_cooccurrence_pairs", w10_cooccurrence_pairs, W10_COOCCUR_SQL,
+              ref="scale op: A-Priori pass-1 co-occurrence with lift; "
+                  "per-user pair fan-out bounded by the type vocabulary",
+              doc="event-type pair support + lift over per-user baskets",
+              tags=("window", "mining")),
     QuerySpec("w8_activity_streaks", w8_activity_streaks, W8_STREAKS_SQL,
               ref="scale op: gaps-and-islands streaks (one user-keyed window, "
                   "no self-join)",
