@@ -359,12 +359,77 @@ LIMIT 10
     )
 
 
+def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN *self-join*: every vector gets its top-3 neighbours by exact
+    cosine among vectors sharing its 4-bit sign bucket — the all-pairs
+    similarity-search shape behind embedding dedup and recommendation,
+    blocked so it scales: the LSH bucket is the join key, so work is
+    Σ(bucket²) instead of n², and at 100 TB the bucket count grows with
+    the corpus (more sign bits) to keep buckets O(n/2^bits).  One
+    equi-join + one per-vector window; ties break on (round(cos, 9)
+    desc, neighbour id) so top-k membership is engine-stable."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    b = emb.withColumn("bucket", sign_bucket(F.col("embedding"), 4))
+    lhs, rhs = b.alias("l"), b.alias("r")
+    pairs = (
+        lhs.join(
+            rhs,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") != F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_id"),
+            F.col("r.vec_id").alias("nbr_id"),
+            F.round(
+                cosine(F.col("l.embedding"), F.col("r.embedding")), 9
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "nbr_id", "cos_sim", "rn")
+        .orderBy("vec_id", "rn")
+    )
+
+
+KNN_JOIN_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {BUCKET_EXPR.format(e='embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT l.vec_id AS vec_id, r.vec_id AS nbr_id,
+         round({_cos_sql('l.embedding', 'r.embedding')}, 9) AS cos_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, nbr_id, cos_sim, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn
+"""
+
+
 SPECS = [
     QuerySpec("ann_kmeans_assign", ann_kmeans_assign, _kmeans_oracle(),
               ref="scale op: trained IVF (deterministic Lloyd k-means, 2 iterations)",
               doc="k=4 k-means assignment; whole iterative run oracle-replayed",
               tags=("vector",)),
 
+    QuerySpec("ann_knn_join", ann_knn_join, KNN_JOIN_SQL,
+              ref="scale op: blocked kNN self-join (Q2 generalized to "
+                  "all-pairs) — LSH-bucket equi-join bounds work at Σ(bucket²)",
+              doc="top-3 neighbours per vector inside sign buckets",
+              tags=("vector",)),
     QuerySpec("ann_ivf_topk", ann_ivf, ANN_IVF_SQL,
               ref="scale path for Q2: IVF inverted-file ANN (SURVEY §2.10)",
               doc="8-centroid IVF, n_probe=2, exact rescoring", tags=("vector",)),
