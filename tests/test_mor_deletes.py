@@ -25,7 +25,8 @@ def _table(spark, tmp_path, n=1000):
 def _data_files(snap):
     out = []
     for root, dirs, files in os.walk(snap):
-        dirs[:] = [d for d in dirs if d != "_tombstones"]
+        # sidecar metadata (_tombstones, _changes) is not data
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
         out += [os.path.join(os.path.relpath(root, snap), f)
                 for f in files if f.endswith(".parquet")]
     return sorted(out)

@@ -99,7 +99,11 @@ def _file_bounds(path: str) -> tuple[int, dict[str, list]]:
 
 def _data_files(snapshot_dir: str) -> list[str]:
     out = []
-    for root, _, files in os.walk(snapshot_dir):
+    for root, dirs, files in os.walk(snapshot_dir):
+        # _-prefixed dirs (_tombstones, _changes) are sidecar metadata,
+        # invisible to Spark's file listing — keep the manifest's notion
+        # of "data file" identical to the reader's
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in sorted(files):
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))

@@ -57,6 +57,7 @@ from tlcn_oer_lakehouse_spark.sinks.manifest import (
 
 class ParquetMergeTable:
     TOMBSTONE_DIR = "_tombstones"  # _-prefix: invisible to Spark's file listing
+    CHANGES_DIR = "_changes"  # per-commit change log (Delta CDF analog)
 
     def __init__(
         self,
@@ -200,12 +201,19 @@ class ParquetMergeTable:
         head = self._head_version()
         return [v for v in self._all_version_nums() if v != head]
 
-    def _write_snapshot(self, df: DataFrame) -> None:
+    def _write_snapshot(self, df: DataFrame, changes: DataFrame | None = None) -> None:
         """Write the snapshot to an immutable ``__v{n}`` dir, then publish
         it with ONE atomic ``os.replace`` of the head symlink — the table
         path always resolves, and the displaced snapshot stays retained
         (the Iceberg snapshot-log analog enabling time travel/rollback).
-        Single-writer by contract (see module docstring)."""
+        Single-writer by contract (see module docstring).
+
+        ``changes`` (table columns + ``_change_type``) is the commit's
+        change log, written to ``_changes/`` INSIDE the staging dir so it
+        publishes atomically with the snapshot — change capture at write
+        time costs O(changed rows), which is why ``read_changes`` never
+        has to diff snapshots (the O(table) trap).  ``None`` records an
+        empty log (physical-only rewrites like ``compact``)."""
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
         if self.partition_transforms:
             from tlcn_oer_lakehouse_spark.sinks.partitioning import (
@@ -237,6 +245,10 @@ class ParquetMergeTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
+        if changes is not None:
+            changes.write.mode("overwrite").parquet(
+                os.path.join(staging, self.CHANGES_DIR)
+            )
         write_manifest(staging)  # footer-stats manifest rides inside the snapshot
         self._publish(staging)
 
@@ -279,6 +291,57 @@ class ParquetMergeTable:
             entries.append({"version": head, "path": self.path, "is_current": True})
         return entries
 
+    def read_changes(
+        self, since_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed (Delta CDF / Iceberg changelog analog): the
+        row-level changes committed AFTER ``since_version`` up to and
+        including ``end_version`` (default: current head).  Rows carry
+        the table columns plus ``_change_type`` ∈ {insert, delete,
+        update_preimage, update_postimage} and ``_commit_version``.
+
+        This is what makes downstream incremental: a consumer remembers
+        the last version it processed and folds only the delta into its
+        derived state (the reference approximates this with full-table
+        fingerprint anti-joins — Q7 index diff, elasticsearch_sync.py:
+        343-395).  Cost is O(changed rows in range): logs are captured at
+        write time by each mutator, never reconstructed by diffing
+        snapshots.  Versions vacuumed out of retention raise — a silent
+        gap would corrupt every downstream fold."""
+        head = self._head_version()
+        if head is None and self.exists():
+            raise ValueError("legacy plain-dir table has no change feed")
+        end = head if end_version is None else end_version
+        if end is None or end <= since_version:
+            raise ValueError(f"empty version range ({since_version}, {end}]")
+        retained = set(self._all_version_nums())
+        want = list(range(since_version + 1, end + 1))
+        missing = [v for v in want if v not in retained]
+        if missing:
+            raise ValueError(
+                f"versions {missing} not retained (vacuumed?) — change "
+                "feed would have silent gaps"
+            )
+        out: DataFrame | None = None
+        for v in want:
+            cdir = os.path.join(self._version_dir(v), self.CHANGES_DIR)
+            if not os.path.isdir(cdir):
+                continue  # physical-only commit (compact) or pre-CDF
+            part = self.spark.read.parquet(cdir).withColumn(
+                "_commit_version", F.lit(v)
+            )
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        if out is None:
+            # range held only physical-only commits: empty feed with the
+            # table's schema + CDF columns
+            empty = self.read().limit(0)
+            return empty.withColumn("_change_type", F.lit("")).withColumn(
+                "_commit_version", F.lit(0)
+            )
+        return out
+
     def rollback(self, version: int) -> None:
         """Restore a historical snapshot as the new head (Iceberg
         ``rollback_to_snapshot`` analog).  The displaced head is itself
@@ -290,7 +353,52 @@ class ParquetMergeTable:
         # lazy scan stays valid while the staging write runs; reading
         # through _read_snapshot_dir keeps that version's tombstones
         # applied (the restored head materializes them copy-on-write)
-        self._write_snapshot(self._read_snapshot_dir(d))
+        restored = self._read_snapshot_dir(d)
+        # RESTORE is the one CDF producer that must diff (the restored
+        # state was not derived from the current head), so its change log
+        # costs one keyed full-outer join over the table — the same price
+        # Delta pays for RESTORE with CDF enabled.
+        changes = None
+        if self.exists():
+            cur = self._align(self.read(), list(restored.columns), restored.schema)
+            n, o = restored.alias("n"), cur.alias("o")
+            j = n.join(
+                o, F.col(f"n.{self.key}") == F.col(f"o.{self.key}"), "full_outer"
+            )
+            cols = list(restored.columns)
+            n_rows = [F.col(f"n.{c}").alias(c) for c in cols]
+            o_rows = [F.col(f"o.{c}").alias(c) for c in cols]
+            n_struct = F.struct(*[F.col(f"n.{c}") for c in cols])
+            o_struct = F.struct(*[F.col(f"o.{c}") for c in cols])
+            changes = (
+                j.filter(F.col(f"o.{self.key}").isNull())
+                .select(*n_rows)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    j.filter(F.col(f"n.{self.key}").isNull())
+                    .select(*o_rows)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                .unionByName(
+                    j.filter(
+                        F.col(f"n.{self.key}").isNotNull()
+                        & F.col(f"o.{self.key}").isNotNull()
+                        & ~n_struct.eqNullSafe(o_struct)
+                    )
+                    .select(*o_rows)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                .unionByName(
+                    j.filter(
+                        F.col(f"n.{self.key}").isNotNull()
+                        & F.col(f"o.{self.key}").isNotNull()
+                        & ~n_struct.eqNullSafe(o_struct)
+                    )
+                    .select(*n_rows)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+            )
+        self._write_snapshot(restored, changes=changes)
 
     def vacuum(self, keep_last: int = 2) -> int:
         """Drop all but the newest ``keep_last`` retained versions.
@@ -302,7 +410,10 @@ class ParquetMergeTable:
         return len(drop)
 
     def create(self, df: DataFrame) -> None:
-        self._write_snapshot(latest_wins(df, self.key, self._order_cols(df)))
+        initial = latest_wins(df, self.key, self._order_cols(df))
+        self._write_snapshot(
+            initial, changes=initial.withColumn("_change_type", F.lit("insert"))
+        )
 
     def _order_cols(self, df: DataFrame) -> list[str]:
         return [self.ts_col] if self.ts_col and self.ts_col in df.columns else [self.key]
@@ -324,7 +435,9 @@ class ParquetMergeTable:
         number of upserted rows (0 → no write happened)."""
         batch = latest_wins(source, self.key, self._order_cols(source))
         if not self.exists():
-            self._write_snapshot(batch)
+            self._write_snapshot(
+                batch, changes=batch.withColumn("_change_type", F.lit("insert"))
+            )
             return batch.count()
 
         existing = self.read()
@@ -352,7 +465,25 @@ class ParquetMergeTable:
             changed.unpersist()
             return 0
         merged = merge_upsert(existing_aligned, changed, self.key)
-        self._write_snapshot(merged)
+        # CDF capture at O(changed): split the changed set into inserts
+        # vs updates by one keyed semi/anti join pair against the
+        # existing keys, and pull preimages with a semi join the other
+        # way — never a table diff.
+        existing_keys = existing_aligned.select(self.key)
+        changes = (
+            changed.join(existing_keys, self.key, "left_anti")
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                changed.join(existing_keys, self.key, "semi")
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            .unionByName(
+                existing_aligned.join(
+                    changed.select(self.key), self.key, "semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
+            )
+        )
+        self._write_snapshot(merged, changes=changes)
         changed.unpersist()
         return n_changed
 
@@ -415,7 +546,12 @@ class ParquetMergeTable:
             all_keys = new_keys
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
         for root, dirs, files in os.walk(snap):
-            dirs[:] = [d for d in dirs if d != self.TOMBSTONE_DIR]
+            # _changes is per-commit, never inherited: hardlinking the
+            # old log would replay the previous commit's changes as this
+            # version's
+            dirs[:] = [
+                d for d in dirs if d not in (self.TOMBSTONE_DIR, self.CHANGES_DIR)
+            ]
             dst_root = os.path.join(staging, os.path.relpath(root, snap))
             os.makedirs(dst_root, exist_ok=True)
             for f in files:
@@ -426,6 +562,9 @@ class ParquetMergeTable:
         all_keys.write.mode("overwrite").parquet(
             os.path.join(staging, self.TOMBSTONE_DIR)
         )
+        doomed.withColumn("_change_type", F.lit("delete")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, self.CHANGES_DIR))
         new_keys.unpersist()
         self._publish(staging)
         return n_new
@@ -440,7 +579,10 @@ class ParquetMergeTable:
         n_stale = stale.count()
         if n_stale:
             survivors = existing.join(stale, self.key, "left_anti")
-            self._write_snapshot(survivors)
+            deleted_rows = existing.join(stale, self.key, "semi").withColumn(
+                "_change_type", F.lit("delete")
+            )
+            self._write_snapshot(survivors, changes=deleted_rows)
         stale.unpersist()
         return n_stale
 
