@@ -179,3 +179,53 @@ def test_rollback_feed_folds_to_restored_state(spark, tmp_path):
         (v2, "update_preimage", 2, "B"),
     ]
     assert sorted((r.id, r.val) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+
+
+def test_changes_stream_tails_the_feed(spark, tmp_path):
+    """Streaming CDF source: a file stream over the per-commit change
+    logs delivers exactly the rows the batch feed reports, with
+    _commit_version recovered from the path — and a second availableNow
+    run against the same checkpoint picks up ONLY commits made since."""
+    from tlcn_oer_lakehouse_spark.streaming.ingest import changes_stream
+
+    t = _table(spark, tmp_path)
+    t.create(_fp(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])))
+    t.merge_upsert(_fp(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "val"])))
+
+    seen: list[tuple] = []
+
+    def _collect(batch_df, batch_id):
+        seen.extend(
+            (r._commit_version, r._change_type, r.id, r.val)
+            for r in batch_df.collect()
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        changes_stream(t)
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    head = t._head_version()
+    batch_feed = sorted(
+        (r._commit_version, r._change_type, r.id, r.val)
+        for r in t.read_changes(head - 2, head).collect()
+    )
+    assert sorted(seen) == batch_feed
+
+    # new commit -> restarted stream delivers only the delta
+    t.merge_delete(spark.createDataFrame([(1,), (2,)], ["id"]))
+    seen.clear()
+    q = (
+        changes_stream(t)
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    v_del = t._head_version()
+    assert sorted(seen) == [(v_del, "delete", 3, "c")]
