@@ -134,7 +134,7 @@ class TestDecodeOperators:
         )
         assert decode_asset(df, "wav").collect()[0].decode_status == "ok"
         with pytest.raises(NotImplementedError):
-            decode_asset(df, "jpeg")
+            decode_asset(df, "webp")
 
 
 class TestPngCodec:
@@ -234,6 +234,89 @@ class TestPngCodec:
             "doc_id long, payload binary",
         )
         assert decode_asset(df, "png").collect()[0].decode_status == "ok"
+
+
+class TestJpegCodec:
+    """functions/jpegio.py: real baseline JPEG — lossy, so round trips
+    assert error bounds, and constant 8×8 blocks (DC-only) assert the
+    exact closed form the mm_jpeg_decode oracle replays."""
+
+    def test_constant_blocks_have_exact_closed_form(self):
+        from tlcn_oer_lakehouse_spark.functions.jpegio import (
+            dc_quantizer,
+            read_jpeg,
+            write_jpeg,
+        )
+
+        q = dc_quantizer(50)
+        assert q == 16
+        for v in [0, 1, 8, 127, 128, 129, 254, 255]:
+            img = np.full((16, 24), v, dtype=np.uint8)
+            out = read_jpeg(write_jpeg(img, quality=50))
+            qdc = np.floor((v - 128) * 8 / q + 0.5)
+            exp = min(255, max(0, int(np.floor(qdc * q / 8 + 128 + 0.5))))
+            assert out.shape == img.shape
+            assert (out == exp).all(), (v, out[0, 0], exp)
+
+    def test_gray_round_trip_bounded_error(self):
+        from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg, write_jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 17), dtype=np.uint8)  # odd width: crop path
+        out = read_jpeg(write_jpeg(img, quality=90))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
+
+    def test_rgb_round_trip_bounded_error(self):
+        from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg, write_jpeg
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+        out = read_jpeg(write_jpeg(img, quality=90))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 64
+
+    def test_smooth_content_high_quality_is_tight(self):
+        from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg, write_jpeg
+
+        yy, xx = np.mgrid[0:32, 0:32]
+        img = (128 + 60 * np.sin(yy / 6) + 40 * np.cos(xx / 5)).astype(np.uint8)
+        out = read_jpeg(write_jpeg(img, quality=95))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    @pytest.mark.parametrize(
+        "payload", [b"", b"\xff\xd8junk", b"not a jpeg", b"\xff\xd9\xff\xd8"]
+    )
+    def test_rejects_garbage(self, payload):
+        from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg
+
+        with pytest.raises(ValueError):
+            read_jpeg(payload)
+
+    def test_rejects_progressive(self):
+        from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg, write_jpeg
+
+        payload = bytearray(write_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+        payload[payload.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+        with pytest.raises(ValueError, match="non-baseline"):
+            read_jpeg(bytes(payload))
+
+    def test_image_features_sniffs_jpeg(self, spark):
+        from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            decode_asset,
+            image_features,
+        )
+
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(write_jpeg(img, quality=50)))],
+            "doc_id long, payload binary",
+        )
+        row = image_features(df, thumb_side=4).collect()[0]
+        assert (row.width, row.height, row.channels) == (8, 8, 1)
+        assert row.decode_status == "ok"
+        assert decode_asset(df, "jpeg").collect()[0].decode_status == "ok"
 
 
 class TestCodecProperties:

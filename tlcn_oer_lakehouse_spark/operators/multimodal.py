@@ -10,10 +10,12 @@ UTF-8 payloads in tests), metadata extraction is pure column expressions,
 and the Python-side stages are Arrow-vectorized ``mapInPandas`` UDFs —
 the idiomatic replacement for the reference's per-row Python loops.
 
-Real decode runs in-repo for pdf/wav/pgm/ppm *and* PNG (DEFLATE via the
+Real decode runs in-repo for pdf/wav/pgm/ppm, PNG (DEFLATE via the
 stdlib ``zlib`` — functions/pngio.py walks chunks, inflates IDAT and
-unfilters all five scanline filters); only formats whose codecs truly
-aren't in this container (jpeg/webp/mp3/mp4) stay gated behind
+unfilters all five scanline filters) *and* baseline JPEG
+(functions/jpegio.py — Huffman MCU decode, dequantize, 8×8 IDCT,
+YCbCr→RGB); only formats whose codecs truly
+aren't in this container (webp/mp3/mp4) stay gated behind
 ``NotImplementedError``, with ``fake_image_features`` / ``frame_sample``
 covering their byte-level plumbing (schemas, Arrow binary round-trip,
 1→N row fan-out, per-batch vectorization) end-to-end.
@@ -83,21 +85,25 @@ def decode_asset(df: DataFrame, kind: str) -> DataFrame:
       per-asset image features;
     - ``png`` — functions/pngio.py (chunk walk, stdlib-zlib IDAT
       inflate, all 5 scanline unfilters, palette expansion) → the same
-      image features: real *compressed* raster decode.
+      image features: real *compressed* raster decode;
+    - ``jpeg`` — functions/jpegio.py (baseline JFIF: marker walk,
+      DQT/DHT parsing, interleaved Huffman MCU decode, dequantize,
+      8×8 IDCT, YCbCr→RGB) → the same image features: real *lossy*
+      compressed decode.
 
     Only codecs that require libraries absent from this container
-    (jpeg/webp/mp3/mp4…) stay an explicit, tested stub — swap in
+    (webp/mp3/mp4…) stay an explicit, tested stub — swap in
     PIL/librosa/pyav on a cluster image; the Spark plumbing is the
     same mapInPandas shape as the implemented paths."""
     if kind == "pdf":
         return pdf_page_texts(df)
     if kind == "wav":
         return wav_features(df)
-    if kind in ("pgm", "ppm", "png"):
+    if kind in ("pgm", "ppm", "png", "jpeg", "jpg"):
         return image_features(df)
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "container; pdf/wav/pgm/ppm/png decode for real, and "
+        "container; pdf/wav/pgm/ppm/png/jpeg decode for real, and "
         "fake_image_features/frame_sample cover the byte-level path"
     )
 
@@ -282,6 +288,7 @@ def image_features(
         downsample_nearest,
         read_netpbm,
     )
+    from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg
     from tlcn_oer_lakehouse_spark.functions.pngio import read_png
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -290,11 +297,12 @@ def image_features(
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
                 try:
                     raw = bytes(payload)
-                    px = (
-                        read_png(raw)
-                        if raw[:4] == b"\x89PNG"
-                        else read_netpbm(raw)
-                    )
+                    if raw[:4] == b"\x89PNG":
+                        px = read_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        px = read_jpeg(raw)
+                    else:
+                        px = read_netpbm(raw)
                     h, w = px.shape[:2]
                     channels = 1 if px.ndim == 2 else px.shape[2]
                     total = int(px.astype("int64").sum())

@@ -537,6 +537,81 @@ GROUP BY doc_id, w, h, k
 """
 
 
+def mm_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL *lossy* compressed decode round-trip: per-doc grayscale
+    rasters built from constant 8×8 blocks (block (i, j) has value
+    ``(d*13 + (i*A + j)*29) % 256`` on an A×B block grid, A = 2 + d%3,
+    B = 1 + d%2) are JPEG-encoded by functions/jpegio.py (real DCT →
+    quantize → Huffman baseline JFIF) and decoded back through the same
+    image_features stage as png/netpbm.  Constant blocks are DC-only,
+    so the decoded value has the exact closed form
+    ``clamp(floor(floor((v-128)*8/q + .5) * q/8 + 128 + .5), 0, 255)``
+    (q = 16, the quality-50 luma DC quantizer) — the oracle replays it
+    per pixel, pinning marker parsing, Huffman decode, dequantization
+    and the IDCT in one hash.  General-content accuracy is covered by
+    error-bound tests in test_media_codecs.py."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+    from tlcn_oer_lakehouse_spark.operators.multimodal import image_features
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                a_blk, b_blk = 2 + d % 3, 1 + d % 2
+                ii, jj = np.mgrid[0:b_blk, 0:a_blk]
+                vals = (d * 13 + (ii * a_blk + jj) * 29) % 256
+                px = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                payloads.append(write_jpeg(px, quality=50))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return image_features(imgs, thumb_side=4).drop("thumb_md5")
+
+
+MM_JPEG_SQL = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS a_blk, 1 + doc_id % 2 AS b_blk,
+         (2 + doc_id % 3) * 8 AS w, (1 + doc_id % 2) * 8 AS h,
+         CAST(ceil(greatest((2 + doc_id % 3) * 8, (1 + doc_id % 2) * 8) / 4.0)
+              AS BIGINT) AS k
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, k, y, x,
+         (doc_id * 13 + ((y // 8) * a_blk + (x // 8)) * 29) % 256 AS v
+  FROM (SELECT doc_id, a_blk, w, h, k, unnest(generate_series(0, h - 1)) AS y
+        FROM p),
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x)
+),
+dec AS (
+  SELECT doc_id, w, h, k, y, x,
+         least(255, greatest(0,
+           floor(floor((v - 128) * 8 / 16.0 + 0.5) * 16 / 8.0 + 128 + 0.5)
+         )) AS dv
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       1 AS channels,
+       CAST(SUM(dv) AS DOUBLE) / (w * h) AS mean_luma,
+       CAST(CAST(ceil(w / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_width,
+       CAST(CAST(ceil(h / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_height,
+       CAST(SUM(CASE WHEN y % k = 0 AND x % k = 0 THEN dv ELSE 0 END) AS BIGINT)
+         AS thumb_pixel_sum,
+       'ok' AS decode_status
+FROM dec
+GROUP BY doc_id, w, h, k
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_metadata", mm_binary_metadata, MM_META_SQL,
               ref="transformer.py:570-609 (S7/U4 asset stat enrichment)",
@@ -571,6 +646,10 @@ SPECS = [
     QuerySpec("mm_png_decode", mm_png_decode, MM_PNG_SQL,
               ref="transformer.py:689-709 (U5 decode shape) — real compressed decode",
               doc="PNG encode (per-row filters)→inflate→unfilter→features round trip",
+              tags=("multimodal", "image")),
+    QuerySpec("mm_jpeg_decode", mm_jpeg_decode, MM_JPEG_SQL,
+              ref="transformer.py:689-709 (U5 decode shape) — real lossy decode",
+              doc="baseline JPEG encode→Huffman/IDCT decode; DC-only closed form",
               tags=("multimodal", "image")),
     QuerySpec("mm_wav_windows", mm_wav_windows, MM_WAV_WINDOWS_SQL,
               ref="scale op: audio frame windowing (1→N on real decoded PCM)",
