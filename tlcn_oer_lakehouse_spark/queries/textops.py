@@ -414,6 +414,58 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def g_pointer_doubling_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Rooted-tree depth + root resolution by POINTER DOUBLING — the
+    O(log depth) iterative-graph primitive (vs label propagation's
+    O(depth) rounds): every node starts pointing at its parent with
+    distance 1, and each round rewires ``anc ← anc[anc]``,
+    ``dist += dist[anc]`` via ONE keyed self-join, halving the longest
+    unresolved chain.  3 rounds resolve this forest (max depth 6); at
+    100 TB a depth-10⁶ lineage chain needs only 20 rounds where
+    step-by-step traversal needs 10⁶.
+
+    The forest is derived from ``part``: parent(p) = p // 3, roots are
+    p ≤ 2.  The oracle recomputes depths with a recursive CTE — a
+    genuinely different algorithm (sequential descent) agreeing on the
+    same answer."""
+    parts = load(spark, sf, "part").select(F.col("p_partkey").alias("node"))
+    state = parts.select(
+        "node",
+        F.when(F.col("node") <= 2, F.col("node"))
+        .otherwise(F.expr("node div 3")).alias("anc"),
+        F.when(F.col("node") <= 2, F.lit(0)).otherwise(F.lit(1)).alias("dist"),
+    )
+    for _ in range(3):  # ceil(log2(max_depth 6)) = 3
+        hop = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("d2"),
+        )
+        state = (
+            state.join(hop, "anc")
+            .select(
+                "node",
+                F.col("anc2").alias("anc"),
+                (F.col("dist") + F.col("d2")).alias("dist"),
+            )
+        )
+    return state.select(
+        "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
+    ).orderBy("node")
+
+
+POINTER_DOUBLING_SQL = """
+WITH RECURSIVE d(node, root, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 2
+  UNION ALL
+  SELECT c.p_partkey, d.root, d.depth + 1
+  FROM part c JOIN d ON c.p_partkey // 3 = d.node
+  WHERE c.p_partkey > 2
+)
+SELECT node, root, depth FROM d ORDER BY node
+"""
+
+
 def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle().strip()}),
@@ -463,6 +515,12 @@ SPECS = [
                   "decimal-exact contribution sums, both iterations replayed",
               doc="2-iteration PageRank over the near-dup pair graph",
               tags=("graph", "dedup")),
+    QuerySpec("g_pointer_doubling_depth", g_pointer_doubling_depth,
+              POINTER_DOUBLING_SQL,
+              ref="scale op: pointer doubling / path halving — O(log d) "
+                  "keyed self-joins vs O(d) sequential traversal",
+              doc="tree depth + root via 3 doubling rounds; recursive oracle",
+              tags=("graph",)),
     QuerySpec("g_triangle_count", g_triangle_count, TRIANGLE_SQL,
               ref="scale op: degree-ordered triangle counting "
                   "(Suri & Vassilvitskii WWW'11) — O(m^1.5) skew-proof wedges",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load_events
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load, load_events
 
 _DUCK_TS = "make_timestamp((epoch_ns(ts) // 1000000000) * 1000000)"
 
@@ -597,6 +597,73 @@ ORDER BY type_a, type_b
 """
 
 
+def rec_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-to-item collaborative filtering (the Amazon 2003 shape) on
+    the co-purchase matrix: parts sharing an order co-occur, similarity
+    is co-count cosine ``c_ab / sqrt(n_a · n_b)`` against per-item order
+    frequencies, and each item keeps its top-5 most similar items.
+    Scale shape: pair generation is bounded per order (≤ 21 pairs at 7
+    items), frequencies are one groupBy, the top-k is one item-keyed
+    window — no user×item matrix ever materializes, which is what makes
+    the item-based formulation the scale-path over user-based CF."""
+    from pyspark.sql import Window
+
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    freq = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = co.unionByName(
+        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+    )
+    scored = (
+        sym.join(freq.select(F.col("pk").alias("u"), F.col("n").alias("nu")), "u")
+        .join(freq.select(F.col("pk").alias("v"), F.col("n").alias("nv")), "v")
+        .select(
+            "u", "v",
+            F.round(F.col("c") / F.sqrt(F.col("nu") * F.col("nv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("sim").desc(), F.col("v").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("u").alias("item"), F.col("v").alias("rec"), "sim",
+                F.col("rn").alias("rank"))
+        .orderBy("item", "rank")
+    )
+
+
+REC_CF_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+freq AS (SELECT pk, COUNT(*) AS n FROM li GROUP BY 1),
+co AS (
+  SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2
+),
+sym AS (SELECT u, v, c FROM co UNION ALL SELECT v, u, c FROM co),
+scored AS (
+  SELECT s.u, s.v, round(s.c / sqrt(fu.n * fv.n), 9) AS sim
+  FROM sym s JOIN freq fu ON s.u = fu.pk JOIN freq fv ON s.v = fv.pk
+),
+ranked AS (
+  SELECT u, v, sim,
+         row_number() OVER (PARTITION BY u ORDER BY sim DESC, v ASC) AS rn
+  FROM scored
+)
+SELECT u AS item, v AS rec, sim, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 5 ORDER BY item, rank
+"""
+
+
 SPECS = [
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
@@ -612,6 +679,11 @@ SPECS = [
     QuerySpec("st_session_window", session_windows, SESSION_SQL,
               ref="new capability (SURVEY §2.9); gaps-and-islands oracle",
               doc="6h-gap session windows per user", tags=("streaming",)),
+    QuerySpec("rec_item_item_cf", rec_item_item_cf, REC_CF_SQL,
+              ref="scale op: item-item CF (Linden et al. 2003) — bounded "
+                  "co-pair explode, no user×item matrix",
+              doc="top-5 similar items by co-purchase cosine",
+              tags=("mining", "vector")),
     QuerySpec("w9_max_concurrency", w9_max_concurrency, W9_CONCURRENCY_SQL,
               ref="scale op: sweep-line peak concurrency — linear in "
                   "boundaries vs the O(n·overlap) self-join alternative",
