@@ -118,3 +118,38 @@ def test_char_budget_reassembles_text(docs):
     orig = docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
     mismatch = rebuilt.join(orig, "doc_id").filter(F.col("rebuilt") != F.col("norm"))
     assert mismatch.count() == 0
+
+
+def test_udtf_matches_vectorized_operator(spark):
+    """The SQL-surface UDTF (functions/udtfs.py) and the vectorized
+    operator share one contract — including the trailing partial
+    window (n - window not divisible by stride)."""
+    from tlcn_oer_lakehouse_spark.functions.udtfs import register_udtfs
+    from tlcn_oer_lakehouse_spark.operators.chunking import token_window_chunks
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),   # 100 tokens: tail 91-100
+        (2, "one two three"),                          # shorter than window
+        (3, "  Mixed   CASE\t\twhitespace  "),         # normalization
+        (4, " ".join(f"w{i}" for i in range(50))),     # exactly one window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    register_udtfs(spark)
+    df.createOrReplaceTempView("_udtf_parity_docs")
+    got_udtf = sorted(
+        (r.doc_id, r.chunk_order, r.chunk_text, r.chunk_tokens)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM _udtf_parity_docs d, "
+            "LATERAL chunk_text(d.text, 50, 40) c"
+        ).collect()
+    )
+    got_op = sorted(
+        (r.doc_id, r.chunk_order, r.chunk_text, r.chunk_tokens)
+        for r in token_window_chunks(df, "doc_id", "text", 50, 40)
+        .drop("chunk_id")
+        .collect()
+    )
+    assert got_udtf == got_op
+    # the 100-token doc must keep its tail: 3 chunks, last covering 81-100
+    doc1 = [g for g in got_udtf if g[0] == 1]
+    assert len(doc1) == 3 and doc1[-1][3] == 20

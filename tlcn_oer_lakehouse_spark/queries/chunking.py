@@ -45,6 +45,42 @@ FROM wins
 """
 
 
+def chunk_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL-surface chunker: the same 50/40 sliding-window semantics
+    as ``chunk_token_windows``, invoked as a table function in a
+    ``LATERAL`` join (``chunk_text(text, 50, 40)``) — the custom
+    extension SURVEY §4 names as the one worth building.  Arrow-batched
+    Python UDTF (functions/udtfs.py); the vectorized column-expression
+    operator remains the production path — this query proves the SQL
+    API surface against the same oracle."""
+    from tlcn_oer_lakehouse_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load(spark, sf, "documents").createOrReplaceTempView("_chunk_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_order, c.chunk_text, c.chunk_tokens
+        FROM _chunk_udtf_docs d, LATERAL chunk_text(d.text, 50, 40) c
+        """
+    )
+
+
+CHUNK_UDTF_SQL = f"""
+WITH toks AS (SELECT doc_id, {NORM_TK} AS tk FROM documents),
+wins AS (
+  SELECT doc_id,
+         CAST((s - 1) / 40 AS INT) AS chunk_order,
+         array_to_string(tk[s:s+49], ' ') AS chunk_text
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(1, len(tk)), 40)) AS s
+        FROM toks)
+  WHERE s = 1 OR s - 40 + 50 - 1 < len(tk)
+)
+SELECT doc_id, chunk_order, chunk_text,
+       len(string_split(chunk_text, ' ')) AS chunk_tokens
+FROM wins
+"""
+
+
 def chunk_char_budget(spark: SparkSession, sf: str) -> DataFrame:
     return char_budget_chunks(
         load(spark, sf, "documents"), "doc_id", "text", max_chars=240
@@ -175,6 +211,11 @@ SPECS = [
               ref="transformer.py:711-794 (U6 sliding-window chunker)",
               doc="50-token windows, stride 40, content-addressed ids",
               tags=("chunking", "bench")),
+    QuerySpec("chunk_udtf", chunk_udtf, CHUNK_UDTF_SQL,
+              ref="SURVEY §4: table-valued chunk_text() UDTF (SQL surface); "
+                  "Arrow-batched, semantics shared with token_window_chunks",
+              doc="LATERAL chunk_text(text, 50, 40) via Python UDTF",
+              tags=("chunking", "udtf")),
     QuerySpec("chunk_char_budget", chunk_char_budget, CHAR_BUDGET_SQL,
               ref="transformer.py:711-794 (U6 paragraph packing → char-budget variant)",
               doc="cumulative char-budget packing (240 chars)", tags=("chunking",)),
