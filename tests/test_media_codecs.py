@@ -408,3 +408,69 @@ class TestStreamingDecode:
         got = {r.doc_id: r for r in spark.table("wav_stream_test").collect()}
         assert got[1].decode_status == "ok" and got[1].n_samples == 2
         assert got[2].decode_status.startswith("ValueError")
+
+
+class TestGifCodec:
+    """functions/gifio.py: real LZW decompression — variable code
+    width, dictionary growth to 12 bits, clear-code reset, KwKwK case,
+    palette expansion.  GIF is lossless, so round trips are exact."""
+
+    def test_round_trip_small(self):
+        from tlcn_oer_lakehouse_spark.functions.gifio import read_gif, write_gif
+
+        a = np.array([[0, 255], [128, 0]], dtype=np.uint8)
+        out = read_gif(write_gif(a))
+        assert out.shape == (2, 2, 3)
+        assert np.array_equal(out[:, :, 0], a)
+        assert np.array_equal(out[:, :, 1], a)  # gray → 3 equal channels
+
+    def test_round_trip_forces_code_growth_and_reset(self):
+        from tlcn_oer_lakehouse_spark.functions.gifio import read_gif, write_gif
+
+        rng = np.random.default_rng(11)
+        # 256-level noise, 12k pixels: codes grow 9→12 bits, dictionary
+        # hits 4096 and resets via clear codes
+        g = rng.integers(0, 256, (100, 120), dtype=np.uint8)
+        out = read_gif(write_gif(g))
+        assert np.array_equal(out[:, :, 0], g)
+
+    def test_rgb_palette_round_trip(self):
+        from tlcn_oer_lakehouse_spark.functions.gifio import read_gif, write_gif
+
+        rng = np.random.default_rng(12)
+        pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, 200, (30, 40))]
+        assert np.array_equal(read_gif(write_gif(img)), img)
+
+    def test_lzw_actually_compresses(self):
+        from tlcn_oer_lakehouse_spark.functions.gifio import write_gif
+
+        rep = np.tile(np.arange(16, dtype=np.uint8) * 16, (40, 10))
+        assert len(write_gif(rep)) < rep.size // 4
+
+    def test_too_many_colors_rejected(self):
+        from tlcn_oer_lakehouse_spark.functions.gifio import write_gif
+
+        rng = np.random.default_rng(13)
+        with pytest.raises(ValueError, match="palette"):
+            write_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+    @pytest.mark.parametrize("payload", [b"", b"GIF89a" + b"\x00" * 10, b"bogus"])
+    def test_rejects_garbage(self, payload):
+        from tlcn_oer_lakehouse_spark.functions.gifio import read_gif
+
+        with pytest.raises(ValueError):
+            read_gif(payload)
+
+    def test_image_features_sniffs_gif(self, spark):
+        from tlcn_oer_lakehouse_spark.functions.gifio import write_gif
+        from tlcn_oer_lakehouse_spark.operators.multimodal import decode_asset
+
+        a = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(write_gif(a)))], "doc_id long, payload binary"
+        )
+        row = decode_asset(df, "gif").collect()[0]
+        assert (row.width, row.height, row.channels) == (2, 2, 3)
+        assert row.mean_luma == 25.0
+        assert row.decode_status == "ok"

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 MAGIC_MIME = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
+    b"GIF8": "image/gif",
     b"%PDF": "application/pdf",
     b"RIFF": "audio/wav",
 }
@@ -89,7 +90,10 @@ def decode_asset(df: DataFrame, kind: str) -> DataFrame:
     - ``jpeg`` — functions/jpegio.py (baseline JFIF: marker walk,
       DQT/DHT parsing, interleaved Huffman MCU decode, dequantize,
       8×8 IDCT, YCbCr→RGB) → the same image features: real *lossy*
-      compressed decode.
+      compressed decode;
+    - ``gif`` — functions/gifio.py (variable-width LZW decompressor
+      with dictionary growth/reset, palette expansion) → the same
+      image features.
 
     Only codecs that require libraries absent from this container
     (webp/mp3/mp4…) stay an explicit, tested stub — swap in
@@ -99,11 +103,11 @@ def decode_asset(df: DataFrame, kind: str) -> DataFrame:
         return pdf_page_texts(df)
     if kind == "wav":
         return wav_features(df)
-    if kind in ("pgm", "ppm", "png", "jpeg", "jpg"):
+    if kind in ("pgm", "ppm", "png", "jpeg", "jpg", "gif"):
         return image_features(df)
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "container; pdf/wav/pgm/ppm/png/jpeg decode for real, and "
+        "container; pdf/wav/pgm/ppm/png/jpeg/gif decode for real, and "
         "fake_image_features/frame_sample cover the byte-level path"
     )
 
@@ -288,6 +292,7 @@ def image_features(
         downsample_nearest,
         read_netpbm,
     )
+    from tlcn_oer_lakehouse_spark.functions.gifio import read_gif
     from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg
     from tlcn_oer_lakehouse_spark.functions.pngio import read_png
 
@@ -301,6 +306,8 @@ def image_features(
                         px = read_png(raw)
                     elif raw[:2] == b"\xff\xd8":
                         px = read_jpeg(raw)
+                    elif raw[:4] == b"GIF8":
+                        px = read_gif(raw)
                     else:
                         px = read_netpbm(raw)
                     h, w = px.shape[:2]

@@ -612,6 +612,63 @@ GROUP BY doc_id, w, h, k
 """
 
 
+def mm_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL LZW-compressed decode round-trip: per-doc 16-level gray
+    rasters (``v(y, x) = ((d + y*w + x) * 37 % 16) * 17`` at
+    ``w = 6 + d%10``, ``h = 4 + d%8``) are GIF-encoded with real LZW
+    compression (functions/gifio.py) and decoded back through
+    image_features.  GIF is lossless (palette-exact), so the oracle
+    replays the pixel closed form directly — decode returns RGB with
+    three equal channels, hence channels = 3 and sums scale by 3."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.gifio import write_gif
+    from tlcn_oer_lakehouse_spark.operators.multimodal import image_features
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 10, 4 + d % 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = (((d + yy * w + xx) * 37 % 16) * 17).astype(np.uint8)
+                payloads.append(write_gif(px))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return image_features(imgs, thumb_side=4).drop("thumb_md5")
+
+
+MM_GIF_SQL = """
+WITH p AS (
+  SELECT doc_id, 6 + doc_id % 10 AS w, 4 + doc_id % 8 AS h,
+         CAST(ceil(greatest(6 + doc_id % 10, 4 + doc_id % 8) / 4.0) AS BIGINT) AS k
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, k, y, x,
+         ((doc_id + y * w + x) * 37 % 16) * 17 AS v
+  FROM (SELECT doc_id, w, h, k, unnest(generate_series(0, h - 1)) AS y FROM p),
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x)
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(SUM(v) * 3 AS DOUBLE) / (w * h * 3) AS mean_luma,
+       CAST(CAST(ceil(w / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_width,
+       CAST(CAST(ceil(h / CAST(k AS DOUBLE)) AS BIGINT) AS INT) AS thumb_height,
+       CAST(SUM(CASE WHEN y % k = 0 AND x % k = 0 THEN v * 3 ELSE 0 END) AS BIGINT)
+         AS thumb_pixel_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h, k
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_metadata", mm_binary_metadata, MM_META_SQL,
               ref="transformer.py:570-609 (S7/U4 asset stat enrichment)",
@@ -646,6 +703,10 @@ SPECS = [
     QuerySpec("mm_png_decode", mm_png_decode, MM_PNG_SQL,
               ref="transformer.py:689-709 (U5 decode shape) — real compressed decode",
               doc="PNG encode (per-row filters)→inflate→unfilter→features round trip",
+              tags=("multimodal", "image")),
+    QuerySpec("mm_gif_decode", mm_gif_decode, MM_GIF_SQL,
+              ref="transformer.py:689-709 (U5 decode shape) — real LZW decode",
+              doc="GIF LZW encode→decode→features; lossless, exact oracle",
               tags=("multimodal", "image")),
     QuerySpec("mm_jpeg_decode", mm_jpeg_decode, MM_JPEG_SQL,
               ref="transformer.py:689-709 (U5 decode shape) — real lossy decode",
