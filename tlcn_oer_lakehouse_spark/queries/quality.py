@@ -229,6 +229,116 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher rule battery (document-shape quality filters)
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 (Gopher), table A1 bounds; the stopword presence rule
+# uses the paper's 8-word list.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_FRAC = 0.10
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_SYMBOL_RE = r"#|\.\.\."  # hash or ellipsis tokens (Gopher symbol rule)
+
+
+def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style document-shape filter battery (Rae et al. 2021
+    table A1): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, alphabetic-word fraction, and distinct-stopword presence, each
+    as its own flag plus the conjunction gate.
+
+    Every rule is a pure array expression over the tokenized text —
+    map-only, zero shuffle, scan-speed at any corpus size (contrast the
+    repetition signals above, which need per-gram aggregation).  All
+    ratios divide exact integer counts, so round-to-9 doubles replay
+    bit-identically in the oracle."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    n_words = F.size(t)
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    nz = F.when(n_words > 0, n_words.cast("double"))  # else NULL, as SQL NULLIF
+    mean_wlen = sum_len / nz
+    symbol_frac = F.size(F.filter(t, lambda x: x.rlike(_SYMBOL_RE))) / nz
+    alpha_frac = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))) / nz
+    stop_frac = F.size(F.filter(t, lambda x: x.isin(*GOPHER_STOPWORDS))) / nz
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(t, s),
+        )
+    )
+    pass_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    pass_wl = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (
+        mean_wlen <= GOPHER_MAX_MEAN_WLEN
+    )
+    pass_sym = symbol_frac <= GOPHER_MAX_SYMBOL_FRAC
+    pass_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    pass_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 9).alias("mean_word_len"),
+        F.round(symbol_frac, 9).alias("symbol_frac"),
+        F.round(alpha_frac, 9).alias("alpha_frac"),
+        F.round(stop_frac, 9).alias("stopword_frac"),
+        n_stop.alias("n_stopwords_present"),
+        pass_wc.alias("pass_word_count"),
+        pass_wl.alias("pass_mean_word_len"),
+        pass_sym.alias("pass_symbol_frac"),
+        pass_alpha.alias("pass_alpha_frac"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_wl & pass_sym & pass_alpha & pass_stop).alias(
+            "pass_gopher"
+        ),
+    )
+
+
+_SW_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         CAST(NULLIF(len(t), 0) AS DOUBLE) AS nz,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+         len(list_filter(t, x -> regexp_matches(x, '{_SYMBOL_RE}'))) AS n_symbol,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(t, x -> x IN ({_SW_SQL}))) AS n_stop_tokens,
+         len(list_filter([{_SW_SQL}], s -> list_contains(t, s))) AS n_stop
+  FROM toks
+)
+SELECT doc_id, n_words,
+       round(sum_len / nz, 9) AS mean_word_len,
+       round(n_symbol / nz, 9) AS symbol_frac,
+       round(n_alpha / nz, 9) AS alpha_frac,
+       round(n_stop_tokens / nz, 9) AS stopword_frac,
+       n_stop AS n_stopwords_present,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS pass_word_count,
+       (sum_len / nz BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}) AS pass_mean_word_len,
+       (n_symbol / nz <= {GOPHER_MAX_SYMBOL_FRAC}) AS pass_symbol_frac,
+       (n_alpha / nz >= {GOPHER_MIN_ALPHA_FRAC}) AS pass_alpha_frac,
+       (n_stop >= {GOPHER_MIN_STOPWORDS}) AS pass_stopwords,
+       ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND (sum_len / nz BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN})
+        AND (n_symbol / nz <= {GOPHER_MAX_SYMBOL_FRAC})
+        AND (n_alpha / nz >= {GOPHER_MIN_ALPHA_FRAC})
+        AND (n_stop >= {GOPHER_MIN_STOPWORDS})) AS pass_gopher
+FROM m
+"""
+
+
 SPECS = [
     QuerySpec("pii_scrub", pii_scrub, _pii_oracle(),
               ref="scale op; completes the reference's metadata-only PII handling "
@@ -242,5 +352,10 @@ SPECS = [
               ref="scale op; CCNet-style LM quality filtering with an "
                   "engine-exact integer-surprisal unigram model",
               doc="per-doc mean unigram surprisal + low-information gate",
+              tags=("text",)),
+    QuerySpec("qual_gopher_rules", gopher_rules, GOPHER_SQL,
+              ref="scale op; Gopher document-shape filter battery "
+                  "(Rae et al. 2021 table A1) as zero-shuffle array exprs",
+              doc="word-count/word-length/symbol/alpha/stopword rules + gate",
               tags=("text",)),
 ]
