@@ -321,6 +321,80 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("canonical_id")
 
 
+def dedup_soft_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft deduplication (inverse-cluster-size sampling): instead of
+    keeping exactly one member per near-dup cluster, EVERY document
+    survives with probability 1/cluster_size through a deterministic
+    hash gate — expected one surviving copy per cluster, but which copy
+    survives is unbiased rather than always-the-minimum-id, and
+    documents duplicated k times are downweighted by exactly 1/k (the
+    "soft dedup" used when duplicates carry sampling weight rather than
+    being dropped outright).  Unclustered documents always survive.
+
+    Plan: minhash pairs → min-label components → one groupBy for
+    cluster sizes → left join back onto the corpus (the assignment side
+    is |clustered docs| ≪ |corpus|, broadcast-sized) → map-only hash
+    gate.  Deterministic: md5-bucket(doc_id, 1000) * size < 1000 keeps
+    ⌈1000/size⌉ of 1000 buckets."""
+    from tlcn_oer_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+    from tlcn_oer_lakehouse_spark.queries.traindata import _bucket
+
+    corpus = augmented_corpus(spark, sf).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    assigned = comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+    full = corpus.join(F.broadcast(assigned), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+    )
+    kept = _bucket(F.col("doc_id"), 1000) * F.col("cluster_size") < 1000
+    return full.select(
+        "doc_id", "canonical_id", "cluster_size", kept.alias("kept")
+    ).orderBy("doc_id")
+
+
+def _soft_sample_oracle() -> str:
+    from tlcn_oer_lakehouse_spark.queries.traindata import _bucket_sql
+
+    return f"""
+WITH RECURSIVE {CORPUS_SQL.strip().lstrip()},
+pairs AS ({_minhash_oracle().strip()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u AS node, reach.r
+  FROM edges e JOIN reach ON e.v = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component),
+assigned AS (
+  SELECT comp.node AS doc_id, comp.component AS canonical_id, sizes.cluster_size
+  FROM comp JOIN sizes USING (component)
+)
+SELECT c.doc_id,
+       COALESCE(a.canonical_id, c.doc_id) AS canonical_id,
+       COALESCE(a.cluster_size, 1) AS cluster_size,
+       ({_bucket_sql('c.doc_id', 1000)}) * COALESCE(a.cluster_size, 1) < 1000 AS kept
+FROM corpus c LEFT JOIN assigned a ON c.doc_id = a.doc_id
+ORDER BY c.doc_id
+"""
+
+
 def g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Graph centrality over the near-dup pair graph: 2-iteration
     PageRank (operators/components.py:pagerank) on the symmetric MinHash
@@ -509,6 +583,11 @@ SPECS = [
     QuerySpec("dedup_clusters", dedup_clusters, _clusters_oracle(),
               ref="scale op: near-dup cluster resolution (Kiveris et al. SoCC'14 family)",
               doc="connected components over minhash pairs -> canonical clusters",
+              tags=("dedup",)),
+    QuerySpec("dedup_soft_sample", dedup_soft_sample, _soft_sample_oracle(),
+              ref="scale op: inverse-cluster-size soft dedup "
+                  "(duplicate-aware sampling weights, 1/k retention)",
+              doc="deterministic 1/cluster_size survival gate over the corpus",
               tags=("dedup",)),
     QuerySpec("g_pagerank", g_pagerank, _pagerank_oracle(),
               ref="scale op: PageRank as iterative DataFrame algebra — "
