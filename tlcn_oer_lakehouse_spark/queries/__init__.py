@@ -20,6 +20,7 @@ _MODULES = (
     "multimodal",
     "mlops",
     "traindata",
+    "bpe",
 )
 
 

@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer training — byte-pair-encoding merge
+learning as iterative DataFrame algebra.
+
+The missing piece of a training-data engine's text stack: everything
+else (chunking, token budgets, packing) consumes a tokenizer; this
+learns one.  Algorithm: Sennrich et al. 2016 ("Neural Machine
+Translation of Rare Words with Subword Units") — repeatedly find the
+most frequent adjacent symbol pair and merge it everywhere.
+
+Why this scales to 100 TB where a naive port would not:
+
+- **Learn on the word-frequency table, not the corpus.**  The classic
+  implementation trick (Sennrich's own reference code does this): one
+  corpus-wide ``explode → groupBy(word)`` reduces 100 TB of text to a
+  vocab-sized table (Heaps' law: ~10⁷ rows even at web scale), and every
+  subsequent iteration touches only that table, weighted by ``freq``.
+- **Per iteration: one vocab-sized explode+groupBy + a 1-row argmax.**
+  The pair-count aggregation partial-aggregates map-side; the argmax is
+  a ``TakeOrdered(1)`` — a single scalar row to the driver per merge
+  step, the same driver traffic as one Lloyd iteration of k-means
+  (``operators/clustering.py``), not a data collect.
+- **Merge application is map-only** (a literal ``replace`` over the
+  vocab table) and each round is ``localCheckpoint``-ed so the plan
+  stays one-round shallow (see ``operators/components.py`` for why).
+
+Engine-portable greedy-merge encoding: a word's symbol sequence is the
+concatenation of ``symbol + US`` (US = ``\\x1f``, absent from
+whitespace-tokenized text).  Because the delimiter is a *suffix* of
+every symbol (not a shared boundary), standard left-to-right
+non-overlapping ``replace(enc, l+US+r+US, l+r+US)`` implements exactly
+the greedy BPE merge — ``a a a a a`` with pair (a,a) yields
+``aa aa a`` identically in Spark, DuckDB, and Python (verified; a
+space-separated encoding gets this WRONG because consecutive matches
+share the boundary space).  Pair counting counts all adjacent
+occurrences (overlapping runs count twice), matching the reference BPE
+implementation.
+
+Oracle: the DuckDB SQL replays every iteration exactly — K unrolled
+CTE stages of pair-count → argmax (same ``cnt DESC, l, r`` tie-break)
+→ replace — so the driver's hash gate checks the full training
+trajectory, not just the last step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlcn_oer_lakehouse_spark.functions.text import tokens
+from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+
+US = "\x1f"  # unit separator: symbol terminator in the packed encoding
+N_MERGES = 6
+
+
+def _word_freqs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, cnt) for every adjacent symbol pair, weighted by word
+    frequency.  ``enc`` ends with US, so split() leaves a trailing empty
+    element — sliced off before pairing."""
+    sl = F.split(F.col("enc"), US)
+    syms = F.slice(sl, 1, F.size(sl) - 1)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark — guard
+    # single-symbol words to an empty pair array explicitly.
+    pair_idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        "freq",
+        syms.alias("s"),
+        F.explode(pair_idx).alias("i"),
+    ).select(
+        "freq",
+        F.element_at("s", F.col("i")).alias("l"),
+        F.element_at("s", F.col("i") + 1).alias("r"),
+    )
+    return pairs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
+
+
+def learn_bpe_merges(
+    spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a (word, freq) table.  Returns
+    the merge table (step, merge_left, merge_right, pair_count) — K rows
+    of scalars, each the result of a distributed argmax (the only
+    driver-side values in the loop, exactly like k-means centroids)."""
+    enc0 = F.regexp_replace(F.col("word"), "(.)", "$1" + US)
+    vocab = words.select("freq", enc0.alias("enc")).localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _adjacent_pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((step, l, r, cnt))
+        vocab = vocab.withColumn(
+            "enc",
+            F.replace(F.col("enc"), F.lit(l + US + r + US), F.lit(l + r + US)),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    return learn_bpe_merges(spark, _word_freqs(spark, sf)).orderBy("step")
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    """K unrolled CTE stages replaying the exact training loop."""
+    parts = [
+        """words0 AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+        FROM documents)
+  GROUP BY word
+)""",
+        "enc0 AS (SELECT freq, regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc FROM words0)",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"enc{k - 1}"
+        parts.append(
+            f"""pairs{k} AS (
+  SELECT freq, sl[i] AS l, sl[i + 1] AS r
+  FROM (SELECT freq, string_split(enc, chr(31)) AS sl FROM {prev}),
+       unnest(generate_series(1, len(sl) - 2)) AS g(i)
+)"""
+        )
+        parts.append(
+            f"best{k} AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM pairs{k} GROUP BY l, r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"enc{k} AS (SELECT freq, "
+            f"replace(enc, b.l || chr(31) || b.r || chr(31), b.l || b.r || chr(31)) AS enc "
+            f"FROM {prev}, best{k} b)"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY step"
+
+
+SPECS = [
+    QuerySpec(
+        "td_bpe_merges",
+        bpe_learn_merges,
+        _bpe_oracle(),
+        ref="scale op: BPE subword-vocab training (Sennrich et al. 2016) "
+            "on the word-frequency table; oracle replays all iterations",
+        doc="distributed BPE merge learning, K=6 merge steps",
+        tags=("text",),
+    ),
+]
