@@ -85,15 +85,14 @@ def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     return pairs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
 
 
-def learn_bpe_merges(
-    spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from a (word, freq) table.  Returns
-    the merge table (step, merge_left, merge_right, pair_count) — K rows
-    of scalars, each the result of a distributed argmax (the only
-    driver-side values in the loop, exactly like k-means centroids)."""
+def _train(
+    spark: SparkSession, words: DataFrame, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """Run the merge-learning loop.  Returns (merge list, final vocab) —
+    the vocab frame keeps (word, freq, enc) so the trained segmentation
+    is directly joinable by the tokenize-apply step."""
     enc0 = F.regexp_replace(F.col("word"), "(.)", "$1" + US)
-    vocab = words.select("freq", enc0.alias("enc")).localCheckpoint()
+    vocab = words.select("word", "freq", enc0.alias("enc")).localCheckpoint()
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -110,6 +109,17 @@ def learn_bpe_merges(
             "enc",
             F.replace(F.col("enc"), F.lit(l + US + r + US), F.lit(l + r + US)),
         ).localCheckpoint()
+    return merges, vocab
+
+
+def learn_bpe_merges(
+    spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a (word, freq) table.  Returns
+    the merge table (step, merge_left, merge_right, pair_count) — K rows
+    of scalars, each the result of a distributed argmax (the only
+    driver-side values in the loop, exactly like k-means centroids)."""
+    merges, _ = _train(spark, words, n_merges)
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, pair_count long"
     )
@@ -119,8 +129,38 @@ def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     return learn_bpe_merges(spark, _word_freqs(spark, sf)).orderBy("step")
 
 
-def _bpe_oracle(n_merges: int = N_MERGES) -> str:
-    """K unrolled CTE stages replaying the exact training loop."""
+def bpe_tokenize_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the trained tokenizer: per-document token counts under the
+    learned subword vocabulary — the "how many training tokens is this
+    corpus" question every data pipeline answers before a run, asked of
+    the tokenizer it just trained rather than a whitespace proxy.
+
+    The segmentation lives on the vocab table (word → n_subwords after
+    K merges), so application is ONE keyed join from exploded corpus
+    words to a vocab-sized side — no per-document merge replay.  At 100
+    TB the vocab side is millions of rows (broadcastable or
+    bucket-joinable); the corpus side streams through map-side."""
+    merges, vocab = _train(spark, _word_freqs(spark, sf), N_MERGES)
+    seg = vocab.select(
+        "word", (F.size(F.split(F.col("enc"), US)) - 1).alias("n_subwords")
+    )
+    doc_words = load(spark, sf, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        doc_words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _training_ctes(n_merges: int) -> list[str]:
+    """The shared CTE chain replaying the training loop; ``word`` rides
+    through every enc stage so the final segmentation is joinable."""
     parts = [
         """words0 AS (
   SELECT word, COUNT(*) AS freq
@@ -128,7 +168,7 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
         FROM documents)
   GROUP BY word
 )""",
-        "enc0 AS (SELECT freq, regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc FROM words0)",
+        "enc0 AS (SELECT word, freq, regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc FROM words0)",
     ]
     for k in range(1, n_merges + 1):
         prev = f"enc{k - 1}"
@@ -144,15 +184,38 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
             f"FROM pairs{k} GROUP BY l, r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
         )
         parts.append(
-            f"enc{k} AS (SELECT freq, "
+            f"enc{k} AS (SELECT word, freq, "
             f"replace(enc, b.l || chr(31) || b.r || chr(31), b.l || b.r || chr(31)) AS enc "
             f"FROM {prev}, best{k} b)"
         )
+    return parts
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    """K unrolled CTE stages replaying the exact training loop."""
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, l AS merge_left, r AS merge_right, cnt AS pair_count FROM best{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY step"
+    return "WITH " + ",\n".join(_training_ctes(n_merges)) + f"\n{selects}\nORDER BY step"
+
+
+def _bpe_tokenize_oracle(n_merges: int = N_MERGES) -> str:
+    parts = _training_ctes(n_merges) + [
+        f"seg AS (SELECT word, len(string_split(enc, chr(31))) - 1 AS n_subwords FROM enc{n_merges})",
+        """docw AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_subwords) AS BIGINT) AS n_bpe_tokens
+FROM docw JOIN seg USING (word)
+GROUP BY doc_id
+ORDER BY doc_id"""
+    )
 
 
 SPECS = [
@@ -163,6 +226,15 @@ SPECS = [
         ref="scale op: BPE subword-vocab training (Sennrich et al. 2016) "
             "on the word-frequency table; oracle replays all iterations",
         doc="distributed BPE merge learning, K=6 merge steps",
+        tags=("text",),
+    ),
+    QuerySpec(
+        "td_bpe_tokenize",
+        bpe_tokenize_counts,
+        _bpe_tokenize_oracle(),
+        ref="scale op: trained-tokenizer token counting — segmentation "
+            "applied via one vocab-sized keyed join, no per-doc replay",
+        doc="per-document subword token counts under the learned BPE vocab",
         tags=("text",),
     ),
 ]
