@@ -230,6 +230,107 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# bigram conditional surprisal (order-sensitive LM score)
+# ---------------------------------------------------------------------------
+
+BIGRAM_GATE_BITS = 2.0  # mean conditional surprisal below this ≈ rote text
+
+
+def bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram conditional surprisal — the order-sensitive upgrade of
+    ``td_unigram_surprisal`` (a unigram model scores a shuffled document
+    identically; a bigram model does not, which is what makes it a
+    repetition-and-boilerplate detector à la CCNet's KenLM filter).
+
+    Each token is scored by ``floor(log2(P(tok|prev)^-1))`` =
+    ``bits(c1_ctx(prev) div c2(prev,tok))`` under the corpus-trained
+    bigram model; document-initial tokens back off to the unigram model
+    ``bits(N div c_uni(tok))``.  All-integer arithmetic (binary length
+    of an integer quotient), so the score replays bit-identically in
+    the oracle — see unigram_surprisal for why ``log`` itself cannot be
+    used.
+
+    Plan: one posexplode → lag window keyed by doc (one shuffle) →
+    bigram/context/unigram count groupBys (map-side combined) → keyed
+    count joins → per-doc aggregation.  Linear in corpus tokens; the
+    count tables are vocab- and bigram-vocab-sized."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tok.withColumn("prev", F.lag("t").over(w))
+    uni = seq.groupBy("t").agg(F.count(F.lit(1)).alias("c_uni"))
+    n_total = uni.agg(F.sum("c_uni").alias("n_total"))
+    bigrams = seq.filter(F.col("prev").isNotNull())
+    big = bigrams.groupBy("prev", "t").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1_ctx"))
+
+    def _bits(q):  # floor(log2(q)) for q >= 1, as integer binary length
+        return F.length(F.bin(q)) - 1
+
+    cond_bits = _bits(F.expr("c1_ctx div c2"))
+    uni_bits = _bits(F.expr("n_total div c_uni"))
+    scored = (
+        seq.join(big, ["prev", "t"], "left")
+        .join(ctx, "prev", "left")
+        .join(uni, "t")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNotNull(), cond_bits)
+            .otherwise(uni_bits)
+            .alias("sbits"),
+        )
+    )
+    mean_bits = F.sum("sbits").cast("double") / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(mean_bits, 9).alias("avg_bigram_surprisal_bits"),
+        (mean_bits >= BIGRAM_GATE_BITS).alias("passes_bigram_gate"),
+    )
+
+
+BIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, t[i] AS t
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t))) AS g(i)
+),
+seq AS (
+  SELECT doc_id, pos, t,
+         lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+uni AS (SELECT t, COUNT(*) AS c_uni FROM seq GROUP BY t),
+tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_total FROM uni),
+big AS (SELECT prev, t, COUNT(*) AS c2 FROM seq WHERE prev IS NOT NULL GROUP BY prev, t),
+ctx AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1_ctx FROM big GROUP BY prev),
+scored AS (
+  SELECT seq.doc_id,
+         CASE WHEN seq.prev IS NOT NULL
+              THEN length(bin(c1_ctx // c2)) - 1
+              ELSE length(bin(n_total // c_uni)) - 1 END AS sbits
+  FROM seq
+  LEFT JOIN big ON seq.prev = big.prev AND seq.t = big.t
+  LEFT JOIN ctx ON seq.prev = ctx.prev
+  JOIN uni ON seq.t = uni.t
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(CAST(SUM(sbits) AS DOUBLE) / COUNT(*), 9) AS avg_bigram_surprisal_bits,
+       (CAST(SUM(sbits) AS DOUBLE) / COUNT(*) >= {BIGRAM_GATE_BITS}) AS passes_bigram_gate
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher rule battery (document-shape quality filters)
 # ---------------------------------------------------------------------------
 
@@ -352,6 +453,11 @@ SPECS = [
               ref="scale op; CCNet-style LM quality filtering with an "
                   "engine-exact integer-surprisal unigram model",
               doc="per-doc mean unigram surprisal + low-information gate",
+              tags=("text",)),
+    QuerySpec("td_bigram_surprisal", bigram_surprisal, BIGRAM_SQL,
+              ref="scale op; order-sensitive CCNet/KenLM-analog LM filter "
+                  "(bigram conditional surprisal, unigram backoff at BOS)",
+              doc="per-doc mean bigram conditional surprisal + gate",
               tags=("text",)),
     QuerySpec("qual_gopher_rules", gopher_rules, GOPHER_SQL,
               ref="scale op; Gopher document-shape filter battery "
