@@ -129,6 +129,62 @@ ORDER BY source, epoch
 """
 
 
+def temperature_mixing(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled corpus mixture (mT5 / UNIMAX family, α=0.5):
+    sampling share q_i ∝ p_i^α flattens the natural source distribution
+    so low-resource sources are upsampled — per source: natural share,
+    temperature share, and the resulting oversample factor q/p.
+
+    Determinism contract: ``sqrt`` is correctly-rounded IEEE-754 in
+    both engines; the denominator Σ√n_i goes through a DECIMAL(38,9)
+    cast per term (both engines round-to-nearest at digit 9 of the
+    identical double) and an EXACT decimal sum — a bare double SUM()
+    would be partition-order-dependent, the same reason every additive
+    double aggregate in this repo is decimal-cast (base.py docstring).
+    Plan: one groupBy(source) → a full-frame window over the tiny
+    source table; corpus-linear, map-side combined."""
+    per = (
+        load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n_docs").over(wall)
+    denom = (
+        F.sum(F.sqrt(F.col("n_docs")).cast("decimal(38,9)"))
+        .over(wall)
+        .cast("double")
+    )
+    p_nat = F.col("n_docs") / tot
+    p_temp = F.sqrt(F.col("n_docs")) / denom
+    return per.select(
+        "source",
+        "n_docs",
+        F.round(p_nat, 9).alias("p_natural"),
+        F.round(p_temp, 9).alias("p_temperature"),
+        F.round(p_temp / p_nat, 9).alias("oversample_factor"),
+    ).orderBy("source")
+
+
+TEMPERATURE_SQL = """
+WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+win AS (
+  SELECT source, n_docs,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS tot,
+         CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(38,9))) OVER () AS DOUBLE) AS denom
+  FROM per
+)
+SELECT source, n_docs,
+       round(n_docs / tot, 9) AS p_natural,
+       round(sqrt(n_docs) / denom, 9) AS p_temperature,
+       round((sqrt(n_docs) / denom) / (n_docs / tot), 9) AS oversample_factor
+FROM win
+ORDER BY source
+"""
+
+
 def token_budget_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Shard assignment by cumulative token budget (5,000 tokens/shard):
     prefix-sum window over doc_id order, shard = floor(cumsum / budget).
@@ -1011,6 +1067,11 @@ SPECS = [
     QuerySpec("td_corpus_mixing", corpus_mixing, MIXING_SQL,
               ref="new capability (weighted epoch mixing)",
               doc="2-epoch upsampling of high-quality sources",
+              tags=("traindata",)),
+    QuerySpec("td_temperature_mixing", temperature_mixing, TEMPERATURE_SQL,
+              ref="scale op: mT5/UNIMAX-style alpha=0.5 temperature "
+                  "resampling of source shares",
+              doc="temperature-scaled source mixture with oversample factors",
               tags=("traindata",)),
     QuerySpec("td_token_budget_shards", token_budget_shards, SHARDS_SQL,
               ref="new capability (token-budget packing; prefix-sum window)",
