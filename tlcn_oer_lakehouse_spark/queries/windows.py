@@ -664,6 +664,102 @@ FROM ranked WHERE rn <= 5 ORDER BY item, rank
 """
 
 
+def w11_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation over the event stream — recency (days
+    idle vs the corpus horizon), frequency (event count), monetary
+    (exact purchase-value sum), each cut into quintiles and concatenated
+    into the classic 3-digit segment (quintile 1 = best on each axis).
+
+    Determinism: recency is integer seconds → integer-div days; monetary
+    orders by the EXACT decimal sum; every ntile orders with a
+    ``user_id`` tie-break, so quintile assignment is total-ordered in
+    both engines.  Scale note: a global ntile is a single-partition sort
+    — fine for a per-run segmentation report (|users| rows, not
+    |events|); at 100 TB users swap it for approx-percentile cutoffs
+    broadcast-joined back (same shape as td_token_budget_shards'
+    scalable twin)."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf)
+    per = ev.groupBy("user_id").agg(
+        F.max("ts_sec").alias("last_sec"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("mon_dec"),
+    )
+    horizon = per.agg(F.max("last_sec").alias("horizon_sec"))
+    base = per.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.expr("(horizon_sec - last_sec) div 86400").alias("recency_days"),
+        "frequency",
+        "mon_dec",
+    )
+    r_q = F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
+    f_q = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
+    m_q = F.ntile(5).over(Window.orderBy(F.col("mon_dec").desc(), F.col("user_id").asc()))
+    return (
+        base.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            F.col("mon_dec").cast("double").alias("monetary"),
+            r_q.alias("r_quintile"),
+            f_q.alias("f_quintile"),
+            m_q.alias("m_quintile"),
+        )
+        .withColumn(
+            "rfm_segment",
+            F.concat_ws(
+                "",
+                F.col("r_quintile").cast("string"),
+                F.col("f_quintile").cast("string"),
+                F.col("m_quintile").cast("string"),
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+W11_RFM_SQL = """
+WITH per AS (
+  SELECT user_id,
+         CAST(MAX(epoch_ns(ts) // 1000000000) AS BIGINT) AS last_sec,
+         COUNT(*) AS frequency,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6)) END),
+                  0) AS mon_dec
+  FROM events GROUP BY user_id
+),
+h AS (SELECT CAST(MAX(last_sec) AS BIGINT) AS horizon_sec FROM per),
+base AS (
+  SELECT user_id,
+         (horizon_sec - last_sec) // 86400 AS recency_days,
+         frequency, mon_dec
+  FROM per, h
+),
+q AS (
+  SELECT user_id, recency_days, frequency,
+         CAST(mon_dec AS DOUBLE) AS monetary,
+         ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_quintile,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_quintile,
+         ntile(5) OVER (ORDER BY mon_dec DESC, user_id ASC) AS m_quintile
+  FROM base
+)
+SELECT *,
+       CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR)
+         || CAST(m_quintile AS VARCHAR) AS rfm_segment
+FROM q
+ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
@@ -684,6 +780,11 @@ SPECS = [
                   "co-pair explode, no user×item matrix",
               doc="top-5 similar items by co-purchase cosine",
               tags=("mining", "vector")),
+    QuerySpec("w11_rfm_segmentation", w11_rfm_segmentation, W11_RFM_SQL,
+              ref="beyond reference: RFM quintile segmentation with "
+                  "deterministic tie-broken ntiles",
+              doc="recency/frequency/monetary quintiles + 3-digit segment",
+              tags=("window",)),
     QuerySpec("w9_max_concurrency", w9_max_concurrency, W9_CONCURRENCY_SQL,
               ref="scale op: sweep-line peak concurrency — linear in "
                   "boundaries vs the O(n·overlap) self-join alternative",
