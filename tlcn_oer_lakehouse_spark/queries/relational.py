@@ -489,6 +489,27 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def a_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Cube (completes the rollup / grouping-sets / pivot subtotal
+    family): the full 2^d lattice — rollup's supersets plus the
+    (null, l_linestatus) marginals rollup omits."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        )
+    )
+
+
+A_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def a_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot (beyond reference): quantity by returnflag pivoted on
     linestatus values."""
@@ -958,6 +979,10 @@ SPECS = [
     QuerySpec("a_rollup", a_rollup, A_ROLLUP_SQL,
               ref="beyond reference (SURVEY §2.4: rollup absent)",
               doc="rollup subtotal lattice", tags=("agg", "extension")),
+    QuerySpec("a_cube", a_cube, A_CUBE_SQL,
+              ref="beyond reference; completes the subtotal-lattice family",
+              doc="full cube lattice incl. column marginals",
+              tags=("agg", "extension")),
     QuerySpec("a_exact_percentile", a_exact_percentile, A_PERCENTILE_SQL,
               ref="beyond reference; create_schema.py:272-290 quartile intent",
               doc="exact interpolated quartiles per return flag",
