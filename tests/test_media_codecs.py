@@ -474,3 +474,100 @@ class TestGifCodec:
         assert (row.width, row.height, row.channels) == (2, 2, 3)
         assert row.mean_luma == 25.0
         assert row.decode_status == "ok"
+
+
+class TestAviCodec:
+    """RIFF/AVI MJPEG container codec (functions/aviio.py)."""
+
+    @staticmethod
+    def _gray_jpeg(value: int, w_blocks: int = 2, h_blocks: int = 1) -> bytes:
+        import numpy as np
+
+        from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+
+        px = np.full((h_blocks * 8, w_blocks * 8), value, dtype=np.uint8)
+        return write_jpeg(px, quality=50)
+
+    def test_container_round_trip(self):
+        from tlcn_oer_lakehouse_spark.functions.aviio import (
+            read_avi_mjpeg,
+            write_avi_mjpeg,
+        )
+
+        frames = [self._gray_jpeg(v) for v in (10, 130, 250)]
+        avi = write_avi_mjpeg(frames, width=16, height=8, fps=25)
+        meta = read_avi_mjpeg(avi)
+        assert (meta["width"], meta["height"]) == (16, 8)
+        assert meta["n_frames"] == 3 and meta["fps"] == 25
+        assert meta["frames"] == frames  # container is byte-lossless
+
+    def test_odd_sized_frames_word_aligned(self):
+        # JPEG payloads of odd byte length force the word-alignment path
+        from tlcn_oer_lakehouse_spark.functions.aviio import (
+            read_avi_mjpeg,
+            write_avi_mjpeg,
+        )
+
+        frames = [self._gray_jpeg(v) for v in (7, 99)]
+        odd = [f + b"\xff\xd9"[0:1] * (1 - len(f) % 2) for f in frames]
+        avi = write_avi_mjpeg(odd, width=16, height=8)
+        assert read_avi_mjpeg(avi)["frames"] == odd
+
+    def test_rejects_garbage_and_truncation(self):
+        import pytest
+
+        from tlcn_oer_lakehouse_spark.functions.aviio import (
+            read_avi_mjpeg,
+            write_avi_mjpeg,
+        )
+
+        with pytest.raises(ValueError):
+            read_avi_mjpeg(b"not an avi at all")
+        avi = write_avi_mjpeg([self._gray_jpeg(42)], width=16, height=8)
+        with pytest.raises(ValueError):
+            read_avi_mjpeg(avi[: len(avi) // 2])  # truncated RIFF
+
+    def test_rejects_non_mjpeg_stream(self):
+        import pytest
+
+        from tlcn_oer_lakehouse_spark.functions.aviio import (
+            read_avi_mjpeg,
+            write_avi_mjpeg,
+        )
+
+        avi = bytearray(write_avi_mjpeg([self._gray_jpeg(1)], width=16, height=8))
+        i = avi.find(b"vidsMJPG")
+        avi[i + 4 : i + 8] = b"XVID"
+        with pytest.raises(ValueError, match="not MJPEG"):
+            read_avi_mjpeg(bytes(avi))
+
+    def test_frame_sampling_even_spacing(self, spark):
+        import pandas as pd
+
+        from tlcn_oer_lakehouse_spark.functions.aviio import write_avi_mjpeg
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            video_frame_features,
+        )
+
+        frames = [self._gray_jpeg(v) for v in range(0, 100, 10)]  # 10 frames
+        avi = write_avi_mjpeg(frames, width=16, height=8)
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [avi]})
+        )
+        rows = video_frame_features(df, n_sample=4).orderBy("frame_no").collect()
+        # idx = f * 10 // 4 -> 0, 2, 5, 7
+        assert [r.frame_no for r in rows] == [0, 2, 5, 7]
+        assert all(r.n_frames == 10 and r.decode_status == "ok" for r in rows)
+
+    def test_corrupt_payload_yields_error_row(self, spark):
+        import pandas as pd
+
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            video_frame_features,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "payload": [b"RIFFgarbage"]})
+        )
+        rows = video_frame_features(df).collect()
+        assert len(rows) == 1 and rows[0].decode_status == "error"

@@ -93,7 +93,10 @@ def decode_asset(df: DataFrame, kind: str) -> DataFrame:
       compressed decode;
     - ``gif`` — functions/gifio.py (variable-width LZW decompressor
       with dictionary growth/reset, palette expansion) → the same
-      image features.
+      image features;
+    - ``avi`` — functions/aviio.py (RIFF container walk, MJPEG stream
+      validation) + per-frame jpegio decode → real video frame
+      sampling (:func:`video_frame_features`).
 
     Only codecs that require libraries absent from this container
     (webp/mp3/mp4…) stay an explicit, tested stub — swap in
@@ -105,9 +108,11 @@ def decode_asset(df: DataFrame, kind: str) -> DataFrame:
         return wav_features(df)
     if kind in ("pgm", "ppm", "png", "jpeg", "jpg", "gif"):
         return image_features(df)
+    if kind == "avi":
+        return video_frame_features(df)
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "container; pdf/wav/pgm/ppm/png/jpeg/gif decode for real, and "
+        "container; pdf/wav/pgm/ppm/png/jpeg/gif/avi decode for real, and "
         "fake_image_features/frame_sample cover the byte-level path"
     )
 
@@ -387,6 +392,72 @@ def fake_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         _features,
         schema=f"{id_col} long, width int, height int, brightness double, size_bytes long",
+    )
+
+
+def video_frame_features(
+    df: DataFrame, id_col: str = "doc_id", n_sample: int | None = None
+) -> DataFrame:
+    """REAL video frame sampling: RIFF/AVI container walk
+    (functions/aviio.py) → per-frame baseline-JPEG decode
+    (functions/jpegio.py) → one feature row per sampled frame
+    (frame_no, dimensions, exact mean luma, stream frame count).
+
+    ``n_sample=None`` decodes every frame; an integer decodes
+    ``n_sample`` evenly spaced frames (``idx = f * n_total // n_sample``)
+    — the sampled-decode path that matters at scale, where decoding
+    every frame of every video is the cost driver.  1→N fan-out happens
+    inside the task (mapInPandas), no shuffle; a corrupt payload yields
+    a single ``decode_status='error'`` row instead of failing the task."""
+    from tlcn_oer_lakehouse_spark.functions.aviio import read_avi_mjpeg
+    from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, ws, hs, lumas, totals, stats = [], [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    meta = read_avi_mjpeg(bytes(p))
+                    n_total = meta["n_frames"]
+                    if n_sample is None or n_sample >= n_total:
+                        idxs = list(range(n_total))
+                    else:
+                        idxs = sorted({f * n_total // n_sample for f in range(n_sample)})
+                    for fno in idxs:
+                        arr = read_jpeg(meta["frames"][fno])
+                        ids.append(i)
+                        fnos.append(fno)
+                        hs.append(arr.shape[0])
+                        ws.append(arr.shape[1])
+                        lumas.append(float(arr.mean()))
+                        totals.append(n_total)
+                        stats.append("ok")
+                except Exception:  # noqa: BLE001 — bad payload ≠ dead task
+                    ids.append(i)
+                    fnos.append(-1)
+                    hs.append(0)
+                    ws.append(0)
+                    lumas.append(0.0)
+                    totals.append(0)
+                    stats.append("error")
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "decode_status": pd.Series(stats, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _frames,
+        schema=(
+            f"{id_col} long, frame_no int, width int, height int, "
+            "mean_luma double, n_frames int, decode_status string"
+        ),
     )
 
 

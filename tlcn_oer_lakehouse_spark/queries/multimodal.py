@@ -669,6 +669,77 @@ GROUP BY doc_id, w, h, k
 """
 
 
+def mm_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode round-trip: per doc, ``2 + d % 4`` constant-
+    block grayscale frames (frame f, block j ∈ {0,1} on a 2×1 block
+    grid → 16×8 px, value ``(d*13 + f*71 + j*29) % 256``) are each
+    JPEG-encoded, wrapped in a spec-complete MJPEG AVI container
+    (functions/aviio.py: RIFF tree, avih/strh/strf headers, word-aligned
+    00dc chunks, idx1), then decoded back through the full container
+    walk + per-frame Huffman/IDCT JPEG decode.  Constant blocks are
+    DC-only, so each frame's mean luma has the exact closed form of
+    mm_jpeg_decode averaged over the two blocks — the oracle replays
+    container metadata (frame counts, dimensions) AND every sampled
+    frame's decoded value in one hash."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.aviio import write_avi_mjpeg
+    from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+    from tlcn_oer_lakehouse_spark.operators.multimodal import (
+        video_frame_features,
+    )
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(2 + d % 4):
+                    vals = np.array(
+                        [[(d * 13 + f * 71 + j * 29) % 256 for j in range(2)]],
+                        dtype=np.int64,
+                    )
+                    px = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(
+                        np.uint8
+                    )
+                    frames.append(write_jpeg(px, quality=50))
+                payloads.append(write_avi_mjpeg(frames, width=16, height=8))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    vids = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return video_frame_features(vids).orderBy("doc_id", "frame_no")
+
+
+MM_VIDEO_SQL = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, (2 + doc_id % 4) - 1)) AS frame_no
+  FROM documents
+),
+b AS (SELECT doc_id, frame_no, unnest([0, 1]) AS j FROM f),
+dec AS (
+  SELECT doc_id, frame_no,
+         least(255, greatest(0,
+           floor(floor(((doc_id * 13 + frame_no * 71 + j * 29) % 256 - 128) * 8 / 16.0 + 0.5)
+                 * 16 / 8.0 + 128 + 0.5)
+         )) AS dv
+  FROM b
+)
+SELECT doc_id,
+       CAST(frame_no AS INT) AS frame_no,
+       16 AS width,
+       8 AS height,
+       CAST(SUM(dv) AS DOUBLE) / 2 AS mean_luma,
+       CAST(2 + doc_id % 4 AS INT) AS n_frames,
+       'ok' AS decode_status
+FROM dec
+GROUP BY doc_id, frame_no
+ORDER BY doc_id, frame_no
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_metadata", mm_binary_metadata, MM_META_SQL,
               ref="transformer.py:570-609 (S7/U4 asset stat enrichment)",
@@ -712,6 +783,11 @@ SPECS = [
               ref="transformer.py:689-709 (U5 decode shape) — real lossy decode",
               doc="baseline JPEG encode→Huffman/IDCT decode; DC-only closed form",
               tags=("multimodal", "image")),
+    QuerySpec("mm_video_frames", mm_video_frames, MM_VIDEO_SQL,
+              ref="scale op: real MJPEG/AVI container walk + per-frame "
+                  "JPEG decode; closes the video branch of SURVEY §2.8",
+              doc="AVI encode→container parse→frame JPEG decode round trip",
+              tags=("multimodal", "video")),
     QuerySpec("mm_wav_windows", mm_wav_windows, MM_WAV_WINDOWS_SQL,
               ref="scale op: audio frame windowing (1→N on real decoded PCM)",
               doc="256-sample window energies from chunk-walked WAV decode",
