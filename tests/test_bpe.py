@@ -42,3 +42,57 @@ def test_bpe_stops_when_no_pairs_left(spark):
     rows = learn_bpe_merges(spark, words, n_merges=5).collect()
     # one merge fuses the only pair; afterwards no adjacent pairs remain
     assert [(r.step, r.merge_left, r.merge_right) for r in rows] == [(1, "a", "b")]
+
+
+def _reference_bpe(words: dict[str, int], n_merges: int):
+    """Independent sequential BPE (Sennrich 2016 reference shape):
+    dict-of-tuples vocab, overlapping pair counts, greedy left-to-right
+    merge — no shared code with the Spark implementation."""
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_on_random_vocabs(spark):
+    from hypothesis import given, settings, strategies as st
+
+    word_st = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.dictionaries(word_st, st.integers(min_value=1, max_value=9),
+                        min_size=1, max_size=8)
+    )
+    def run(words):
+        expected = _reference_bpe(words, n_merges=4)
+        df = spark.createDataFrame(
+            list(words.items()), "word string, freq long"
+        )
+        got = [
+            (r.step, r.merge_left, r.merge_right, int(r.pair_count))
+            for r in learn_bpe_merges(spark, df, n_merges=4).orderBy("step").collect()
+        ]
+        assert got == expected
+
+    run()
