@@ -230,6 +230,119 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# URL extraction + per-domain caps (crawl-curation ops)
+# ---------------------------------------------------------------------------
+
+# The sf corpora carry no URLs, so (exactly like pii_scrub's injected
+# spans) each doc gets one deterministic URL appended in BOTH engines —
+# extraction runs against real mixed text, not a clean url column.
+_URL_TAIL = (
+    " source https://w{h}.example{d}.org/docs/item{i}?ref=corpus via mirror"
+)
+
+MAX_DOCS_PER_DOMAIN = 50  # crawl-pipeline cap: no domain dominates the mix
+
+
+def _url_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    tail = F.concat(
+        F.lit(" source https://w"), (d % 7).cast("string"),
+        F.lit(".example"), (d % 5).cast("string"),
+        F.lit(".org/docs/item"), d.cast("string"),
+        F.lit("?ref=corpus via mirror"),
+    )
+    return load(spark, sf, "documents").select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+
+
+URL_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id,
+         text || ' source https://w' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example' || CAST(doc_id % 5 AS VARCHAR)
+              || '.org/docs/item' || CAST(doc_id AS VARCHAR)
+              || '?ref=corpus via mirror' AS text
+  FROM documents
+)
+"""
+
+# RE2-portable (no lookarounds), identical in both engines.
+_URL_RE = r"https?://[^\s]+"
+_HOST_RE = r"^https?://([^/\s]+)"
+_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+_PATH_RE = r"^https?://[^/\s]+(/[^?\s]*)"
+
+
+def url_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """URL → host → registered-domain → path extraction from mixed
+    text — the parse step ahead of any domain blocklist / per-domain
+    cap / crawl-frontier op.  Pure column regexes (map-only, scan
+    speed); patterns are RE2-portable so the same expressions run on
+    Spark (Java regex) and any RE2 engine."""
+    c = _url_corpus(spark, sf)
+    url = F.regexp_extract(F.col("text"), _URL_RE, 0)
+    host = F.regexp_extract(url, _HOST_RE, 1)
+    return c.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        F.regexp_extract(host, _DOMAIN_RE, 1).alias("registered_domain"),
+        F.regexp_extract(url, _PATH_RE, 1).alias("path"),
+    )
+
+
+URL_EXTRACT_SQL = f"""
+WITH {URL_CORPUS_SQL.strip()}
+SELECT doc_id,
+       regexp_extract(text, '{_URL_RE}', 0) AS url,
+       regexp_extract(regexp_extract(text, '{_URL_RE}', 0), '{_HOST_RE}', 1) AS host,
+       regexp_extract(regexp_extract(regexp_extract(text, '{_URL_RE}', 0), '{_HOST_RE}', 1),
+                      '{_DOMAIN_RE}', 1) AS registered_domain,
+       regexp_extract(regexp_extract(text, '{_URL_RE}', 0), '{_PATH_RE}', 1) AS path
+FROM corpus
+"""
+
+
+def domain_caps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb "no domain dominates"
+    rule): rank documents within registered_domain by doc_id and keep
+    the first ``MAX_DOCS_PER_DOMAIN``.  One window shuffle keyed by
+    domain.  Scale note: a power-law domain (10⁸ pages) makes its
+    partition hot — at 100 TB swap the global rank for a deterministic
+    hash gate sized from a per-domain count (same shape as
+    dedup_soft_sample's 1/k gate: one groupBy + broadcast join, no
+    per-domain sort), keeping an *expected* N per domain."""
+    from pyspark.sql import Window
+
+    ex = url_extract(spark, sf).select("doc_id", "registered_domain")
+    w = Window.partitionBy("registered_domain").orderBy("doc_id")
+    return (
+        ex.withColumn("rank_in_domain", F.row_number().over(w))
+        .withColumn("kept", F.col("rank_in_domain") <= MAX_DOCS_PER_DOMAIN)
+        .orderBy("doc_id")
+    )
+
+
+DOMAIN_CAPS_SQL = f"""
+WITH {URL_CORPUS_SQL.strip()},
+ex AS (
+  SELECT doc_id,
+         regexp_extract(regexp_extract(regexp_extract(text, '{_URL_RE}', 0), '{_HOST_RE}', 1),
+                        '{_DOMAIN_RE}', 1) AS registered_domain
+  FROM corpus
+)
+SELECT doc_id, registered_domain,
+       row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id)
+         AS rank_in_domain,
+       row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id)
+         <= {MAX_DOCS_PER_DOMAIN} AS kept
+FROM ex
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # bigram conditional surprisal (order-sensitive LM score)
 # ---------------------------------------------------------------------------
 
@@ -454,6 +567,16 @@ SPECS = [
                   "engine-exact integer-surprisal unigram model",
               doc="per-doc mean unigram surprisal + low-information gate",
               tags=("text",)),
+    QuerySpec("f_url_extract", url_extract, URL_EXTRACT_SQL,
+              ref="scale op: URL/host/domain/path parse from mixed text "
+                  "(RE2-portable regexes, map-only)",
+              doc="URL extraction ahead of domain blocklists and caps",
+              tags=("text",)),
+    QuerySpec("td_domain_caps", domain_caps, DOMAIN_CAPS_SQL,
+              ref="scale op: C4/RefinedWeb per-domain document cap; "
+                  "hash-gate swap documented for power-law domains",
+              doc="rank-within-domain cap keeping first N docs per domain",
+              tags=("traindata",)),
     QuerySpec("td_bigram_surprisal", bigram_surprisal, BIGRAM_SQL,
               ref="scale op; order-sensitive CCNet/KenLM-analog LM filter "
                   "(bigram conditional surprisal, unigram backoff at BOS)",
