@@ -419,7 +419,122 @@ FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality evaluation as a query: recall@10 of the sign-bucket
+    index against exact kNN, for a deterministic sample of query
+    vectors (every 100th vec_id) — the eval loop every production ANN
+    deployment runs after (re)building an index, here with both sides
+    and the recall arithmetic replayed by the oracle.
+
+    Plan: the query set is sample-sized (|corpus|/100) and broadcast;
+    the exact side is |Q|×N with a per-query top-k window — the eval
+    cost one pays *on a sample* precisely so the full corpus never needs
+    an exact self-join; the ANN side joins only within sign buckets
+    (the pruned path being graded).  ``n_bucket`` reports each query's
+    candidate-pool size alongside its recall."""
+    emb = load(spark, sf, "embeddings")
+    from pyspark.sql import Window
+
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        sign_bucket(F.col("embedding"), 4).alias("q_bucket"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    exact_k = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 9).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    ann_cand = (
+        emb.withColumn("bucket", sign_bucket(F.col("embedding"), 4))
+        .join(F.broadcast(qs), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 9).alias("cos_sim"),
+        )
+        .withColumn("n_bucket", F.count(F.lit(1)).over(Window.partitionBy("q_id")))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    ann_k = ann_cand.filter(F.col("rn") <= 10).select("q_id", "vec_id")
+    buckets = ann_cand.groupBy("q_id").agg(F.max("n_bucket").alias("n_bucket"))
+    inter = (
+        exact_k.join(ann_k, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        qs.select("q_id")
+        .join(buckets, "q_id", "left")
+        .join(inter, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_bucket", F.lit(0)).alias("n_bucket"),
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.coalesce("n_inter", F.lit(0)) / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS q_id, embedding AS q_emb,
+         {BUCKET_EXPR.format(e='embedding')} AS q_bucket
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+exact AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round({_cos_sql('embedding', 'q_emb')}, 9) DESC, vec_id ASC
+         ) AS rn
+  FROM embeddings, qs WHERE vec_id != q_id
+),
+ek AS (SELECT q_id, vec_id FROM exact WHERE rn <= 10),
+annc AS (
+  SELECT q_id, vec_id,
+         COUNT(*) OVER (PARTITION BY q_id) AS n_bucket,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round({_cos_sql('embedding', 'q_emb')}, 9) DESC, vec_id ASC
+         ) AS rn
+  FROM embeddings, qs
+  WHERE vec_id != q_id AND {BUCKET_EXPR.format(e='embedding')} = q_bucket
+),
+ak AS (SELECT q_id, vec_id FROM annc WHERE rn <= 10),
+bc AS (SELECT q_id, MAX(n_bucket) AS n_bucket FROM annc GROUP BY q_id),
+inter AS (
+  SELECT ek.q_id, COUNT(*) AS n_inter
+  FROM ek JOIN ak ON ek.q_id = ak.q_id AND ek.vec_id = ak.vec_id
+  GROUP BY ek.q_id
+)
+SELECT qs.q_id,
+       COALESCE(bc.n_bucket, 0) AS n_bucket,
+       COALESCE(inter.n_inter, 0) AS n_inter,
+       COALESCE(inter.n_inter, 0) / 10.0 AS recall_at_10
+FROM qs LEFT JOIN bc ON qs.q_id = bc.q_id
+        LEFT JOIN inter ON qs.q_id = inter.q_id
+ORDER BY qs.q_id
+"""
+
+
 SPECS = [
+    QuerySpec("ann_recall_eval", ann_recall_eval, ANN_RECALL_SQL,
+              ref="scale op: sampled recall@k eval of the sign-bucket "
+                  "index vs exact kNN, both sides oracle-replayed",
+              doc="ANN index quality harness as a query", tags=("vector",)),
     QuerySpec("ann_kmeans_assign", ann_kmeans_assign, _kmeans_oracle(),
               ref="scale op: trained IVF (deterministic Lloyd k-means, 2 iterations)",
               doc="k=4 k-means assignment; whole iterative run oracle-replayed",
