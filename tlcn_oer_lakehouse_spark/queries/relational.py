@@ -510,6 +510,102 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def j_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join as a two-sided reconciliation report — the only
+    join type the registry lacked: event activity vs a customer slice
+    (c_custkey 50-199, chosen so both exclusive sides are non-empty),
+    classifying every id as both / events_only / customer_only with
+    counts preserved.  One keyed shuffle; at 100 TB both sides
+    pre-aggregate to id-cardinality before the join."""
+    from tlcn_oer_lakehouse_spark.queries.base import load_events
+
+    ev = (
+        load_events(spark, sf)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cust = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_custkey").between(50, 199))
+        .select("c_custkey", "c_name")
+    )
+    j = ev.join(cust, ev.user_id == cust.c_custkey, "full_outer")
+    status = (
+        F.when(F.col("user_id").isNotNull() & F.col("c_custkey").isNotNull(), "both")
+        .when(F.col("user_id").isNotNull(), "events_only")
+        .otherwise("customer_only")
+    )
+    return j.select(
+        F.coalesce(F.col("user_id"), F.col("c_custkey")).alias("id"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        status.alias("status"),
+    ).orderBy("id")
+
+
+J_FULL_OUTER_SQL = """
+WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey BETWEEN 50 AND 199)
+SELECT COALESCE(user_id, c_custkey) AS id,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN user_id IS NOT NULL AND c_custkey IS NOT NULL THEN 'both'
+            WHEN user_id IS NOT NULL THEN 'events_only'
+            ELSE 'customer_only' END AS status
+FROM ev FULL OUTER JOIN cust ON ev.user_id = cust.c_custkey
+ORDER BY id
+"""
+
+
+def f_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array-function surface as a verifiable query:
+    transform, filter, aggregate (fold), zip_with and sort_array over
+    deterministic per-row arrays — the same combinators the text/vector
+    operators use in their hot paths, pinned against DuckDB's
+    list_transform / list_filter / list_sum / comprehension mirrors.
+    Outputs are scalars (sums, counts, heads) so the hash compare never
+    depends on engine array formatting."""
+    d = F.col("doc_id")
+    docs = load(spark, sf, "documents").select("doc_id")
+    a = F.sequence(F.lit(1), (d % 5) + 2)  # [1 .. 2+d%5]
+    b = F.sequence((d % 3) + 1, (d % 3) + F.size(a))  # same length, offset
+    squares_sum = F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n_odd = F.size(F.filter(a, lambda x: x % 2 == 1))
+    zipped_sum = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x + y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    desc_head = F.element_at(F.sort_array(a, asc=False), 1)
+    return docs.select(
+        "doc_id",
+        F.size(a).alias("n"),
+        squares_sum.alias("squares_sum"),
+        n_odd.alias("n_odd"),
+        zipped_sum.alias("zipped_sum"),
+        desc_head.alias("desc_head"),
+    )
+
+
+F_ARRAY_SQL = """
+WITH arrs AS (
+  SELECT doc_id,
+         generate_series(1, CAST(doc_id % 5 + 2 AS BIGINT)) AS a,
+         generate_series(CAST(doc_id % 3 + 1 AS BIGINT),
+                         CAST((doc_id % 3) + (doc_id % 5 + 2) AS BIGINT)) AS b
+  FROM documents
+)
+SELECT doc_id,
+       len(a) AS n,
+       CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS squares_sum,
+       len(list_filter(a, x -> x % 2 = 1)) AS n_odd,
+       CAST(list_sum([a[i] + b[i] FOR i IN generate_series(1, len(a))]) AS BIGINT)
+         AS zipped_sum,
+       list_sort(a, 'DESC')[1] AS desc_head
+FROM arrs
+"""
+
+
 def a_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot (beyond reference): quantity by returnflag pivoted on
     linestatus values."""
@@ -983,6 +1079,16 @@ SPECS = [
               ref="beyond reference; completes the subtotal-lattice family",
               doc="full cube lattice incl. column marginals",
               tags=("agg", "extension")),
+    QuerySpec("j_full_outer_reconcile", j_full_outer_reconcile, J_FULL_OUTER_SQL,
+              ref="completes the join-type surface: two-sided full outer "
+                  "reconciliation with both exclusive sides non-empty",
+              doc="events vs customer-slice full outer diff report",
+              tags=("join",)),
+    QuerySpec("f_array_functions", f_array_functions, F_ARRAY_SQL,
+              ref="scalar-function surface: higher-order array combinators "
+                  "(transform/filter/aggregate/zip_with/sort_array)",
+              doc="array combinator battery with scalar outputs",
+              tags=("function",)),
     QuerySpec("a_exact_percentile", a_exact_percentile, A_PERCENTILE_SQL,
               ref="beyond reference; create_schema.py:272-290 quartile intent",
               doc="exact interpolated quartiles per return flag",
