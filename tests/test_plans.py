@@ -160,6 +160,9 @@ _BNLJ_ALLOWED = {
     "td_vocab_coverage",      # 1-row total-token count
     "q11_important_parts",    # scalar subquery threshold
     "q22_idle_customers",     # scalar subquery avg balance
+    "td_bigram_surprisal",    # 1-row corpus-total broadcast
+    "w11_rfm_segmentation",   # 1-row horizon-timestamp broadcast
+    "ann_recall_eval",        # query sample hard-bounded at 100 rows
 }
 
 

@@ -426,16 +426,20 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     deployment runs after (re)building an index, here with both sides
     and the recall arithmetic replayed by the oracle.
 
-    Plan: the query set is sample-sized (|corpus|/100) and broadcast;
-    the exact side is |Q|×N with a per-query top-k window — the eval
-    cost one pays *on a sample* precisely so the full corpus never needs
-    an exact self-join; the ANN side joins only within sign buckets
-    (the pruned path being graded).  ``n_bucket`` reports each query's
-    candidate-pool size alongside its recall."""
+    Plan: the query set is HARD-BOUNDED at 100 vectors (every 100th
+    vec_id up to 9900) and broadcast, so the exact side is O(100·N) —
+    linear, never the quadratic exact self-join the sampling exists to
+    avoid — and the bound holds at any corpus size (an unbounded "every
+    100th" sample would quietly turn the eval O(N²/100) at 100 TB).
+    The ANN side joins only within sign buckets (the pruned path being
+    graded).  ``n_bucket`` reports each query's candidate-pool size
+    alongside its recall."""
     emb = load(spark, sf, "embeddings")
     from pyspark.sql import Window
 
-    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+    qs = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") <= 9900)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         sign_bucket(F.col("embedding"), 4).alias("q_bucket"),
@@ -492,7 +496,7 @@ ANN_RECALL_SQL = f"""
 WITH qs AS (
   SELECT vec_id AS q_id, embedding AS q_emb,
          {BUCKET_EXPR.format(e='embedding')} AS q_bucket
-  FROM embeddings WHERE vec_id % 100 = 0
+  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id <= 9900
 ),
 exact AS (
   SELECT q_id, vec_id,
