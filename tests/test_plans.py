@@ -201,3 +201,40 @@ def test_priority_queries_inside_driver_window():
     }
     missing = needs_row - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
+
+
+def test_contamination_two_wide_shuffles(spark):
+    """contamination_check's plan budget: the shingle-keyed aggregation
+    and the final doc-keyed aggregation are the only wide exchanges
+    (plus AQE's bounded join-side exchange) — the xxhash64 key change
+    must never reintroduce a string-keyed extra pass."""
+    df = _build(spark, "td_contamination_check")
+    assert audit.exchange_count(df) <= 4
+
+
+def test_bpe_tokenize_apply_is_one_keyed_join(spark):
+    """The tokenize-apply step joins exploded corpus words to the
+    vocab-sized segmentation once; the whole apply side must stay
+    inside a bounded number of exchanges (no per-merge replay over the
+    corpus)."""
+    df = _build(spark, "td_bpe_tokenize")
+    assert audit.exchange_count(df) <= 4
+
+
+def test_video_decode_is_shuffle_free(spark):
+    """Container walk + frame decode is mapInPandas over the scan —
+    the only exchange allowed is the final presentation sort."""
+    df = _build(spark, "mm_video_frames")
+    assert audit.exchange_count(df) <= 1
+
+
+def test_gopher_rules_map_only(spark):
+    """The whole rule battery is scan-speed column expressions: zero
+    exchanges, pure map-side plan."""
+    df = _build(spark, "qual_gopher_rules")
+    assert audit.exchange_count(df) == 0
+
+
+def test_url_extract_map_only(spark):
+    df = _build(spark, "f_url_extract")
+    assert audit.exchange_count(df) == 0
