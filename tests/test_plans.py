@@ -163,6 +163,7 @@ _BNLJ_ALLOWED = {
     "td_bigram_surprisal",    # 1-row corpus-total broadcast
     "w11_rfm_segmentation",   # 1-row horizon-timestamp broadcast
     "ann_recall_eval",        # query sample hard-bounded at 100 rows
+    "td_curriculum_order",    # inherits td_unigram_surprisal's 1-row total
 }
 
 

@@ -553,6 +553,48 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+N_CURRICULUM_PHASES = 4
+
+
+def curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum data ordering (easy→hard): rank documents by the
+    corpus-unigram surprisal difficulty score and cut into
+    ``N_CURRICULUM_PHASES`` training phases — low-surprisal (easy,
+    predictable) text first, high-information text last.  Composes the
+    ``td_unigram_surprisal`` scorer; the only addition is one ntile
+    window with a doc_id tie-break (deterministic total order).  Scale
+    note: like w11's quintiles, the global ntile swaps for
+    approx-percentile phase cutoffs at 100 TB."""
+    from pyspark.sql import Window
+
+    scored = unigram_surprisal(spark, sf)
+    w = Window.orderBy(
+        F.col("avg_surprisal_bits").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "avg_surprisal_bits",
+            F.ntile(N_CURRICULUM_PHASES).over(w).alias("phase"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH scored AS ({SURPRISAL_SQL.strip()})
+SELECT doc_id, avg_surprisal_bits,
+       ntile({N_CURRICULUM_PHASES})
+         OVER (ORDER BY avg_surprisal_bits ASC, doc_id ASC) AS phase
+FROM scored
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("pii_scrub", pii_scrub, _pii_oracle(),
               ref="scale op; completes the reference's metadata-only PII handling "
@@ -582,6 +624,11 @@ SPECS = [
                   "(bigram conditional surprisal, unigram backoff at BOS)",
               doc="per-doc mean bigram conditional surprisal + gate",
               tags=("text",)),
+    QuerySpec("td_curriculum_order", curriculum_order, CURRICULUM_SQL,
+              ref="scale op: easy-to-hard curriculum phases from the "
+                  "unigram-surprisal difficulty score",
+              doc="deterministic curriculum ordering into training phases",
+              tags=("traindata",)),
     QuerySpec("qual_gopher_rules", gopher_rules, GOPHER_SQL,
               ref="scale op; Gopher document-shape filter battery "
                   "(Rae et al. 2021 table A1) as zero-shuffle array exprs",

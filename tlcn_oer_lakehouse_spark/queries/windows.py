@@ -664,6 +664,62 @@ FROM ranked WHERE rn <= 5 ORDER BY item, rank
 """
 
 
+def ts_mad_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust anomaly detection over event values: per event_type
+    median + MAD (median absolute deviation), then the 1.4826-scaled
+    robust z-score per event — the outlier gate that survives the
+    heavy-tailed distributions where mean/stddev break.
+
+    Plan: two per-type exact-median aggregations (types are few → tiny
+    groups) + two broadcast joins of the per-type stats back onto the
+    stream; the events table itself is touched map-side only.  Exact
+    interpolated medians replay via quantile_cont (same idiom as
+    a_exact_percentile)."""
+    ev = load_events(spark, sf).select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    z = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 9).alias("robust_z"),
+            (z > 3.5).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
+
+
+TS_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT event_id, e.event_type, value, abs(value - med) AS adev
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT event_id, dev.event_type, value,
+       round(adev / (1.4826 * mad), 9) AS robust_z,
+       (adev / (1.4826 * mad) > 3.5) AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+ORDER BY event_id
+"""
+
+
 def w11_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer segmentation over the event stream — recency (days
     idle vs the corpus horizon), frequency (event count), monetary
@@ -780,6 +836,11 @@ SPECS = [
                   "co-pair explode, no user×item matrix",
               doc="top-5 similar items by co-purchase cosine",
               tags=("mining", "vector")),
+    QuerySpec("ts_mad_anomalies", ts_mad_anomalies, TS_MAD_SQL,
+              ref="beyond reference: median/MAD robust outlier gate "
+                  "(per-type exact medians + broadcast stats joins)",
+              doc="1.4826-scaled robust z-score anomaly detection",
+              tags=("window",)),
     QuerySpec("w11_rfm_segmentation", w11_rfm_segmentation, W11_RFM_SQL,
               ref="beyond reference: RFM quintile segmentation with "
                   "deterministic tie-broken ntiles",
