@@ -102,6 +102,14 @@ _REPAIRED_FIRST = (
 )
 
 
+# Never-sampled queries that may yield their 50-window slot when the
+# new-query count exceeds the window: thin function-surface wideners
+# whose semantics are fully pinned by the pytest parity sweep, demoted
+# so flagship operators (BPE, video decode, dedup variants) keep
+# guaranteed driver rows.
+_SAMPLE_LAST = frozenset({"a_cube", "f_array_functions"})
+
+
 def _collect() -> dict[str, QuerySpec]:
     import importlib
 
@@ -119,12 +127,14 @@ def _collect() -> dict[str, QuerySpec]:
     def rank(n: str) -> tuple[int, int]:
         # 0: repaired events-dependent queries needing fresh driver rows;
         # 1: brand-new round-4 queries (never sampled);
-        # 2: already driver-green on current-valid rows — back of the line.
+        # 2: new but demoted below the window cut when over-subscribed;
+        # 3: already driver-green on current-valid rows — back of the line.
         if n in pinned:
             return (0, pinned[n])
         if n not in green:
-            return (1, order.index(n))
-        return (2, order.index(n))
+            return ((2, order.index(n)) if n in _SAMPLE_LAST
+                    else (1, order.index(n)))
+        return (3, order.index(n))
 
     return {n: registry[n] for n in sorted(order, key=rank)}
 
