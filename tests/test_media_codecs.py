@@ -571,3 +571,29 @@ class TestAviCodec:
         )
         rows = video_frame_features(df).collect()
         assert len(rows) == 1 and rows[0].decode_status == "error"
+
+    def test_container_round_trip_any_frame_set(self):
+        from hypothesis import given, settings, strategies as st
+
+        from tlcn_oer_lakehouse_spark.functions.aviio import (
+            read_avi_mjpeg,
+            write_avi_mjpeg,
+        )
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=1, max_value=60),
+        )
+        def run(values, wb, hb, fps):
+            frames = [self._gray_jpeg(v, w_blocks=wb, h_blocks=hb) for v in values]
+            meta = read_avi_mjpeg(
+                write_avi_mjpeg(frames, width=wb * 8, height=hb * 8, fps=fps)
+            )
+            assert meta["frames"] == frames
+            assert meta["n_frames"] == len(frames)
+            assert (meta["width"], meta["height"]) == (wb * 8, hb * 8)
+
+        run()
