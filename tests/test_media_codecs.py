@@ -409,6 +409,55 @@ class TestStreamingDecode:
         assert got[1].decode_status == "ok" and got[1].n_samples == 2
         assert got[2].decode_status.startswith("ValueError")
 
+    def test_video_frames_on_binary_stream(self, spark, tmp_path):
+        """Video frame sampling is stream-transparent too: the AVI
+        container walk + per-frame JPEG decode runs unchanged on a
+        readStream micro-batch, with per-asset error isolation."""
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from tlcn_oer_lakehouse_spark.functions.aviio import write_avi_mjpeg
+        from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            video_frame_features,
+        )
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        )
+        frames = [
+            write_jpeg(np.full((8, 8), v, dtype=np.uint8), quality=50)
+            for v in (10, 200)
+        ]
+        landing = str(tmp_path / "avi_landing")
+        rows = [
+            (1, bytearray(write_avi_mjpeg(frames, width=8, height=8))),
+            (2, bytearray(b"RIFFjunk")),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{landing}/b1")
+
+        stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+        q = (
+            video_frame_features(stream)
+            .writeStream.format("memory")
+            .queryName("avi_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows_out = spark.table("avi_stream_test").collect()
+        ok = sorted(
+            (r.frame_no, r.width, r.height) for r in rows_out if r.doc_id == 1
+        )
+        assert ok == [(0, 8, 8), (1, 8, 8)]
+        err = [r for r in rows_out if r.doc_id == 2]
+        assert len(err) == 1 and err[0].decode_status == "error"
+
 
 class TestGifCodec:
     """functions/gifio.py: real LZW decompression — variable code

@@ -304,6 +304,52 @@ FROM corpus
 """
 
 
+def domain_caps_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of :func:`domain_caps`, implemented rather than
+    just documented: instead of ranking inside each domain (one global
+    sort per domain — hot partition under power-law domains), keep each
+    document with probability ``cap / n_domain`` via a deterministic
+    md5 gate.  Expected survivors per domain = cap, no per-domain sort,
+    no hot partition: one groupBy(domain) for counts + one broadcast
+    join + a map-only gate — identical topology at any skew.
+    ``kept`` differs row-for-row from the rank form by design (expected
+    vs exact N); both forms are registered so the trade is explicit."""
+    ex = url_extract(spark, sf).select("doc_id", "registered_domain")
+    counts = ex.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_domain")
+    )
+    from tlcn_oer_lakehouse_spark.queries.traindata import _bucket
+
+    gate = (
+        _bucket(F.col("doc_id"), 10000) * F.col("n_domain")
+        < MAX_DOCS_PER_DOMAIN * 10000
+    )
+    return (
+        ex.join(F.broadcast(counts), "registered_domain")
+        .select("doc_id", "registered_domain", "n_domain", gate.alias("kept"))
+        .orderBy("doc_id")
+    )
+
+
+def _domain_caps_scalable_oracle() -> str:
+    from tlcn_oer_lakehouse_spark.queries.traindata import _bucket_sql
+
+    return f"""
+WITH {URL_CORPUS_SQL.strip()},
+ex AS (
+  SELECT doc_id,
+         regexp_extract(regexp_extract(regexp_extract(text, '{_URL_RE}', 0), '{_HOST_RE}', 1),
+                        '{_DOMAIN_RE}', 1) AS registered_domain
+  FROM corpus
+),
+counts AS (SELECT registered_domain, COUNT(*) AS n_domain FROM ex GROUP BY registered_domain)
+SELECT doc_id, registered_domain, n_domain,
+       ({_bucket_sql('doc_id', 10000)}) * n_domain < {MAX_DOCS_PER_DOMAIN} * 10000 AS kept
+FROM ex JOIN counts USING (registered_domain)
+ORDER BY doc_id
+"""
+
+
 def domain_caps(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain document cap (the C4/RefinedWeb "no domain dominates"
     rule): rank documents within registered_domain by doc_id and keep
@@ -618,6 +664,12 @@ SPECS = [
               ref="scale op: C4/RefinedWeb per-domain document cap; "
                   "hash-gate swap documented for power-law domains",
               doc="rank-within-domain cap keeping first N docs per domain",
+              tags=("traindata",)),
+    QuerySpec("td_domain_caps_scalable", domain_caps_scalable,
+              _domain_caps_scalable_oracle(),
+              ref="scale op: the hash-gate form of td_domain_caps — "
+                  "expected-N retention, no per-domain sort, skew-immune",
+              doc="probabilistic per-domain cap via deterministic md5 gate",
               tags=("traindata",)),
     QuerySpec("td_bigram_surprisal", bigram_surprisal, BIGRAM_SQL,
               ref="scale op; order-sensitive CCNet/KenLM-analog LM filter "
