@@ -112,6 +112,8 @@ _SAMPLE_LAST = frozenset({
     # scalable twin of a windowed query: the exact-form twin holds the
     # window slot; this one's gate math is pinned by the parity sweep
     "td_domain_caps_scalable",
+    # composition of two already-window-held queries (bm25 + window sum)
+    "q6_context_pack",
 })
 
 

@@ -449,6 +449,67 @@ def context_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CONTEXT_BUDGET_TOKENS = 600
+
+
+def context_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG context assembly: the step between retrieval and the LLM
+    call (the call itself is out of engine scope, SURVEY §2.10 Q6) —
+    the top-20 BM25 candidates are packed into a
+    ``CONTEXT_BUDGET_TOKENS`` context window greedily by score: a doc
+    is included while the running token total stays within budget.
+    Integer token counts + an ordered running-sum window over a 20-row
+    frame — deterministic and O(1)-sized regardless of corpus scale
+    (the only corpus-sized work is the BM25 scan feeding it)."""
+    from pyspark.sql import Window
+
+    from tlcn_oer_lakehouse_spark.functions.text import token_count
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    top = (
+        bm25_scores(spark, sf)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("bm25_raw"), 9).alias("score"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    return top.select(
+        "doc_id",
+        "score",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        (cum <= CONTEXT_BUDGET_TOKENS).alias("packed"),
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+CONTEXT_PACK_SQL = f"""
+WITH {{core}},
+top AS (
+  SELECT b.doc_id, round(b.bm25_raw, 9) AS score,
+         len(regexp_extract_all(d.text, '\\w+')) AS n_tokens
+  FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+  ORDER BY score DESC, b.doc_id ASC LIMIT 20
+)
+SELECT doc_id, score, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= {CONTEXT_BUDGET_TOKENS} AS packed
+FROM top
+ORDER BY score DESC, doc_id ASC
+"""
+
+
 CONTEXT_RERANK_SQL = f"""
 WITH {_bm25_sql_core().strip()},
 kept AS (
@@ -508,6 +569,12 @@ SPECS = [
     QuerySpec("q5_context_rerank", context_rerank, CONTEXT_RERANK_SQL,
               ref="chatbot_api.py:277-343, 480-489 (context filter + relevance gate)",
               doc="length/code filters + avg-score gated top-5", tags=("retrieval",)),
+    QuerySpec("q6_context_pack", context_pack,
+              CONTEXT_PACK_SQL.format(core=_bm25_sql_core().strip()),
+              ref="chatbot_api.py context assembly ahead of the LLM call "
+                  "(the call itself is out of engine scope, SURVEY §2.10 Q6)",
+              doc="greedy token-budget packing of top-k retrieval results",
+              tags=("retrieval",)),
     QuerySpec("q7_index_diff", index_diff, INDEX_DIFF_SQL,
               ref="elasticsearch_sync.py:343-395 (incremental index skip-scan)",
               doc="left-anti diff of docs vs index state, with fingerprints",
