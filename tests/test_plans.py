@@ -164,6 +164,7 @@ _BNLJ_ALLOWED = {
     "w11_rfm_segmentation",   # 1-row horizon-timestamp broadcast
     "ann_recall_eval",        # query sample hard-bounded at 100 rows
     "td_curriculum_order",    # inherits td_unigram_surprisal's 1-row total
+    "q6_context_pack",        # inherits BM25's 1-row corpus-stats broadcast
 }
 
 
