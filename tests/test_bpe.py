@@ -96,3 +96,55 @@ def test_bpe_matches_reference_on_random_vocabs(spark):
         assert got == expected
 
     run()
+
+
+def test_wordpiece_prefers_surprising_pair(spark):
+    from tlcn_oer_lakehouse_spark.queries.bpe import learn_wordpiece_merges
+
+    # vocab: "ab" x4, "cb" x1, "c" x3 -> symbol counts a:4, b:5, c:4
+    # step 1: score(a,b) = 4/(4*5) = 0.2 ; score(c,b) = 1/(4*5) = 0.05
+    #   -> (a,b) wins.  After merge: ab:4 (fused), [c,b]:1, [c]:3
+    #   symbol counts ab:4, c:4, b:1
+    # step 2: only pair (c,b): score = 1/(4*1) = 0.25
+    words = spark.createDataFrame(
+        [("ab", 4), ("cb", 1), ("c", 3)], "word string, freq long"
+    )
+    got = [
+        (r.step, r.merge_left, r.merge_right, r.pair_count, r.score)
+        for r in learn_wordpiece_merges(spark, words, n_merges=2)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [(1, "a", "b", 4, 0.2), (2, "c", "b", 1, 0.25)]
+
+
+def test_wordpiece_diverges_from_bpe_on_frequent_parts(spark):
+    from tlcn_oer_lakehouse_spark.queries.bpe import learn_wordpiece_merges
+
+    # BPE's raw count would pick (x,y) (count 10); WordPiece's
+    # likelihood picks the rarer-but-exclusive (p,q):
+    #   score(x,y) = 10/(20*20) = 0.025 < score(p,q) = 2/(2*2) = 0.5
+    words = spark.createDataFrame(
+        [("xy", 10), ("x", 10), ("y", 10), ("pq", 2)],
+        "word string, freq long",
+    )
+    bpe_first = learn_bpe_merges(spark, words, n_merges=1).collect()[0]
+    wp_first = learn_wordpiece_merges(spark, words, n_merges=1).collect()[0]
+    assert (bpe_first.merge_left, bpe_first.merge_right) == ("x", "y")
+    assert (wp_first.merge_left, wp_first.merge_right) == ("p", "q")
+
+
+def test_bpe_no_mid_token_suffix_merge(spark):
+    """Regression (found by hypothesis): with a suffix-only delimiter
+    encoding, merging (b,b) in tokens [cb, b] wrongly fired INSIDE the
+    'cb' token ('cb␟b␟' contains 'b␟b␟').  The STX-prefixed encoding
+    anchors matches to token starts; this vocab must follow the
+    sequential reference exactly."""
+    words = {"b": 1, "a": 1, "bbb": 2, "cb": 5, "cbb": 1}
+    expected = _reference_bpe(words, n_merges=4)
+    df = spark.createDataFrame(list(words.items()), "word string, freq long")
+    got = [
+        (r.step, r.merge_left, r.merge_right, int(r.pair_count))
+        for r in learn_bpe_merges(spark, df, n_merges=4).orderBy("step").collect()
+    ]
+    assert got == expected

@@ -24,16 +24,28 @@ Why this scales to 100 TB where a naive port would not:
   stays one-round shallow (see ``operators/components.py`` for why).
 
 Engine-portable greedy-merge encoding: a word's symbol sequence is the
-concatenation of ``symbol + US`` (US = ``\\x1f``, absent from
-whitespace-tokenized text).  Because the delimiter is a *suffix* of
-every symbol (not a shared boundary), standard left-to-right
-non-overlapping ``replace(enc, l+US+r+US, l+r+US)`` implements exactly
-the greedy BPE merge — ``a a a a a`` with pair (a,a) yields
-``aa aa a`` identically in Spark, DuckDB, and Python (verified; a
-space-separated encoding gets this WRONG because consecutive matches
-share the boundary space).  Pair counting counts all adjacent
-occurrences (overlapping runs count twice), matching the reference BPE
-implementation.
+concatenation of ``STX + symbol + US`` (STX = ``\\x02``, US = ``\\x1f``,
+both absent from whitespace-tokenized text).  The pair pattern
+``STX+l+US+STX+r+US → STX+l+r+US`` then makes standard left-to-right
+non-overlapping ``replace`` exactly the greedy BPE merge, because the
+frame closes BOTH failure modes of single-delimiter encodings
+(property-tested, including a hypothesis comparison against an
+independent sequential reference):
+
+- the leading STX anchors every match to a token START, so ``l`` can
+  never match the *suffix* of a longer token (``[cb, b]`` with pair
+  (b,b) must not merge — a suffix-only ``l+US+r+US`` pattern wrongly
+  fires inside ``cb␟b␟``), and the trailing US prevents ``r`` from
+  matching a token *prefix* (``[a, bc]`` with pair (a,b));
+- the pattern ends with US while the next candidate starts with STX —
+  different characters, so consecutive matches never share a boundary
+  byte and runs merge greedily: ``a a a a a`` → ``aa aa a``
+  identically in Spark, DuckDB, and Python (a space-separated encoding
+  gets this wrong: the shared boundary space makes replace skip
+  alternate pairs).
+
+Pair counting counts all adjacent occurrences (overlapping runs count
+twice), matching the reference BPE implementation.
 
 Oracle: the DuckDB SQL replays every iteration exactly — K unrolled
 CTE stages of pair-count → argmax (same ``cnt DESC, l, r`` tie-break)
@@ -49,8 +61,18 @@ from pyspark.sql import functions as F
 from tlcn_oer_lakehouse_spark.functions.text import tokens
 from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
 
-US = "\x1f"  # unit separator: symbol terminator in the packed encoding
+STX = "\x02"  # start-of-text: symbol PREFIX (anchors matches to token starts)
+US = "\x1f"   # unit separator: symbol SUFFIX (blocks prefix-of-next matches)
 N_MERGES = 6
+
+
+def _enc0_expr() -> F.Column:
+    """word → its char-level encoding: each char wrapped STX+c+US."""
+    return F.regexp_replace(F.col("word"), "(.)", STX + "$1" + US)
+
+
+def _merge_pattern(l: str, r: str) -> tuple[str, str]:
+    return STX + l + US + STX + r + US, STX + l + r + US
 
 
 def _word_freqs(spark: SparkSession, sf: str) -> DataFrame:
@@ -62,12 +84,18 @@ def _word_freqs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _symbols_expr() -> F.Column:
+    """enc → array of bare symbols: split on US (dropping the trailing
+    empty element), then strip each token's leading STX."""
+    sl = F.split(F.col("enc"), US)
+    raw = F.slice(sl, 1, F.size(sl) - 1)
+    return F.transform(raw, lambda x: x.substr(F.lit(2), F.length(x)))
+
+
 def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     """(l, r, cnt) for every adjacent symbol pair, weighted by word
-    frequency.  ``enc`` ends with US, so split() leaves a trailing empty
-    element — sliced off before pairing."""
-    sl = F.split(F.col("enc"), US)
-    syms = F.slice(sl, 1, F.size(sl) - 1)
+    frequency."""
+    syms = _symbols_expr()
     # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark — guard
     # single-symbol words to an empty pair array explicitly.
     pair_idx = F.when(
@@ -91,8 +119,9 @@ def _train(
     """Run the merge-learning loop.  Returns (merge list, final vocab) —
     the vocab frame keeps (word, freq, enc) so the trained segmentation
     is directly joinable by the tokenize-apply step."""
-    enc0 = F.regexp_replace(F.col("word"), "(.)", "$1" + US)
-    vocab = words.select("word", "freq", enc0.alias("enc")).localCheckpoint()
+    vocab = words.select(
+        "word", "freq", _enc0_expr().alias("enc")
+    ).localCheckpoint()
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -105,9 +134,9 @@ def _train(
             break
         l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
         merges.append((step, l, r, cnt))
+        pat, rep = _merge_pattern(l, r)
         vocab = vocab.withColumn(
-            "enc",
-            F.replace(F.col("enc"), F.lit(l + US + r + US), F.lit(l + r + US)),
+            "enc", F.replace(F.col("enc"), F.lit(pat), F.lit(rep))
         ).localCheckpoint()
     return merges, vocab
 
@@ -127,6 +156,77 @@ def learn_bpe_merges(
 
 def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     return learn_bpe_merges(spark, _word_freqs(spark, sf)).orderBy("step")
+
+
+def _symbol_counts(words: DataFrame) -> DataFrame:
+    """(s, scnt): freq-weighted occurrences of every symbol across the
+    vocab — the denominator terms of the WordPiece likelihood score."""
+    return (
+        words.select("freq", F.explode(_symbols_expr()).alias("s"))
+        .groupBy("s")
+        .agg(F.sum("freq").alias("scnt"))
+    )
+
+
+def learn_wordpiece_merges(
+    spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """WordPiece merge learning (Schuster & Nakajima 2012; the HF
+    trainer's selection rule) on the same machinery as BPE — only the
+    argmax criterion changes: instead of raw pair count, maximize the
+    likelihood score ``count(l,r) / (count(l) · count(r))``, which
+    prefers pairs whose co-occurrence is high *relative to* their parts
+    (BPE's raw count always grabs the most frequent pair; WordPiece
+    grabs the most *surprising* one).  Score determinism: one division
+    of exact BIGINTs → correctly-rounded double, identical in both
+    engines; ties break on (l, r).  Per iteration this adds one
+    vocab-sized symbol-count aggregation and two small joins to the BPE
+    loop — same asymptotics, same 1-row argmax."""
+    vocab = words.select(
+        "word", "freq", _enc0_expr().alias("enc")
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pc = _adjacent_pair_counts(vocab)
+        sc = _symbol_counts(vocab)
+        scored = (
+            pc.join(
+                sc.withColumnRenamed("s", "l").withColumnRenamed("scnt", "lcnt"),
+                "l",
+            )
+            .join(
+                sc.withColumnRenamed("s", "r").withColumnRenamed("scnt", "rcnt"),
+                "r",
+            )
+            .select(
+                "l", "r", "cnt",
+                (F.col("cnt") / (F.col("lcnt") * F.col("rcnt"))).alias("score"),
+            )
+        )
+        best = (
+            scored.orderBy(
+                F.col("score").desc(), F.col("l").asc(), F.col("r").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r = best[0].l, best[0].r
+        merges.append((step, l, r, int(best[0].cnt), round(best[0].score, 9)))
+        pat, rep = _merge_pattern(l, r)
+        vocab = vocab.withColumn(
+            "enc", F.replace(F.col("enc"), F.lit(pat), F.lit(rep))
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "step int, merge_left string, merge_right string, "
+        "pair_count long, score double",
+    )
+
+
+def wordpiece_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    return learn_wordpiece_merges(spark, _word_freqs(spark, sf)).orderBy("step")
 
 
 def bpe_tokenize_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -158,34 +258,46 @@ def bpe_tokenize_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _training_ctes(n_merges: int) -> list[str]:
-    """The shared CTE chain replaying the training loop; ``word`` rides
-    through every enc stage so the final segmentation is joinable."""
-    parts = [
-        """words0 AS (
+# SQL fragments of the STX+sym+US encoding (chr(2) / chr(31)):
+_SQL_WORDS0 = """words0 AS (
   SELECT word, COUNT(*) AS freq
   FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
         FROM documents)
   GROUP BY word
-)""",
-        "enc0 AS (SELECT word, freq, regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc FROM words0)",
-    ]
-    for k in range(1, n_merges + 1):
-        prev = f"enc{k - 1}"
-        parts.append(
-            f"""pairs{k} AS (
-  SELECT freq, sl[i] AS l, sl[i + 1] AS r
+)"""
+_SQL_ENC0 = (
+    "enc0 AS (SELECT word, freq, "
+    "regexp_replace(word, '(.)', chr(2) || '\\1' || chr(31), 'g') AS enc "
+    "FROM words0)"
+)
+_SQL_REPLACE = (
+    "replace(enc, chr(2) || b.l || chr(31) || chr(2) || b.r || chr(31), "
+    "chr(2) || b.l || b.r || chr(31))"
+)
+
+
+def _sql_pairs(k: int, prev: str) -> str:
+    # sl[i] carries the leading STX — stripped with substring(_, 2)
+    return f"""pairs{k} AS (
+  SELECT freq, substring(sl[i], 2) AS l, substring(sl[i + 1], 2) AS r
   FROM (SELECT freq, string_split(enc, chr(31)) AS sl FROM {prev}),
        unnest(generate_series(1, len(sl) - 2)) AS g(i)
 )"""
-        )
+
+
+def _training_ctes(n_merges: int) -> list[str]:
+    """The shared CTE chain replaying the training loop; ``word`` rides
+    through every enc stage so the final segmentation is joinable."""
+    parts = [_SQL_WORDS0, _SQL_ENC0]
+    for k in range(1, n_merges + 1):
+        prev = f"enc{k - 1}"
+        parts.append(_sql_pairs(k, prev))
         parts.append(
             f"best{k} AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt "
             f"FROM pairs{k} GROUP BY l, r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
         )
         parts.append(
-            f"enc{k} AS (SELECT word, freq, "
-            f"replace(enc, b.l || chr(31) || b.r || chr(31), b.l || b.r || chr(31)) AS enc "
+            f"enc{k} AS (SELECT word, freq, {_SQL_REPLACE} AS enc "
             f"FROM {prev}, best{k} b)"
         )
     return parts
@@ -218,6 +330,45 @@ ORDER BY doc_id"""
     )
 
 
+def _wordpiece_oracle(n_merges: int = N_MERGES) -> str:
+    """K unrolled stages replaying the WordPiece loop: pair counts +
+    symbol counts + likelihood argmax + replace, per stage."""
+    parts = [_SQL_WORDS0, _SQL_ENC0]
+    for k in range(1, n_merges + 1):
+        prev = f"enc{k - 1}"
+        parts.append(_sql_pairs(k, prev))
+        parts.append(
+            f"pc{k} AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM pairs{k} GROUP BY l, r)"
+        )
+        parts.append(
+            f"""sc{k} AS (
+  SELECT s, CAST(SUM(freq) AS BIGINT) AS scnt
+  FROM (SELECT freq, substring(s_raw, 2) AS s
+        FROM (SELECT freq, unnest(sl[1:len(sl) - 1]) AS s_raw
+              FROM (SELECT freq, string_split(enc, chr(31)) AS sl FROM {prev})))
+  GROUP BY s
+)"""
+        )
+        parts.append(
+            f"best{k} AS (SELECT pc.l, pc.r, pc.cnt, "
+            f"pc.cnt / (lc.scnt * rc.scnt) AS score "
+            f"FROM pc{k} pc JOIN sc{k} lc ON pc.l = lc.s "
+            f"JOIN sc{k} rc ON pc.r = rc.s "
+            f"ORDER BY score DESC, pc.l ASC, pc.r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"enc{k} AS (SELECT word, freq, {_SQL_REPLACE} AS enc "
+            f"FROM {prev}, best{k} b)"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS merge_left, r AS merge_right, "
+        f"cnt AS pair_count, round(score, 9) AS score FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY step"
+
+
 SPECS = [
     QuerySpec(
         "td_bpe_merges",
@@ -235,6 +386,15 @@ SPECS = [
         ref="scale op: trained-tokenizer token counting — segmentation "
             "applied via one vocab-sized keyed join, no per-doc replay",
         doc="per-document subword token counts under the learned BPE vocab",
+        tags=("text",),
+    ),
+    QuerySpec(
+        "td_wordpiece_merges",
+        wordpiece_learn_merges,
+        _wordpiece_oracle(),
+        ref="scale op: WordPiece likelihood-scored merge learning "
+            "(Schuster & Nakajima 2012) on the shared BPE machinery",
+        doc="WordPiece tokenizer training, K=6 merge steps with scores",
         tags=("text",),
     ),
 ]
