@@ -664,6 +664,48 @@ FROM ranked WHERE rn <= 5 ORDER BY item, rank
 """
 
 
+def j_salted_hot_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join as a driver-verified query: the event stream joins a
+    per-type dimension through :func:`salted_join` (8-way replication of
+    the dimension, deterministic xxhash64 scatter of the fact side) and
+    aggregates per type.  ``event_type`` has cardinality 5 — exactly the
+    power-law-hot-key shape where a plain shuffle join puts 20% of the
+    fact table on one reducer and salting spreads it 8 ways.
+
+    Salting is a pure partitioning trick, so the ORACLE IS THE PLAIN
+    EQUI-JOIN — the driver's hash compare proves result-identity, the
+    property the whole technique rests on (the salt column must never
+    leak into results or change multiplicities)."""
+    from tlcn_oer_lakehouse_spark.operators.skew import salted_join
+
+    ev = load_events(spark, sf).select("event_id", "event_type", "value")
+    dim = (
+        load_events(spark, sf)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+    )
+    joined = salted_join(ev, dim, "event_type", salt=8)
+    return (
+        joined.groupBy("event_type", "type_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+J_SALTED_SQL = """
+WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type)
+SELECT e.event_type, d.type_total,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type, d.type_total
+ORDER BY e.event_type
+"""
+
+
 def ts_mad_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     """Robust anomaly detection over event values: per event_type
     median + MAD (median absolute deviation), then the 1.4826-scaled
@@ -836,6 +878,12 @@ SPECS = [
                   "co-pair explode, no user×item matrix",
               doc="top-5 similar items by co-purchase cosine",
               tags=("mining", "vector")),
+    QuerySpec("j_salted_hot_key", j_salted_hot_key, J_SALTED_SQL,
+              ref="scale op: explicit hot-key salting "
+                  "(operators/skew.py) proven result-identical to the "
+                  "plain equi-join by the oracle",
+              doc="8-way salted join over a 5-key power-law fact stream",
+              tags=("join",)),
     QuerySpec("ts_mad_anomalies", ts_mad_anomalies, TS_MAD_SQL,
               ref="beyond reference: median/MAD robust outlier gate "
                   "(per-type exact medians + broadcast stats joins)",
