@@ -136,3 +136,73 @@ def test_stateful_runs_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def _run_trending(spark, builder, schema, landing, ckpt):
+    out: dict = {}
+
+    def _collect(batch_df, batch_id):
+        for r in batch_df.collect():
+            out.setdefault(r.user_id, {})[r.rank] = (r.event_type, r.cnt)
+
+    stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+    q = (
+        builder(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def _trending_scenario(spark, builder, tmp_path):
+    """Two-batch top-k scenario shared by both state APIs: counters
+    accumulate across query restarts and the top-3 re-ranks when a
+    type overtakes."""
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("event_type", StringType())]
+    )
+    landing, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "view"), (1, "view"), (1, "click"), (1, "error")], schema
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+    got1 = _run_trending(spark, builder, schema, landing, ckpt)
+    # view 2 > click 1 == error 1 (tie broken type-asc: click before error)
+    assert got1[1] == {1: ("view", 2), 2: ("click", 1), 3: ("error", 1)}
+
+    spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "purchase")], schema
+    ).coalesce(1).write.parquet(f"{landing}/b2")
+    got2 = _run_trending(spark, builder, schema, landing, ckpt)
+    # click overtakes view (3 > 2); purchase enters at rank 4 -> cut by k=3
+    assert got2[1] == {1: ("click", 3), 2: ("view", 2), 3: ("error", 1)}
+
+
+def test_trending_types_across_restarts(spark, tmp_path):
+    """Per-type counters (map state as parallel arrays) on
+    applyInPandasWithState — runs for real in this container."""
+    from tlcn_oer_lakehouse_spark.streaming.stateful import user_trending_types
+
+    _trending_scenario(spark, user_trending_types, tmp_path)
+
+
+def test_trending_types_mapstate_tws(spark, tmp_path):
+    """Same scenario on transformWithStateInPandas' real MapState —
+    needs protobuf (absent here; skips, runs on a standard image)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol requires protobuf",
+    )
+    from tlcn_oer_lakehouse_spark.streaming.stateful import (
+        user_trending_types_tws,
+    )
+
+    _trending_scenario(spark, user_trending_types_tws, tmp_path)

@@ -17,8 +17,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -107,6 +109,113 @@ def running_user_totals_tws(stream_df: DataFrame) -> DataFrame:
     return stream_df.groupBy("user_id").transformWithStateInPandas(
         RunningTotals(),
         outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+TRENDING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rank", LongType()),
+        StructField("event_type", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+# map-as-parallel-arrays state for the applyInPandasWithState form
+# (that API's state is one fixed struct; TWS gets a real MapState below)
+_TRENDING_STATE = StructType(
+    [
+        StructField("types", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _top_rows(user_id, counts: dict, k: int) -> pd.DataFrame:
+    top = sorted(counts.items(), key=lambda tc: (-tc[1], tc[0]))[:k]
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(top),
+            "rank": list(range(1, len(top) + 1)),
+            "event_type": [t for t, _ in top],
+            "cnt": [c for _, c in top],
+        }
+    )
+
+
+def user_trending_types(stream_df: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user trending event types on ``applyInPandasWithState``:
+    per-type running counters (a map encoded as parallel arrays — this
+    API's state is one fixed struct) accumulated across micro-batches,
+    emitting the user's current top-``k`` (count desc, type asc) on
+    every update — the "what is this user doing lately" serving view.
+    State size is bounded by the per-user type vocabulary; the top-k
+    sort runs over that bounded map, never over the stream."""
+
+    def _update(key, pdfs, state):
+        (user_id,) = key
+        counts: dict = {}
+        if state.exists:
+            types, cnts = state.get
+            counts = dict(zip(types, cnts))
+        for pdf in pdfs:
+            for t, c in pdf.groupby("event_type").size().items():
+                counts[t] = counts.get(t, 0) + int(c)
+        state.update((list(counts.keys()), list(counts.values())))
+        yield _top_rows(user_id, counts, k)
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=TRENDING_SCHEMA,
+        stateStructType=_TRENDING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_trending_types_tws(stream_df: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user trending event types: a MapState (event_type → running
+    count) accumulated across micro-batches, emitting each user's
+    current top-``k`` types (count desc, type asc tie-break) on every
+    update — the "what is this user doing lately" serving view.
+
+    Exercises the MapState primitive (ValueState is covered by
+    running_user_totals_tws): per-type counters update in place, state
+    size is bounded by the type vocabulary per user, and the top-k sort
+    happens over that bounded map — never over the stream."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TrendingTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "cnt long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            for pdf in rows:
+                for t, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._counts.getValue((t,))[0]
+                        if self._counts.containsKey((t,))
+                        else 0
+                    )
+                    self._counts.updateValue((t,), (prev + int(c),))
+            counts = {
+                tk[0]: tv[0] for tk, tv in self._counts.iterator()
+            }
+            yield _top_rows(key[0], counts, k)
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy("user_id").transformWithStateInPandas(
+        TrendingTypes(),
+        outputStructType=TRENDING_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )
