@@ -1,0 +1,201 @@
+"""Independent-implementation checks for queries/mlstats.py.
+
+The oracle parity sweep (test_oracle_parity.py) proves Spark ≡ DuckDB on
+the same formulas; these tests prove the formulas themselves against a
+THIRD implementation (numpy / sklearn-free reference code) and pin the
+sketch invariants that parity alone cannot see.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tlcn_oer_lakehouse_spark.queries import mlstats
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def test_ols_matches_numpy_polyfit(spark, sf_dir, lineitem_pd):
+    rows = {r["l_returnflag"]: r
+            for r in mlstats.ml_ols_regression(spark, sf_dir).collect()}
+    for flag, grp in lineitem_pd.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=np.float64)
+        y = grp["l_extendedprice"].to_numpy(dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = rows[flag]
+        assert r["slope"] == pytest.approx(slope, rel=1e-9)
+        assert r["intercept"] == pytest.approx(intercept, rel=1e-9)
+        r2_ref = np.corrcoef(x, y)[0, 1] ** 2
+        assert r["r2"] == pytest.approx(r2_ref, rel=1e-6)
+
+
+def test_auc_matches_rank_reference(spark, sf_dir, events_pd):
+    row = mlstats.ml_auc_roc(spark, sf_dir).collect()[0]
+    score = events_pd["value"].to_numpy()
+    label = (events_pd["event_type"] == "purchase").to_numpy()
+    # tie-aware Mann-Whitney via scipy-free average ranks
+    order = pd.Series(score).rank(method="average").to_numpy()
+    npos = int(label.sum())
+    nneg = len(label) - npos
+    auc_ref = (order[label].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert row["npos"] == npos and row["nneg"] == nneg
+    assert row["auc"] == pytest.approx(auc_ref, abs=1e-12)
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["gini"] == pytest.approx(2 * row["auc"] - 1, abs=1e-12)
+
+
+def test_feature_scaling_matches_numpy(spark, sf_dir, lineitem_pd):
+    rows = {r["l_returnflag"]: r
+            for r in mlstats.ml_feature_scaling(spark, sf_dir).collect()}
+    for flag, grp in lineitem_pd.groupby("l_returnflag"):
+        x = grp["l_extendedprice"].to_numpy(dtype=np.float64)
+        r = rows[flag]
+        assert r["n"] == len(x)
+        assert r["mean_price"] == pytest.approx(x.mean(), rel=1e-12)
+        assert r["std_price"] == pytest.approx(x.std(), rel=1e-9)
+        z = (x - x.mean()) / x.std()
+        assert r["n_outliers"] == int((np.abs(z) > 2.0).sum())
+
+
+def test_quantile_buckets_are_balanced(spark, sf_dir):
+    rows = mlstats.ml_quantile_bucketize(spark, sf_dir).collect()
+    counts = {r["bucket"]: r["n"] for r in rows}
+    assert set(counts) == {1, 2, 3, 4}
+    total = sum(counts.values())
+    # quartile binning: every bucket within ±2 rows of n/4 (interpolated
+    # cutoffs split ties deterministically)
+    for b, n in counts.items():
+        assert abs(n - total / 4) <= 2, (b, n, total)
+    # bucket value ranges must not overlap
+    ordered = [r for _, r in sorted((r["bucket"], r) for r in rows)]
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo["max_price"] <= hi["min_price"]
+
+
+def test_confusion_metrics_identities(spark, sf_dir):
+    row = mlstats.ml_confusion_metrics(spark, sf_dir).collect()[0]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == len(orders)
+    prec = row["tp"] / (row["tp"] + row["fp"])
+    rec = row["tp"] / (row["tp"] + row["fn"])
+    assert row["precision_"] == pytest.approx(prec, abs=1e-15)
+    assert row["recall_"] == pytest.approx(rec, abs=1e-15)
+    assert row["f1"] == pytest.approx(2 * prec * rec / (prec + rec), abs=1e-12)
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    rows = mlstats.a_kmv_distinct(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r["k_used"] < mlstats._KMV_K:
+            # below k the sketch IS the value set — estimate must be exact
+            assert r["est_distinct"] == r["exact_distinct"]
+        else:
+            # KMV standard error ≈ 1/sqrt(k-2); allow 5σ
+            rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+            assert rel < 5.0 / np.sqrt(mlstats._KMV_K - 2), r
+
+
+def test_kmv_set_ops_invariants(spark, sf_dir, events_pd):
+    row = mlstats.a_kmv_set_ops(spark, sf_dir).collect()[0]
+    a = set(events_pd.loc[events_pd["event_type"] == "click", "user_id"])
+    b = set(events_pd.loc[events_pd["event_type"] == "purchase", "user_id"])
+    assert row["exact_union"] == len(a | b)
+    assert row["exact_intersection"] == len(a & b)
+    assert 0.0 <= row["jaccard_est"] <= 1.0
+    assert row["est_intersection"] <= row["est_union"] + 1e-9
+    if row["k_used"] >= mlstats._KMV_K:
+        rel = abs(row["est_union"] - row["exact_union"]) / row["exact_union"]
+        assert rel < 5.0 / np.sqrt(mlstats._KMV_K - 2)
+
+
+def test_naive_bayes_each_doc_predicted_once(spark, sf_dir):
+    rows = mlstats.ml_naive_bayes_langid(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    per_true = {}
+    for r in rows:
+        per_true[r["lang_true"]] = per_true.get(r["lang_true"], 0) + r["n_docs"]
+    assert per_true == docs.groupby("lang").size().to_dict()
+
+
+def test_naive_bayes_separates_distinct_vocabularies(spark):
+    # the driver corpus's lang label is independent of its shared
+    # vocabulary, so classifier QUALITY is proven on a corpus whose
+    # classes actually have distinct (but overlapping) vocabularies
+    rows = []
+    vocab = {
+        "aa": ["alpha", "beta", "gamma", "delta", "shared"],
+        "bb": ["uno", "dos", "tres", "cuatro", "shared"],
+        "cc": ["eins", "zwei", "drei", "vier", "shared"],
+    }
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(6):
+            text = " ".join(words[(i + j) % 4] for j in range(8)) + " shared"
+            rows.append((i, lang, text))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    out = mlstats.naive_bayes_confusion(docs).collect()
+    total = sum(r["n_docs"] for r in out)
+    correct = sum(r["n_docs"] for r in out if r["lang_true"] == r["lang_pred"])
+    assert total == 18 and correct == 18, out
+
+
+def test_chi2_matches_numpy_formula(spark, sf_dir):
+    import pandas as pd
+
+    rows = mlstats.ml_chi2_features(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n = len(docs)
+    import re
+
+    present = {
+        lang: {}
+        for lang in docs["lang"].unique()
+    }
+    tok_docs = {}
+    for _, row in docs.iterrows():
+        toks = set(re.sub(r"\s+", " ", row["text"].lower()).strip().split(" "))
+        for t in toks:
+            tok_docs.setdefault(t, set()).add(row["doc_id"])
+            present[row["lang"]][t] = present[row["lang"]].get(t, 0) + 1
+    c_tot = docs.groupby("lang").size().to_dict()
+    for r in rows:
+        a = present[r["lang"]].get(r["t"], 0)
+        assert a == r["n_docs_with"]
+        b = len(tok_docs[r["t"]]) - a
+        c = c_tot[r["lang"]] - a
+        d = n - len(tok_docs[r["t"]]) - c_tot[r["lang"]] + a
+        chi2_ref = n * (a * d - b * c) ** 2 / (
+            (a + b) * (c + d) * (a + c) * (b + d)
+        )
+        assert r["chi2"] == pytest.approx(chi2_ref, rel=1e-12)
+        assert 1 <= r["rnk"] <= mlstats._CHI2_TOPK
+
+
+def test_welch_matches_numpy(spark, sf_dir, events_pd):
+    row = mlstats.ml_welch_ttest(spark, sf_dir).collect()[0]
+    a = events_pd.loc[events_pd["event_type"] == "click", "value"].to_numpy()
+    b = events_pd.loc[events_pd["event_type"] == "purchase", "value"].to_numpy()
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert row["mean_a"] == pytest.approx(a.mean(), rel=1e-12)
+    assert row["var_a"] == pytest.approx(a.var(ddof=1), rel=1e-9)
+    se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se2)
+    df_ref = se2**2 / (
+        (a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+        + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row["t_stat"] == pytest.approx(t_ref, rel=1e-9)
+    assert row["welch_df"] == pytest.approx(df_ref, rel=1e-9)

@@ -21,6 +21,7 @@ _MODULES = (
     "mlops",
     "traindata",
     "bpe",
+    "mlstats",
 )
 
 
@@ -117,6 +118,14 @@ _SAMPLE_LAST = frozenset({
     # result-identity with a plain equi-join is the whole claim; the
     # parity sweep + salted_join property test already pin it
     "j_salted_hot_key",
+    # queries/mlstats.py family, added after the round-4 window was
+    # already exactly full (8 repaired + 42 new) — demoted wholesale so
+    # they don't displace the planned slots; they rotate into round 5's
+    # window as never-sampled backlog.  All seven are pinned by the
+    # pytest parity sweep at sf0.01 in the meantime.
+    "ml_feature_scaling", "ml_quantile_bucketize", "ml_ols_regression",
+    "ml_confusion_metrics", "ml_auc_roc", "a_kmv_distinct", "a_kmv_set_ops",
+    "ml_naive_bayes_langid", "ml_chi2_features", "ml_welch_ttest",
 })
 
 
