@@ -165,6 +165,11 @@ _BNLJ_ALLOWED = {
     "ann_recall_eval",        # query sample hard-bounded at 100 rows
     "td_curriculum_order",    # inherits td_unigram_surprisal's 1-row total
     "q6_context_pack",        # inherits BM25's 1-row corpus-stats broadcast
+    "ml_quantile_bucketize",  # 1-row percentile-cutoffs broadcast
+    "ml_naive_bayes_langid",  # C-row class totals × 1-row vocab size/doc total
+    "ml_chi2_features",       # 1-row corpus doc count broadcast
+    "a_kmv_distinct",         # 1-row k-th-hash/exact-count frames
+    "a_kmv_set_ops",          # 1-row sketch × 1-row exact counters
 }
 
 
@@ -240,3 +245,40 @@ def test_gopher_rules_map_only(spark):
 def test_url_extract_map_only(spark):
     df = _build(spark, "f_url_extract")
     assert audit.exchange_count(df) == 0
+
+
+def test_ml_ols_single_shuffle_and_pruning(spark):
+    """The OLS sufficient-statistics pass is ONE keyed aggregation over a
+    3-column scan — the whole claim of the closed-form design."""
+    df = _build(spark, "ml_ols_regression")
+    assert set(audit.read_schema_columns(df)) == {
+        "l_returnflag", "l_quantity", "l_extendedprice",
+    }
+    assert audit.exchange_count(df) == 1
+
+
+def test_ml_auc_windows_are_partitioned(spark):
+    """The AUC prefix sum must never fall back to a global-order window
+    over row-level data: every WindowExec in the plan carries a
+    partition spec (the two-phase pid windows)."""
+    import re
+
+    df = _build(spark, "ml_auc_roc")
+    plan = audit.formatted_plan(df)
+    for m in re.finditer(r"partitionspec=\[\]", plan, flags=re.IGNORECASE):
+        raise AssertionError(f"unpartitioned window in plan: {m.group(0)}")
+    # windowExpression lines list the partition spec before ORDER BY
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            spec = line.lower().split("windowspecdefinition(", 1)[1]
+            assert not spec.startswith(","), f"empty partition spec: {line[:160]}"
+
+
+def test_kmv_min_k_is_hierarchical(spark):
+    """a_kmv_distinct's min-k must run the per-partition pre-prune: two
+    row_number windows (pid-local then global over ≤ k·P rows), with the
+    pid-local one partitioned by (event_type, pid)."""
+    df = _build(spark, "a_kmv_distinct")
+    plan = audit.formatted_plan(df)
+    assert plan.lower().count("row_number") >= 2
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
