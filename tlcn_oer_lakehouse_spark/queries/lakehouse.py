@@ -333,6 +333,70 @@ JOIN part pt ON p.l_partkey = pt.p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# declarative expectations (DLT `EXPECT ... ON VIOLATION` analog)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-rule data-quality metrics from `operators/expectations.py` over
+    a deterministically corrupted orders batch (the synthetic tables are
+    clean, so violations are injected the same way in BOTH engines, like
+    ``pii_scrub`` does): negative totals (quarantine), null priorities
+    (drop), null dates (warn).  Key 9797 = 97·101 violates a drop AND a
+    quarantine rule at sf≥0.01, exercising the excluded-once union math.
+    """
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.operators.expectations import Rule, expect
+
+    k = F.col("o_orderkey")
+    corrupted = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(k % 97 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 101 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        F.when(k % 103 == 0, F.lit(None).cast(dict(load(spark, sf, "orders").dtypes)["o_orderdate"]))
+        .otherwise(F.col("o_orderdate")).alias("o_orderdate"),
+    )
+    result = expect(corrupted, [
+        Rule("price_positive", F.col("o_totalprice") > 0, "quarantine"),
+        Rule("priority_known", F.col("o_orderpriority").isin(*_PRIORITIES), "drop"),
+        Rule("date_present", F.col("o_orderdate").isNotNull(), "warn"),
+    ])
+    return result.metrics
+
+
+DQ_EXPECTATIONS_SQL = f"""
+WITH corrupted AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 103 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate
+  FROM orders
+), f AS (
+  SELECT CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END AS v_price,
+         CASE WHEN NOT COALESCE(o_orderpriority IN {_PRIORITIES!r}, FALSE) THEN 1 ELSE 0 END AS v_prio,
+         CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END AS v_date
+  FROM corrupted
+), a AS (
+  SELECT COUNT(*) AS rows_in,
+         SUM(v_price) AS n_price, SUM(v_prio) AS n_prio, SUM(v_date) AS n_date,
+         SUM(CASE WHEN v_price = 1 OR v_prio = 1 THEN 1 ELSE 0 END) AS excluded
+  FROM f
+)
+SELECT 'price_positive' AS rule, 'quarantine' AS policy, CAST(n_price AS BIGINT) AS n FROM a
+UNION ALL SELECT 'priority_known', 'drop', CAST(n_prio AS BIGINT) FROM a
+UNION ALL SELECT 'date_present', 'warn', CAST(n_date AS BIGINT) FROM a
+UNION ALL SELECT '_rows_in', 'summary', CAST(rows_in AS BIGINT) FROM a
+UNION ALL SELECT '_rows_clean', 'summary', CAST(rows_in - excluded AS BIGINT) FROM a
+UNION ALL SELECT '_rows_quarantined', 'summary', CAST(n_price AS BIGINT) FROM a
+"""
+
+
 SPECS = [
     QuerySpec("silver_normalize", silver_normalize, SILVER_NORMALIZE_SQL,
               ref="transformer.py:479-567 (U1) as pure column expressions",
@@ -353,4 +417,9 @@ SPECS = [
     QuerySpec("gold_bridge_weighted", gold_bridge_weighted, GOLD_BRIDGE_SQL,
               ref="gold_analytics.py:725-774 (bridge_oer_subjects)",
               doc="M:N weighted bridge with RI inner joins", tags=("gold",)),
+    QuerySpec("dq_expectations", dq_expectations, DQ_EXPECTATIONS_SQL,
+              ref="scale op; DLT-style declarative expectations upgrading "
+                  "the reference's imperative DAG gates (validation tasks)",
+              doc="per-rule warn/drop/quarantine DQ metrics in one pass",
+              tags=("lakehouse",)),
 ]
