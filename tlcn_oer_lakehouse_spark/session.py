@@ -55,6 +55,9 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python DataSource scans (sources/pyds.py) feed pushed filters
+        # into manifest file pruning; the gate conf is off by default
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # local mode: keep the UI off and the JVM quiet
         "spark.ui.enabled": "false",
