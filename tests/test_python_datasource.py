@@ -173,3 +173,69 @@ def test_changes_stream_restart_delivers_only_new_commits(spark, tmp_path):
     drain()
     delta = spark.read.parquet(out).count() - n1
     assert delta == 4  # exactly the new commit's insert rows, no replay
+
+
+def _write(df, path, mode):
+    df.write.format("oer_mergetable").option("path", path).mode(mode).save()
+
+
+def test_writer_creates_table_readable_both_ways(spark, tmp_path):
+    path = str(tmp_path / "w")
+    _write(_df(spark, 500), path, "append")
+    assert spark.read.format("oer_mergetable").option("path", path).load().count() == 500
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 500
+
+
+def test_writer_append_adds_rows_and_logs_cdf_inserts(spark, tmp_path):
+    path = str(tmp_path / "wa")
+    _write(_df(spark, 500), path, "append")
+    extra = spark.range(10_000, 10_020).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).cast("double").alias("val"),
+        F.md5(F.col("id").cast("string")).alias("record_fingerprint"),
+    )
+    _write(extra, path, "append")
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 520
+    # the append commit's change log carries exactly the new rows
+    head = t._all_version_nums()[-1]
+    feed = t.read_changes(head - 1, head)
+    assert feed.count() == 20
+    assert {r["_change_type"] for r in feed.select("_change_type").distinct().collect()} == {"insert"}
+    # and the streaming CDF source sees them too
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (spark.readStream.format("oer_mergetable_changes")
+         .option("path", path).option("since_version", head - 1).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_writer_overwrite_keeps_time_travel(spark, tmp_path):
+    path = str(tmp_path / "wo")
+    _write(_df(spark, 300), path, "append")
+    _write(_df(spark, 50), path, "overwrite")
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 50
+    assert t.read_version(t.versions()[0]).count() == 300
+
+
+def test_writer_append_schema_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "wm")
+    _write(_df(spark, 100), path, "append")
+    bad = spark.range(5).select(F.col("id"), F.lit("x").alias("surprise"))
+    with pytest.raises(Exception, match="does not match"):
+        _write(bad, path, "append")
+    # failed commit must not have advanced the table
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 100
+
+
+def test_writer_append_rejects_hive_partitioned_tables(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "wp"), key="id",
+                          partition_by=("grp",))
+    t.create(_df(spark, 100))
+    with pytest.raises(Exception, match="hive-partitioned"):
+        _write(_df(spark, 10), t.path, "append")

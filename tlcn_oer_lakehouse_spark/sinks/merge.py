@@ -55,6 +55,42 @@ from tlcn_oer_lakehouse_spark.sinks.manifest import (
 )
 
 
+def version_dir(path: str, n: int) -> str:
+    return f"{path}__v{n:06d}"
+
+
+def all_version_nums(path: str) -> list[int]:
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path) + "__v"
+    if not os.path.isdir(parent):
+        return []
+    out = []
+    for name in os.listdir(parent):
+        if name.startswith(base) and name[len(base):].isdigit():
+            out.append(int(name[len(base):]))
+    return sorted(out)
+
+
+def publish_snapshot(path: str, staging: str) -> str:
+    """Rename ``staging`` to ``path``'s next immutable version dir and
+    swap the head symlink to it (one atomic ``os.replace``).  Module-level
+    so non-Spark writers — the Python DataSource writer in
+    :mod:`sources.pyds` — publish through the exact same commit protocol
+    as :class:`ParquetMergeTable`."""
+    # one-time migration of a legacy plain-dir head to a version dir
+    if os.path.isdir(path) and not os.path.islink(path):
+        nums = all_version_nums(path)
+        os.rename(path, version_dir(path, nums[-1] + 1 if nums else 0))
+    nums = all_version_nums(path)
+    next_v = (nums[-1] + 1) if nums else 0
+    vdir = version_dir(path, next_v)
+    os.rename(staging, vdir)
+    tmp_link = f"{path}__ln_{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(vdir), tmp_link)
+    os.replace(tmp_link, path)  # atomic head swap
+    return vdir
+
+
 class ParquetMergeTable:
     TOMBSTONE_DIR = "_tombstones"  # _-prefix: invisible to Spark's file listing
     CHANGES_DIR = "_changes"  # per-commit change log (Delta CDF analog)
@@ -173,18 +209,10 @@ class ParquetMergeTable:
     # -- writes -----------------------------------------------------------
 
     def _version_dir(self, n: int) -> str:
-        return f"{self.path}__v{n:06d}"
+        return version_dir(self.path, n)
 
     def _all_version_nums(self) -> list[int]:
-        parent = os.path.dirname(self.path) or "."
-        base = os.path.basename(self.path) + "__v"
-        if not os.path.isdir(parent):
-            return []
-        out = []
-        for name in os.listdir(parent):
-            if name.startswith(base) and name[len(base):].isdigit():
-                out.append(int(name[len(base):]))
-        return sorted(out)
+        return all_version_nums(self.path)
 
     def _head_version(self) -> int | None:
         """Version number the head symlink currently points at."""
@@ -253,20 +281,7 @@ class ParquetMergeTable:
         self._publish(staging)
 
     def _publish(self, staging: str) -> str:
-        """Rename ``staging`` to the next immutable version dir and swap
-        the head symlink to it (one atomic ``os.replace``)."""
-        # one-time migration of a legacy plain-dir head to a version dir
-        if os.path.isdir(self.path) and not os.path.islink(self.path):
-            nums = self._all_version_nums()
-            os.rename(self.path, self._version_dir(nums[-1] + 1 if nums else 0))
-        nums = self._all_version_nums()
-        next_v = (nums[-1] + 1) if nums else 0
-        vdir = self._version_dir(next_v)
-        os.rename(staging, vdir)
-        tmp_link = f"{self.path}__ln_{uuid.uuid4().hex[:8]}"
-        os.symlink(os.path.basename(vdir), tmp_link)
-        os.replace(tmp_link, self.path)  # atomic head swap
-        return vdir
+        return publish_snapshot(self.path, staging)
 
     # -- time travel -------------------------------------------------------
 

@@ -53,6 +53,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -62,6 +63,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -220,11 +222,150 @@ class _MergeTableReader(DataSourceReader):
         yield from table.select(keep).to_batches()
 
 
+# ---------------------------------------------------------------------------
+# write path: df.write.format("oer_mergetable")
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    columns: tuple
+
+
+class _MergeTableWriter(DataSourceArrowWriter):
+    """Append/overwrite writer publishing through the table's own commit
+    protocol (``sinks/merge.py:publish_snapshot``) — staging dir, footer
+    manifest, version dir, atomic head-symlink swap.
+
+    Each TASK streams its Arrow batches into one parquet file in staging,
+    and — on append — dual-writes the same batches into the commit's
+    ``_changes/`` log tagged ``_change_type='insert'``, so CDF consumers
+    (``read_changes``, the streaming source above) see appended rows with
+    no driver-side data movement.  Overwrite commits log no changes, the
+    same physical-only semantics as ``ParquetMergeTable.create``.
+
+    commit() is driver-side METADATA work only: hardlink the previous
+    snapshot's data files into staging (append), verify schema agreement
+    from footers, write the manifest, publish.  This writer is the plain
+    CTAS/append surface (reference K3/K8 sinks); keyed MERGE stays on
+    ``ParquetMergeTable.merge_upsert``.  Appending to a hive-partitioned
+    or tombstone-carrying snapshot raises — those layouts need the
+    table-class writers."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
+        if "path" not in options:
+            raise ValueError("oer_mergetable write requires .option('path', ...)")
+        self._path = options["path"]
+        self._overwrite = overwrite
+        self._staging = f"{self._path}__staging_py_{uuid.uuid4().hex[:8]}"
+        os.makedirs(self._staging, exist_ok=True)
+        if not overwrite:
+            os.makedirs(os.path.join(self._staging, "_changes"), exist_ok=True)
+
+    # -- executors --------------------------------------------------------
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        writer = None
+        changes_writer = None
+        columns: tuple = ()
+        for batch in iterator:
+            if writer is None:
+                columns = tuple(batch.schema.names)
+                writer = pq.ParquetWriter(
+                    os.path.join(self._staging, name), batch.schema
+                )
+                if not self._overwrite:
+                    ch_schema = batch.schema.append(
+                        pa.field("_change_type", pa.string())
+                    )
+                    changes_writer = pq.ParquetWriter(
+                        os.path.join(self._staging, "_changes", name), ch_schema
+                    )
+            writer.write_batch(batch)
+            if changes_writer is not None:
+                tagged = pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [pa.array(["insert"] * batch.num_rows, type=pa.string())],
+                    schema=changes_writer.schema,
+                )
+                changes_writer.write_batch(tagged)
+        for w in (writer, changes_writer):
+            if w is not None:
+                w.close()
+        if writer is None:  # empty task partition
+            return _FileCommit(filename="", columns=())
+        return _FileCommit(filename=name, columns=columns)
+
+    # -- driver -----------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        from tlcn_oer_lakehouse_spark.sinks.manifest import write_manifest
+        from tlcn_oer_lakehouse_spark.sinks.merge import publish_snapshot
+
+        written = [m for m in messages if m is not None and m.filename]
+        col_sets = {m.columns for m in written}
+        if len(col_sets) > 1:
+            raise ValueError(f"tasks wrote divergent schemas: {col_sets}")
+        head_exists = os.path.isdir(os.path.realpath(self._path)) and os.path.exists(
+            self._path
+        )
+        if not self._overwrite and head_exists:
+            snap = os.path.realpath(self._path)
+            if os.path.isdir(os.path.join(snap, "_tombstones")):
+                raise ValueError(
+                    "append to a snapshot with MOR tombstones is not "
+                    "supported by the python writer — compact first"
+                )
+            old_files = _walk_data_files(snap)
+            for f in old_files:
+                rel = os.path.relpath(f, snap)
+                if os.sep in rel:
+                    raise ValueError(
+                        "append to a hive-partitioned snapshot is not "
+                        "supported by the python writer"
+                    )
+            if old_files and written:
+                import pyarrow.parquet as pq
+
+                old_cols = tuple(pq.read_schema(old_files[0]).names)
+                if set(old_cols) != set(written[0].columns):
+                    raise ValueError(
+                        f"append schema {written[0].columns} does not match "
+                        f"table schema {old_cols}"
+                    )
+            for f in old_files:
+                os.link(f, os.path.join(self._staging, os.path.basename(f)))
+        if self._overwrite:
+            # physical-only commit — same CDF semantics as create()
+            ch = os.path.join(self._staging, "_changes")
+            if os.path.isdir(ch):
+                shutil.rmtree(ch)
+        write_manifest(self._staging)
+        publish_snapshot(self._path, self._staging)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
 class MergeTableDataSource(DataSource):
     """``spark.read.format("oer_mergetable")`` — options: ``path``
     (required), ``version`` (time travel), ``key`` (merge key, required
     when the snapshot carries MOR tombstones), ``hidden`` (comma list of
-    hidden partition-transform columns to strip)."""
+    hidden partition-transform columns to strip).  Writable with
+    ``df.write.format("oer_mergetable").mode("append"|"overwrite")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -235,6 +376,9 @@ class MergeTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _MergeTableReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _MergeTableWriter(dict(self.options), overwrite)
 
 
 # ---------------------------------------------------------------------------
