@@ -562,3 +562,58 @@ def test_streaming_hll_equals_batch_registers(spark, tmp_path):
         (r.idx, r.r) for r in hll_merged_registers(spark, regs_dir).collect()
     )
     assert stream_regs == batch_regs
+
+
+def test_expectations_ingest_streams_dq_gates(spark, tmp_path):
+    """Streaming twin of dq_expectations: micro-batches pass the same
+    warn/drop/quarantine split; clean rows MERGE, quarantine + metrics
+    accumulate per batch, and the rollup survives replays."""
+    from tlcn_oer_lakehouse_spark.operators.expectations import Rule
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        dq_metrics_rollup,
+        expectations_ingest,
+        landing_stream,
+    )
+
+    schema = "id long, price double, status string, record_fingerprint string"
+    landing = str(tmp_path / "landing")
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{landing}/{name}"
+        )
+
+    def rules():
+        return [
+            Rule("price_positive", F.col("price") > 0, "quarantine"),
+            Rule("status_known", F.col("status").isin("ok"), "drop"),
+        ]
+
+    table = ParquetMergeTable(spark, str(tmp_path / "clean"), key="id")
+    qdir, mdir, ckpt = (str(tmp_path / d) for d in ("q", "m", "ckpt"))
+
+    def run():
+        q = expectations_ingest(
+            landing_stream(spark, f"{landing}/*", _parse(schema)),
+            rules(), table, qdir, mdir, ckpt,
+        )
+        q.awaitTermination(120)
+
+    land([(1, 10.0, "ok", "f1"), (2, -5.0, "ok", "f2"), (3, 7.0, None, "f3")], "b1")
+    run()
+    assert sorted(r.id for r in table.read().collect()) == [1]
+    quar = spark.read.parquet(qdir)
+    assert [r.id for r in quar.collect()] == [2]
+    roll = {r.rule: r.n_total for r in dq_metrics_rollup(spark, mdir).collect()}
+    assert roll["price_positive"] == 1 and roll["status_known"] == 1
+    assert roll["_rows_clean"] == 1
+
+    # second batch accumulates; metrics roll up across batches
+    land([(4, 1.0, "ok", "f4"), (5, -2.0, "bad", "f5")], "b2")
+    run()
+    assert sorted(r.id for r in table.read().collect()) == [1, 4]
+    assert spark.read.parquet(qdir).count() == 2  # id 5 joins quarantine
+    roll2 = {r.rule: r.n_total for r in dq_metrics_rollup(spark, mdir).collect()}
+    assert roll2["price_positive"] == 2
+    assert roll2["status_known"] == 2
+    assert roll2["_rows_in"] == 5 and roll2["_rows_clean"] == 2

@@ -525,3 +525,66 @@ def changes_stream(table: ParquetMergeTable) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def expectations_ingest(
+    stream_df: DataFrame,
+    rules: list,
+    clean_table: ParquetMergeTable,
+    quarantine_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of the declarative expectations operator
+    (`operators/expectations.py`, registered batch query
+    `dq_expectations`): every micro-batch is split by the SAME
+    warn/drop/quarantine rule evaluation, then
+
+    - clean rows MERGE into ``clean_table`` (replay-safe: the sink's
+      fingerprint change detection makes re-delivered batches no-ops),
+    - quarantined rows append under ``quarantine_dir`` with the violated
+      rule names and the batch id (append of a deterministic batch split
+      — a replay re-appends the same rows, deduped downstream on
+      ``_batch_id`` like the CMS sketch partials),
+    - per-rule metrics append one micro-batch's counter rows under
+      ``metrics_dir`` keyed by batch id, so the DQ dashboard is
+      ``groupBy(rule).sum(n)`` over the directory and replays collapse
+      via ``dropDuplicates(["rule", "_batch_id"])``.
+
+    This is the DLT pattern end-to-end: declarative rules, quarantine
+    table, continuously accumulating quality metrics — per-trigger cost
+    is one map-only pass over the batch plus the tiny counter agg."""
+    from tlcn_oer_lakehouse_spark.operators.expectations import expect
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = expect(batch_df, rules)
+        clean_table.merge_upsert(res.clean)
+        res.quarantined.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(quarantine_dir)
+        res.metrics.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(metrics_dir)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dq_metrics_rollup(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """Accumulated per-rule violation counts across all micro-batches,
+    replay-deduped on (rule, _batch_id) before summing."""
+    return (
+        spark.read.parquet(metrics_dir)
+        .dropDuplicates(["rule", "_batch_id"])
+        .groupBy("rule", "policy")
+        .agg(F.sum("n").alias("n_total"))
+    )
