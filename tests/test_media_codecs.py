@@ -646,3 +646,55 @@ class TestAviCodec:
             assert (meta["width"], meta["height"]) == (wb * 8, hb * 8)
 
         run()
+
+
+class TestWavQuadrature:
+    """Integer-exact spectral bins: pure tones at the three representable
+    frequencies land all their energy in their own bin."""
+
+    def _features(self, spark, samples):
+        import numpy as np
+
+        from tlcn_oer_lakehouse_spark.functions.wavio import write_wav
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            wav_quadrature_features,
+        )
+
+        payload = write_wav(np.asarray(samples, dtype="<i2"), 8000)
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id long, payload binary")
+        rows = wav_quadrature_features(df, window_samples=256).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_dc_tone(self, spark):
+        r = self._features(spark, [100] * 256)
+        assert (r.p_dc, r.p_nyquist, r.p_quadrature) == ((100 * 256) ** 2, 0, 0)
+
+    def test_nyquist_tone(self, spark):
+        r = self._features(spark, [100, -100] * 128)
+        assert (r.p_dc, r.p_nyquist, r.p_quadrature) == (0, (100 * 256) ** 2, 0)
+
+    def test_quadrature_tone(self, spark):
+        r = self._features(spark, [100, 0, -100, 0] * 64)
+        assert (r.p_dc, r.p_nyquist, r.p_quadrature) == (0, 0, (100 * 128) ** 2)
+
+    def test_parseval_mix(self, spark):
+        # a mix of all three tones separates exactly (orthogonal basis)
+        sig = [40 + 30 * (1 if i % 2 == 0 else -1)
+               + 20 * (1 if i % 4 == 0 else (-1 if i % 4 == 2 else 0))
+               for i in range(256)]
+        r = self._features(spark, sig)
+        assert r.p_dc == (40 * 256) ** 2
+        assert r.p_nyquist == (30 * 256) ** 2
+        assert r.p_quadrature == (20 * 128) ** 2
+
+    def test_garbage_payload_isolated(self, spark):
+        df = spark.createDataFrame([(9, bytearray(b"not a wav"))],
+                                   "doc_id long, payload binary")
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            wav_quadrature_features,
+        )
+
+        rows = wav_quadrature_features(df).collect()
+        assert rows[0].window_no == -1 and rows[0].p_dc == -1

@@ -281,6 +281,76 @@ def wav_window_energy(
     )
 
 
+def wav_quadrature_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 256,
+) -> DataFrame:
+    """Per-window SPECTRAL energy at the three integer-exact DFT bins —
+    DC, Nyquist (fs/2) and quadrature (fs/4) — over real decoded PCM.
+
+    At these frequencies the DFT basis is ±1/0-valued (cos/sin of
+    multiples of π/2), so the bin powers are pure integer arithmetic:
+
+        P_dc   = (Σ x_i)²
+        P_nyq  = (Σ x_i·(-1)^i)²
+        P_quad = (Σ x_i·c_i)² + (Σ x_i·s_i)²,  c=[1,0,-1,0…], s=[0,1,0,-1…]
+
+    No transcendental evaluation anywhere — the same trick that makes the
+    surprisal and NB operators engine-exact — so a SQL oracle replays the
+    spectrum bit-for-bit (general-bin FFT features would be numpy-only
+    and rows-only-checkable).  This is the Goertzel filter bank a VAD /
+    tone-detection stage uses, restricted to its exactly-representable
+    frequencies.  Fan-out is in-task like wav_window_energy."""
+    from tlcn_oer_lakehouse_spark.functions.wavio import read_wav
+
+    def _quad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: list[dict] = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                try:
+                    samples, _sr, _ch = read_wav(bytes(payload))
+                    s64 = samples.astype("int64")
+                    for k in range(0, max(1, -(-s64.size // window_samples))):
+                        seg = s64[k * window_samples : (k + 1) * window_samples]
+                        if seg.size == 0:
+                            continue
+                        i = np.arange(seg.size, dtype=np.int64)
+                        sign = 1 - 2 * (i & 1)          # (-1)^i
+                        cosq = ((i % 4 == 0).astype(np.int64)
+                                - (i % 4 == 2).astype(np.int64))
+                        sinq = ((i % 4 == 1).astype(np.int64)
+                                - (i % 4 == 3).astype(np.int64))
+                        s_dc = int(seg.sum())
+                        s_ny = int((seg * sign).sum())
+                        s_c = int((seg * cosq).sum())
+                        s_s = int((seg * sinq).sum())
+                        rows.append({
+                            id_col: int(doc_id), "window_no": k,
+                            "n_samples": int(seg.size),
+                            "p_dc": s_dc * s_dc,
+                            "p_nyquist": s_ny * s_ny,
+                            "p_quadrature": s_c * s_c + s_s * s_s,
+                        })
+                except Exception:  # noqa: BLE001 — per-asset isolation
+                    rows.append({id_col: int(doc_id), "window_no": -1,
+                                 "n_samples": -1, "p_dc": -1,
+                                 "p_nyquist": -1, "p_quadrature": -1})
+            yield pd.DataFrame(
+                rows, columns=[id_col, "window_no", "n_samples",
+                               "p_dc", "p_nyquist", "p_quadrature"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _quad,
+        schema=(
+            f"{id_col} long, window_no int, n_samples long, p_dc long, "
+            "p_nyquist long, p_quadrature long"
+        ),
+    )
+
+
 def image_features(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -399,6 +399,65 @@ def mm_wav_windows(spark: SparkSession, sf: str) -> DataFrame:
     return wav_window_energy(wavs, window_samples=256)
 
 
+def mm_wav_quadrature(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL spectral features on decoded PCM: per-window DFT bin powers
+    at DC / fs/4 / fs/2, where the basis is ±1/0-valued so the whole
+    spectrum is integer arithmetic (operators/multimodal.py:
+    wav_quadrature_features) — the engine-exact slice of a Goertzel
+    filter bank.  Same closed-form waveform as mm_wav_decode; the oracle
+    replays waveform, windowing, and all three bins."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.wavio import write_wav
+    from tlcn_oer_lakehouse_spark.operators.multimodal import (
+        wav_quadrature_features,
+    )
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                sr = 8000 + (d % 3) * 4000
+                n = 200 + (d % 57) * 10
+                i = np.arange(n, dtype=np.int64)
+                smp = ((d * 31 + i * 7) % 2001 - 1000).astype("<i2")
+                payloads.append(write_wav(smp, sr))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    wavs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return wav_quadrature_features(wavs, window_samples=256)
+
+
+MM_WAV_QUADRATURE_SQL = """
+WITH p AS (
+  SELECT doc_id, 200 + (doc_id % 57) * 10 AS n FROM documents
+),
+v AS (
+  SELECT doc_id, i // 256 AS window_no, i % 256 AS j,
+         ((doc_id * 31 + i * 7) % 2001) - 1000 AS smp
+  FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM p)
+),
+a AS (
+  SELECT doc_id, window_no, COUNT(*) AS n_samples,
+         SUM(smp) AS s_dc,
+         SUM(smp * (1 - 2 * (j % 2))) AS s_ny,
+         SUM(smp * (CASE j % 4 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END)) AS s_c,
+         SUM(smp * (CASE j % 4 WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END)) AS s_s
+  FROM v GROUP BY doc_id, window_no
+)
+SELECT doc_id,
+       CAST(window_no AS INT) AS window_no,
+       n_samples,
+       CAST(s_dc * s_dc AS BIGINT) AS p_dc,
+       CAST(s_ny * s_ny AS BIGINT) AS p_nyquist,
+       CAST(s_c * s_c + s_s * s_s AS BIGINT) AS p_quadrature
+FROM a
+"""
+
+
 MM_WAV_WINDOWS_SQL = """
 WITH p AS (
   SELECT doc_id, 200 + (doc_id % 57) * 10 AS n FROM documents
@@ -791,5 +850,10 @@ SPECS = [
     QuerySpec("mm_wav_windows", mm_wav_windows, MM_WAV_WINDOWS_SQL,
               ref="scale op: audio frame windowing (1→N on real decoded PCM)",
               doc="256-sample window energies from chunk-walked WAV decode",
+              tags=("multimodal", "audio")),
+    QuerySpec("mm_wav_quadrature", mm_wav_quadrature, MM_WAV_QUADRATURE_SQL,
+              ref="scale op: integer-exact spectral bins (DC/fs4/fs2 "
+                  "Goertzel slice) on real decoded PCM windows",
+              doc="per-window DFT bin powers, all-integer, oracle-replayed",
               tags=("multimodal", "audio")),
 ]
