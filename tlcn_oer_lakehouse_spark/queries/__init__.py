@@ -126,7 +126,7 @@ _SAMPLE_LAST = frozenset({
     "ml_feature_scaling", "ml_quantile_bucketize", "ml_ols_regression",
     "ml_confusion_metrics", "ml_auc_roc", "a_kmv_distinct", "a_kmv_set_ops",
     "ml_naive_bayes_langid", "ml_chi2_features", "ml_welch_ttest",
-    "dq_expectations", "mm_wav_quadrature",
+    "dq_expectations", "mm_wav_quadrature", "ivm_incremental_aggregate",
 })
 
 

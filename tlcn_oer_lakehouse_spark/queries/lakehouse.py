@@ -397,6 +397,93 @@ UNION ALL SELECT '_rows_quarantined', 'summary', CAST(n_price AS BIGINT) FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental view maintenance from a change feed
+# ---------------------------------------------------------------------------
+
+
+def ivm_incremental_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a grouped aggregate from a CDF-shaped
+    change batch — the registry-visible twin of the pytest-pinned
+    ``ParquetMergeTable.read_changes`` fold (test_cdf.py: IVM ≡ full
+    recompute).  A base orders table takes one commit of mixed changes
+    (inserts: keys ≡0 mod 6; updates: even keys with a real price change,
+    i.e. ≡0 mod 4; deletes: keys ≡0 mod 11 among the odd keys), and the
+    per-status (count, sum) view is updated by folding ONLY the signed
+    change rows — O(changes), never a base rescan.
+
+    The oracle recomputes the post-commit aggregate DIRECTLY from the
+    merged state: a hash match proves the incremental fold is exactly
+    equivalent to full recomputation, which is the IVM correctness
+    property itself."""
+    base_all = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    k = F.col("o_orderkey")
+    base = base_all.filter(k % 3 != 0)
+    # change feed for one commit, derived deterministically:
+    inserts = base_all.filter((k % 6 == 0)).select(
+        "o_orderstatus", "price", F.lit("insert").alias("_change_type")
+    )
+    updates_post = base.filter((k % 2 == 0) & (k % 4 == 0)).select(
+        "o_orderstatus", (F.col("price") + F.lit(10.00).cast("decimal(18,2)")).alias("price"),
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    updates_pre = base.filter((k % 2 == 0) & (k % 4 == 0)).select(
+        "o_orderstatus", "price", F.lit("update_preimage").alias("_change_type")
+    )
+    deletes = base.filter((k % 11 == 0) & (k % 2 != 0)).select(
+        "o_orderstatus", "price", F.lit("delete").alias("_change_type")
+    )
+    changes = inserts.unionByName(updates_post).unionByName(updates_pre).unionByName(deletes)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    old_view = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").alias("sum_price"),
+    )
+    delta = changes.groupBy("o_orderstatus").agg(
+        F.sum(sign).alias("d_n"),
+        F.sum(F.col("price") * sign.cast("decimal(18,2)")).alias("d_sum"),
+    )
+    return (
+        old_view.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce(F.col("n_orders"), F.lit(0))
+             + F.coalesce(F.col("d_n"), F.lit(0))).alias("n_orders"),
+            (F.coalesce(F.col("sum_price"), F.lit(0).cast("decimal(18,2)"))
+             + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,2)")))
+            .cast("double").alias("sum_totalprice"),
+        )
+    )
+
+
+IVM_SQL = """
+WITH base_all AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+base AS (SELECT * FROM base_all WHERE o_orderkey % 3 != 0),
+merged AS (
+  -- survivors: not deleted, not the pre-update image
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 = 0
+              THEN price + CAST(10.00 AS DECIMAL(18,2)) ELSE price END AS price
+  FROM base
+  WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 2 != 0)
+  UNION ALL
+  SELECT o_orderstatus, price FROM base_all WHERE o_orderkey % 6 = 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS sum_totalprice
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
 SPECS = [
     QuerySpec("silver_normalize", silver_normalize, SILVER_NORMALIZE_SQL,
               ref="transformer.py:479-567 (U1) as pure column expressions",
@@ -417,6 +504,12 @@ SPECS = [
     QuerySpec("gold_bridge_weighted", gold_bridge_weighted, GOLD_BRIDGE_SQL,
               ref="gold_analytics.py:725-774 (bridge_oer_subjects)",
               doc="M:N weighted bridge with RI inner joins", tags=("gold",)),
+    QuerySpec("ivm_incremental_aggregate", ivm_incremental_aggregate, IVM_SQL,
+              ref="scale op; CDF-fold view maintenance (Delta CDF / "
+                  "Iceberg changelog consumer pattern) — O(changes) "
+                  "refresh, oracle proves ≡ full recompute",
+              doc="grouped aggregate maintained by folding signed change rows",
+              tags=("lakehouse",)),
     QuerySpec("dq_expectations", dq_expectations, DQ_EXPECTATIONS_SQL,
               ref="scale op; DLT-style declarative expectations upgrading "
                   "the reference's imperative DAG gates (validation tasks)",
