@@ -225,3 +225,48 @@ def triangle_counts(
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    src_col: str = "u",
+    dst_col: str = "v",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, core_degree) for the k-core of an undirected pair graph —
+    the maximal subgraph where every node keeps degree ≥ k — via
+    iterative peeling: drop all nodes with current degree < k, restrict
+    the edge set to survivors, repeat until the surviving-node count is
+    stable.  O(diameter-ish) rounds; each round is one degree aggregate
+    plus two semi-join edge restrictions, with a per-round
+    ``localCheckpoint`` for the same plan-depth reason documented in
+    :func:`connected_components`.  The fixpoint is unique (the k-core is
+    well-defined), so ANY peeling order — including an oracle that
+    unrolls more rounds than needed — converges to the identical node
+    set and degrees, which is what makes the operator SQL-replayable.
+    """
+    p = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).distinct()
+    edges = (
+        p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    prev_nodes = -1
+    deg = None
+    for _ in range(max_rounds):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k).select("u")
+        n = keep.count()
+        if n == prev_nodes:
+            break
+        prev_nodes = n
+        keep_v = keep.select(F.col("u").alias("v"))
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep_v, "v", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        deg.filter(F.col("core_degree") >= k)
+        .select(F.col("u").alias("node"), "core_degree")
+    )

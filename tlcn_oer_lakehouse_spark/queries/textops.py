@@ -460,6 +460,145 @@ def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(pairs).orderBy("node")
 
 
+_KCORE_K = 75
+_KCORE_ROUNDS = 8  # ≥ measured convergence (5 rounds at sf0.01, 4 at sf0.001)
+
+
+def g_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition (k=75) of the co-purchase graph via
+    iterative peeling (operators/components.py:k_core).  At sf0.001 the
+    cascade collapses the whole graph (empty core — itself a meaningful
+    fixpoint); at sf0.01 it stabilizes at ~1938 of 2000 nodes after 5
+    rounds.  The oracle unrolls 8 peeling rounds; because the k-core
+    fixpoint is unique and peeling is idempotent at the fixpoint, extra
+    unrolled rounds are no-ops and Spark's converge-then-stop loop
+    yields the identical node set and degrees."""
+    from tlcn_oer_lakehouse_spark.operators.components import k_core
+
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    return k_core(pairs, _KCORE_K).orderBy("node")
+
+
+def _kcore_oracle() -> str:
+    # every CTE is MATERIALIZED: each peeling round references the
+    # previous round's edge set twice (endpoint restriction), so
+    # inlined CTEs would re-evaluate the whole chain exponentially —
+    # and re-open the parquet scan at every leaf
+    sql = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+e0 AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)"""
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+n{i} AS MATERIALIZED (SELECT u AS node FROM {prev} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}),
+e{i} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e
+         JOIN n{i} a ON e.u = a.node JOIN n{i} b ON e.v = b.node)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT u AS node, COUNT(*) AS core_degree
+FROM {prev} GROUP BY u HAVING COUNT(*) >= {_KCORE_K} ORDER BY node"""
+    return sql
+
+
+def g_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    graph: per community c, Q_c = e_c/m − (d_c/2m)² (intra-edge fraction
+    minus the degree-null-model expectation).  The partition-quality
+    metric every community-detection loop optimizes, computed here as
+    three integer aggregates (m, e_c, d_c) + one per-row double formula
+    written identically in both engines.  Plan: the pair list joins the
+    broadcast part dim twice (brand lookup), then two partial-agg
+    groupBys — linear, skew-bounded by the ≤21-pairs-per-order explode."""
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    brand = load(spark, sf, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    pb = (
+        pairs.join(F.broadcast(brand.withColumnRenamed("p_partkey", "u")
+                               .withColumnRenamed("p_brand", "brand_u")), "u")
+        .join(F.broadcast(brand.withColumnRenamed("p_partkey", "v")
+                          .withColumnRenamed("p_brand", "brand_v")), "v")
+        .persist()
+    )
+    m_total = pb.agg(F.count(F.lit(1)).alias("m"))
+    edges_sym = pb.select(F.col("brand_u").alias("brand")).unionByName(
+        pb.select(F.col("brand_v").alias("brand"))
+    )
+    d_c = edges_sym.groupBy("brand").agg(F.count(F.lit(1)).alias("degree_sum"))
+    e_c = (
+        pb.filter(F.col("brand_u") == F.col("brand_v"))
+        .groupBy(F.col("brand_u").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    return (
+        d_c.join(e_c, "brand", "left")
+        .crossJoin(F.broadcast(m_total))
+        .select(
+            "brand",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+            (F.coalesce(F.col("intra_edges"), F.lit(0)).cast("double") / F.col("m")
+             - (F.col("degree_sum").cast("double") / (F.lit(2) * F.col("m")))
+             * (F.col("degree_sum").cast("double") / (F.lit(2) * F.col("m")))
+             ).alias("q_contrib"),
+        )
+    )
+
+
+MODULARITY_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+pb AS (
+  SELECT p.u, p.v, bu.p_brand AS brand_u, bv.p_brand AS brand_v
+  FROM pairs p
+  JOIN part bu ON p.u = bu.p_partkey
+  JOIN part bv ON p.v = bv.p_partkey
+),
+m_total AS (SELECT COUNT(*) AS m FROM pb),
+d_c AS (
+  SELECT brand, COUNT(*) AS degree_sum
+  FROM (SELECT brand_u AS brand FROM pb UNION ALL SELECT brand_v FROM pb)
+  GROUP BY brand
+),
+e_c AS (
+  SELECT brand_u AS brand, COUNT(*) AS intra_edges
+  FROM pb WHERE brand_u = brand_v GROUP BY brand_u
+)
+SELECT d_c.brand,
+       COALESCE(e_c.intra_edges, 0) AS intra_edges,
+       d_c.degree_sum,
+       CAST(COALESCE(e_c.intra_edges, 0) AS DOUBLE) / m
+         - (CAST(d_c.degree_sum AS DOUBLE) / (2 * m))
+         * (CAST(d_c.degree_sum AS DOUBLE) / (2 * m)) AS q_contrib
+FROM d_c LEFT JOIN e_c ON d_c.brand = e_c.brand CROSS JOIN m_total
+"""
+
+
 TRIANGLE_SQL = """
 WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
 pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
@@ -604,6 +743,16 @@ SPECS = [
               ref="scale op: degree-ordered triangle counting "
                   "(Suri & Vassilvitskii WWW'11) — O(m^1.5) skew-proof wedges",
               doc="per-node triangles on the order co-purchase graph",
+              tags=("graph",)),
+    QuerySpec("g_kcore", g_kcore, _kcore_oracle(),
+              ref="scale op: k-core decomposition by iterative peeling; "
+                  "unique-fixpoint property makes the unrolled oracle exact",
+              doc="k=75 core of the co-purchase graph, per-node core degree",
+              tags=("graph",)),
+    QuerySpec("g_modularity", g_modularity, MODULARITY_SQL,
+              ref="scale op: Newman modularity of the brand partition — the "
+                  "community-quality objective, three integer aggregates",
+              doc="per-community modularity contributions Q_c",
               tags=("graph",)),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(),
               ref="scale op; 32-bit simhash, hamming<=6",
