@@ -406,3 +406,37 @@ def test_pagerank_is_a_distribution(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-6
     assert rows[1] > rows[2] == rows[3] == rows[4]
     assert rows[5] == rows[6]
+
+
+def test_last_touch_attribution_semantics(spark, monkeypatch, tmp_path):
+    """Fixture pin for w12: equal-ts touch wins, purchases without a
+    preceding touch are 'direct', latest touch (not first) gets credit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array([1_000_000, 2_000_000, 2_000_000, 500_000, 3_000_000],
+                  type=pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase", "purchase", "purchase"]),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    from tlcn_oer_lakehouse_spark.queries.windows import w12_attribution_last_touch
+
+    rows = {r.attributed_type: r for r in
+            w12_attribution_last_touch(spark, str(d)).collect()}
+    # user 1: purchase at t=2s ties with the click at t=2s -> click wins
+    # (equal-ts touch sorts before the purchase); view at 1s is older
+    assert rows["click"].n_purchases == 1
+    assert rows["click"].avg_gap_sec == 0.0
+    # user 2: both purchases precede/lack any touch -> direct, null gap
+    assert rows["direct"].n_purchases == 2
+    assert rows["direct"].avg_gap_sec is None
+    assert "view" not in rows

@@ -127,7 +127,8 @@ _SAMPLE_LAST = frozenset({
     "ml_confusion_metrics", "ml_auc_roc", "a_kmv_distinct", "a_kmv_set_ops",
     "ml_naive_bayes_langid", "ml_chi2_features", "ml_welch_ttest",
     "dq_expectations", "mm_wav_quadrature", "ivm_incremental_aggregate",
-    "g_kcore", "g_modularity",
+    "g_kcore", "g_modularity", "w12_attribution_last_touch",
+    "w13_conversion_time_quantiles",
 })
 
 

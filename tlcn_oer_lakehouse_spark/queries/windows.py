@@ -16,7 +16,7 @@ bounded watermark state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load, load_events
@@ -858,6 +858,130 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# last-touch marketing attribution
+# ---------------------------------------------------------------------------
+
+
+def w12_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's latest strictly-preceding touch event (click or view), or
+    'direct' when none precedes.  The scale-correct as-of shape — ONE
+    user-keyed window over the touch∪purchase union with an
+    ignore-nulls last() — never a touches×purchases per-user join whose
+    fan-out explodes on hot users.  Equal-timestamp touches sort before
+    the purchase (is_purchase tie-break) and event_id totalizes the
+    order, so the attribution is deterministic and oracle-replayable.
+    Output: per attributed type, purchase count and mean touch→purchase
+    gap (decimal-exact ns sum → one rounded division)."""
+    ev = load_events(spark, sf).select("event_id", "user_id", "event_type", "ts_ns")
+    rows = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", "ts_ns", "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") != "purchase",
+               F.struct(F.col("ts_ns").alias("t_ts"),
+                        F.col("event_type").alias("t_type"))).alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        rows.withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            F.coalesce(F.col("last_touch.t_type"), F.lit("direct")).alias("attributed_type"),
+            (F.col("ts_ns") - F.col("last_touch.t_ts")).alias("gap_ns"),
+        )
+    )
+    return attributed.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.col("gap_ns").cast("decimal(38,0)")).cast("double")
+            / F.count("gap_ns") / F.lit(1000000000.0),
+            6,
+        ).alias("avg_gap_sec"),
+    )
+
+
+W12_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+rows_ AS (
+  SELECT user_id, ts_ns, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+         CASE WHEN event_type != 'purchase' THEN ts_ns END AS t_ts,
+         CASE WHEN event_type != 'purchase' THEN event_type END AS t_type
+  FROM ev
+),
+attr AS (
+  SELECT is_purchase, ts_ns,
+         last_value(t_ts IGNORE NULLS) OVER w AS lt_ts,
+         last_value(t_type IGNORE NULLS) OVER w AS lt_type
+  FROM rows_
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, is_purchase, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(lt_type, 'direct') AS attributed_type,
+       COUNT(*) AS n_purchases,
+       round(CAST(SUM(CAST(ts_ns - lt_ts AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(ts_ns - lt_ts) / 1000000000.0, 6) AS avg_gap_sec
+FROM attr WHERE is_purchase = 1
+GROUP BY COALESCE(lt_type, 'direct')
+"""
+
+
+def w13_conversion_time_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution of view→purchase conversion time for funnel
+    completers (w5's t3−t1 per user): exact quartiles + count, the
+    latency-SLO view of the funnel.  Per-user times come from the same
+    three co-keyed aggs as w5; the final percentile sorts only one row
+    per converting user (approx_percentile is the documented 100 TB
+    swap, a_approx_percentile pins its parity)."""
+    ev = load_events(spark, sf).select("user_id", "event_type", "ts_ns")
+    t1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_ns").alias("t1")))
+    t2 = (ev.filter(F.col("event_type") == "click").join(t1, "user_id")
+          .filter(F.col("ts_ns") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts_ns").alias("t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase").join(t2, "user_id")
+          .filter(F.col("ts_ns") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts_ns").alias("t3")))
+    per_user = (
+        t1.join(t3, "user_id")
+        .select(((F.col("t3") - F.col("t1")) / F.lit(1000000000.0)).alias("sec"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile(F.col("sec"), F.lit(0.25)), 6).alias("p25_sec"),
+        F.round(F.percentile(F.col("sec"), F.lit(0.50)), 6).alias("p50_sec"),
+        F.round(F.percentile(F.col("sec"), F.lit(0.75)), 6).alias("p75_sec"),
+    )
+
+
+W13_CONVERSION_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+t1 AS (SELECT user_id, MIN(ts_ns) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts_ns) AS t2
+       FROM ev e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_ns > t1.t1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts_ns) AS t3
+       FROM ev e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_ns > t2.t2 GROUP BY e.user_id),
+per_user AS (
+  SELECT (t3.t3 - t1.t1) / 1000000000.0 AS sec FROM t1 JOIN t3 USING (user_id)
+)
+SELECT COUNT(*) AS n_converted,
+       round(quantile_cont(sec, 0.25), 6) AS p25_sec,
+       round(quantile_cont(sec, 0.50), 6) AS p50_sec,
+       round(quantile_cont(sec, 0.75), 6) AS p75_sec
+FROM per_user
+"""
+
+
 SPECS = [
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
@@ -893,6 +1017,19 @@ SPECS = [
               ref="beyond reference: RFM quintile segmentation with "
                   "deterministic tie-broken ntiles",
               doc="recency/frequency/monetary quintiles + 3-digit segment",
+              tags=("window",)),
+    QuerySpec("w12_attribution_last_touch", w12_attribution_last_touch,
+              W12_ATTRIBUTION_SQL,
+              ref="scale op: last-touch attribution as ONE user-keyed "
+                  "ignore-nulls window over touch∪purchase — no per-user "
+                  "touches×purchases fan-out",
+              doc="purchase credit to latest preceding touch + gap stats",
+              tags=("window",)),
+    QuerySpec("w13_conversion_time_quantiles", w13_conversion_time_quantiles,
+              W13_CONVERSION_SQL,
+              ref="scale op: funnel latency distribution (exact quartiles "
+                  "of w5's t3−t1; approx_percentile is the 100 TB swap)",
+              doc="view→purchase conversion-time quartiles",
               tags=("window",)),
     QuerySpec("w9_max_concurrency", w9_max_concurrency, W9_CONCURRENCY_SQL,
               ref="scale op: sweep-line peak concurrency — linear in "
