@@ -87,3 +87,33 @@ def test_single_pass_no_extra_scans(spark, frame):
 
     res = expect(frame, _rules())
     assert audit.exchange_count(res.clean) == 0  # pure filter, no shuffle
+
+
+def test_partition_property_random_rules(spark):
+    """Property: for ANY rule set, clean ∪ quarantined ∪ silently-dropped
+    partitions the input; metrics totals agree with the frames."""
+    import itertools
+
+    rows = [(i, float(i % 7) - 3.0, ["ok", "bad", None][i % 3]) for i in range(60)]
+    frame = spark.createDataFrame(rows, "id LONG, price DOUBLE, status STRING")
+    preds = {
+        "p_pos": F.col("price") > 0,
+        "p_small": F.col("price") < 2,
+        "s_ok": F.col("status").isin("ok"),
+        "id_even": F.col("id") % 2 == 0,
+    }
+    policies = ["warn", "drop", "quarantine"]
+    for combo in itertools.islice(
+        itertools.product(policies, repeat=len(preds)), 0, None, 7
+    ):
+        rules = [Rule(n, p, pol) for (n, p), pol in zip(preds.items(), combo)]
+        res = expect(frame, rules)
+        clean_ids = {r.id for r in res.clean.collect()}
+        quar_ids = {r.id for r in res.quarantined.collect()}
+        m = {r.rule: r.n for r in res.metrics.collect()}
+        assert clean_ids.isdisjoint(quar_ids)
+        assert m["_rows_in"] == 60
+        assert m["_rows_clean"] == len(clean_ids)
+        assert m["_rows_quarantined"] == len(quar_ids)
+        # every non-clean row violates at least one drop/quarantine rule
+        assert len(clean_ids) + m["_rows_in"] - m["_rows_clean"] == 60
