@@ -148,3 +148,53 @@ def test_bpe_no_mid_token_suffix_merge(spark):
         for r in learn_bpe_merges(spark, df, n_merges=4).orderBy("step").collect()
     ]
     assert got == expected
+
+
+def test_unigram_viterbi_matches_sequential_reference(spark, sf_dir):
+    """Independent check: rebuild the unigram piece model in plain Python
+    and run textbook Viterbi; the distributed DP must agree on every
+    output word."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.queries import bpe
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    freqs = Counter()
+    for text in docs["text"]:
+        for w in re.sub(r"\s+", " ", text.lower()).strip().split(" "):
+            if len(w) <= bpe._UNI_MAXLEN:
+                freqs[w] += 1
+    piece_counts = Counter()
+    for w, f in freqs.items():
+        for i in range(len(w)):
+            for l in range(1, bpe._UNI_PIECE_L + 1):
+                if i + l <= len(w):
+                    piece_counts[w[i:i + l]] += f
+    singles = {p: c for p, c in piece_counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in piece_counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: bpe._UNI_TOPK]
+    vocab = dict(multi) | singles
+    total = sum(vocab.values())
+    bits = {p: (total // c).bit_length() - 1 for p, c in vocab.items()}
+
+    def viterbi(w):
+        best = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            opts = [
+                best[i - l] + bits[w[i - l:i]]
+                for l in range(1, min(bpe._UNI_PIECE_L, i) + 1)
+                if best[i - l] is not None and w[i - l:i] in bits
+            ]
+            best[i] = min(opts) if opts else None
+        return best[len(w)]
+
+    rows = bpe.unigram_viterbi_segment(spark, sf_dir).collect()
+    assert rows, "no output words"
+    for r in rows:
+        assert r["freq"] == freqs[r["word"]]
+        assert r["min_bits"] == viterbi(r["word"]), r["word"]

@@ -170,6 +170,8 @@ _BNLJ_ALLOWED = {
     "ml_chi2_features",       # 1-row corpus doc count broadcast
     "a_kmv_distinct",         # 1-row k-th-hash/exact-count frames
     "a_kmv_set_ops",          # 1-row sketch × 1-row exact counters
+    "td_unigram_segment",     # 1-row vocab-total broadcast (cost denominator)
+    "g_modularity",           # 1-row edge-total (m) broadcast
 }
 
 

@@ -128,7 +128,7 @@ _SAMPLE_LAST = frozenset({
     "ml_naive_bayes_langid", "ml_chi2_features", "ml_welch_ttest",
     "dq_expectations", "mm_wav_quadrature", "ivm_incremental_aggregate",
     "g_kcore", "g_modularity", "w12_attribution_last_touch",
-    "w13_conversion_time_quantiles",
+    "w13_conversion_time_quantiles", "td_unigram_segment",
 })
 
 

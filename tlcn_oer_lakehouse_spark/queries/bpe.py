@@ -55,7 +55,7 @@ trajectory, not just the last step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tlcn_oer_lakehouse_spark.functions.text import tokens
@@ -369,6 +369,177 @@ def _wordpiece_oracle(n_merges: int = N_MERGES) -> str:
     return "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY step"
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+_UNI_MAXLEN = 20   # word-length cap (longer words excluded, both engines)
+_UNI_PIECE_L = 4   # max piece length
+_UNI_TOPK = 300    # multi-char vocab size (all single chars always kept)
+_UNI_TOPW = 100    # output rows: top words by (freq desc, word)
+
+
+def unigram_viterbi_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM subword segmentation (the third canonical tokenizer
+    family after BPE's greedy merges and WordPiece's likelihood merges):
+    exact Viterbi minimum-cost segmentation of every word under a
+    frequency-seeded piece model — the inference core of SentencePiece
+    (Kudo 2018).  EM piece-reweighting is deliberately omitted: float EM
+    is not cross-engine reproducible, so the model is DEFINED as the
+    integer-surprisal seed model (piece cost = bits(total div cnt), the
+    same transcendental-free device as td_unigram_surprisal) and the
+    oracle replays vocab seeding, costs, and the full DP bit-for-bit.
+
+    Scale shape: everything runs on the VOCAB-sized word-frequency
+    table, never the corpus — substring explode is ≤ 4·len pieces per
+    distinct word; the candidate lookup is one keyed equi-join against
+    the (≤ 300 + alphabet)-piece vocab; the Viterbi DP is 20 chained
+    column expressions over a per-word cost map (map-only, no shuffle,
+    no per-position joins).  Output: the top-100 words with their
+    minimal segmentation cost in bits."""
+    words = (
+        _word_freqs(spark, sf)
+        .filter(F.length("word") <= _UNI_MAXLEN)
+        .persist()
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    ln = F.explode(F.sequence(F.lit(1), F.lit(_UNI_PIECE_L))).alias("l")
+    subs = (
+        words.select("word", "freq", pos)
+        .select("word", "freq", "i", ln)
+        .filter(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(F.expr("substring(word, i, l)").alias("piece"),
+                "freq", "i", "l", "word")
+    )
+    piece_counts = subs.groupBy("piece").agg(F.sum("freq").alias("wcnt"))
+    singles = piece_counts.filter(F.length("piece") == 1)
+    multi = (
+        piece_counts.filter(F.length("piece") > 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("wcnt").desc(), F.col("piece").asc())
+            ),
+        )
+        .filter(F.col("rn") <= _UNI_TOPK)
+        .drop("rn")
+    )
+    vocab = singles.unionByName(multi)
+    tot = vocab.agg(F.sum("wcnt").alias("t"))
+    scored = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select("piece",
+                (F.length(F.bin(F.expr("t div wcnt"))) - F.lit(1)).alias("bits"))
+    )
+    # (word, e, l) is unique by construction (e = i + l - 1 pins i), so
+    # no distinct is needed and map_from_entries sees duplicate-free keys
+    cand = subs.join(scored, "piece").select(
+        "word", (F.col("i") + F.col("l") - 1).alias("e"), "l", "bits"
+    )
+    cost_map = cand.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct((F.col("e") * 8 + F.col("l")).alias("k"),
+                         F.col("bits").alias("v"))
+            )
+        ).alias("m")
+    )
+    dp = words.join(cost_map, "word").withColumn("b0", F.lit(0))
+    for i in range(1, _UNI_MAXLEN + 1):
+        terms = [
+            F.col(f"b{i - l}") + F.element_at(F.col("m"), F.lit(i * 8 + l))
+            for l in range(1, min(_UNI_PIECE_L, i) + 1)
+        ]
+        dp = dp.withColumn(f"b{i}", F.least(*terms) if len(terms) > 1 else terms[0])
+    min_bits = F.col(f"b{_UNI_MAXLEN}")
+    for i in range(_UNI_MAXLEN - 1, 0, -1):
+        min_bits = F.when(F.length("word") == i, F.col(f"b{i}")).otherwise(min_bits)
+    ranked = (
+        dp.select("word", "freq", F.length("word").alias("word_len"),
+                  min_bits.alias("min_bits"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+            ),
+        )
+        .filter(F.col("rn") <= _UNI_TOPW)
+        .drop("rn")
+    )
+    return ranked
+
+
+def _unigram_oracle() -> str:
+    b = _UNI_PIECE_L
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents)
+  GROUP BY word HAVING length(word) <= {_UNI_MAXLEN})""",
+        """subs AS MATERIALIZED (
+  SELECT word, freq, i, l, substring(word, i, l) AS piece
+  FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i
+        FROM words)
+  CROSS JOIN (VALUES (1), (2), (3), (4)) ls(l)
+  WHERE i + l - 1 <= length(word))""",
+        "pc AS MATERIALIZED (SELECT piece, SUM(freq) AS wcnt FROM subs GROUP BY piece)",
+        f"""vocab AS MATERIALIZED (
+  SELECT piece, wcnt FROM pc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, wcnt FROM (
+    SELECT piece, wcnt, row_number() OVER (ORDER BY wcnt DESC, piece ASC) AS rn
+    FROM pc WHERE length(piece) > 1) WHERE rn <= {_UNI_TOPK})""",
+        "tot AS (SELECT SUM(wcnt) AS t FROM vocab)",
+        """scored AS MATERIALIZED (
+  SELECT piece, length(bin(t // wcnt)) - 1 AS bits FROM vocab CROSS JOIN tot)""",
+        """cand AS MATERIALIZED (
+  SELECT s.word, s.i + s.l - 1 AS e, s.l, sc.bits
+  FROM subs s JOIN scored sc ON sc.piece = s.piece)""",
+        "b0 AS MATERIALIZED (SELECT word, 0 AS c FROM words)",
+    ]
+    for i in range(1, _UNI_MAXLEN + 1):
+        joins, terms = [], []
+        for l in range(1, min(b, i) + 1):
+            joins.append(
+                f"LEFT JOIN cand c{l} ON c{l}.word = b0.word "
+                f"AND c{l}.e = {i} AND c{l}.l = {l}"
+            )
+            terms.append(f"b{i - l}.c + c{l}.bits")
+        prev_joins = " ".join(
+            f"LEFT JOIN b{i - l} ON b{i - l}.word = b0.word"
+            for l in range(1, min(b, i) + 1)
+            if i - l != 0
+        )
+        least = terms[0] if len(terms) == 1 else f"LEAST({', '.join(terms)})"
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT b0.word, {least} AS c "
+            f"FROM b0 {prev_joins} {' '.join(joins)})"
+        )
+    case = " ".join(
+        f"WHEN {i} THEN b{i}.c" for i in range(1, _UNI_MAXLEN + 1)
+    )
+    ans_joins = " ".join(
+        f"LEFT JOIN b{i} ON b{i}.word = w.word"
+        for i in range(1, _UNI_MAXLEN + 1)
+    )
+    ctes.append(
+        f"""ans AS (
+  SELECT w.word, w.freq, length(w.word) AS word_len,
+         CASE length(w.word) {case} END AS min_bits,
+         row_number() OVER (ORDER BY w.freq DESC, w.word ASC) AS rn
+  FROM words w {ans_joins})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT word, freq, word_len, min_bits FROM ans WHERE rn <= {_UNI_TOPW}"
+    )
+
+
+def td_unigram_segment(spark: SparkSession, sf: str) -> DataFrame:
+    return unigram_viterbi_segment(spark, sf)
+
+
 SPECS = [
     QuerySpec(
         "td_bpe_merges",
@@ -395,6 +566,16 @@ SPECS = [
         ref="scale op: WordPiece likelihood-scored merge learning "
             "(Schuster & Nakajima 2012) on the shared BPE machinery",
         doc="WordPiece tokenizer training, K=6 merge steps with scores",
+        tags=("text",),
+    ),
+    QuerySpec(
+        "td_unigram_segment",
+        td_unigram_segment,
+        _unigram_oracle(),
+        ref="scale op: unigram-LM Viterbi segmentation (Kudo 2018 "
+            "inference core) under an integer-surprisal piece model — "
+            "completes the BPE/WordPiece/Unigram tokenizer trilogy",
+        doc="exact min-cost subword segmentation, full DP oracle-replayed",
         tags=("text",),
     ),
 ]
