@@ -65,3 +65,50 @@ def test_modularity_invariants(spark):
     assert -0.5 <= q <= 1.0  # Newman bounds
     # random-ish brand assignment over a dense graph → near-zero Q
     assert abs(q) < 0.1
+
+
+class TestStarComponents:
+    """large-star/small-star CC: equivalence with min-label propagation
+    where propagation converges, correctness where it cannot."""
+
+    def _star(self, spark, edges):
+        from tlcn_oer_lakehouse_spark.operators.components import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return sorted(map(tuple, connected_components_star(df).collect()))
+
+    def _prop(self, spark, edges, **kw):
+        from tlcn_oer_lakehouse_spark.operators.components import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return sorted(map(tuple, connected_components(df, **kw).collect()))
+
+    def test_matches_propagation_on_shallow_graphs(self, spark):
+        import random
+
+        random.seed(7)
+        edges = [(random.randint(1, 200), random.randint(1, 200))
+                 for _ in range(300)]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert self._star(spark, edges) == self._prop(spark, edges)
+
+    def test_deep_path_beyond_propagation_budget(self, spark):
+        import pytest
+
+        path = [(i, i + 1) for i in range(1, 40)]  # diameter 39
+        # star rounds handle it in O(log) rounds...
+        assert self._star(spark, path) == [(i, 1) for i in range(1, 41)]
+        # ...while propagation must now REFUSE (it previously returned
+        # silently wrong labels for nodes >20 hops from the minimum)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            self._prop(spark, path)
+        # with enough rounds propagation agrees again
+        assert self._prop(spark, path, max_iterations=45) == self._star(spark, path)
+
+    def test_high_id_star_center(self, spark):
+        edges = [(100, 1), (100, 2), (100, 3)]
+        assert self._star(spark, edges) == [(1, 1), (2, 1), (3, 1), (100, 1)]

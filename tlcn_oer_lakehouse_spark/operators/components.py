@@ -80,16 +80,35 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silently returning unconverged labels mislabels every node
+        # farther than max_iterations hops from its component minimum
+        # (a 40-node path with the default budget splits into phantom
+        # components).  Near-dup graphs converge in a handful of rounds,
+        # so hitting this means the graph isn't the star-shaped kind
+        # this propagation is for — use connected_components_star,
+        # which needs O(log² n) rounds on any topology.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the budget); use "
+            "connected_components_star for deep/path-like graphs"
+        )
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
 def duplicate_clusters(
-    pairs: DataFrame, src_col: str = "doc_a", dst_col: str = "doc_b"
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    cc=None,
 ) -> DataFrame:
     """One row per near-dup cluster: canonical (minimum) id, members as
-    a sorted CSV string (driver-canonicalizer-safe), and size."""
-    comp = connected_components(pairs, src_col, dst_col)
+    a sorted CSV string (driver-canonicalizer-safe), and size.  ``cc``
+    swaps the component algorithm (default min-label propagation;
+    pass :func:`connected_components_star` for deep graphs)."""
+    comp = (cc or connected_components)(pairs, src_col, dst_col)
     return (
         comp.groupBy("component")
         .agg(
@@ -269,4 +288,95 @@ def k_core(
     return (
         deg.filter(F.col("core_degree") >= k)
         .select(F.col("u").alias("node"), "core_degree")
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log² n)-round upgrade over min-label propagation's
+    O(diameter) for long-path graphs, with the same per-round shape (one
+    neighborhood min-aggregate + one keyed join), so it is the
+    documented production swap for :func:`connected_components` when
+    components may be deep chains rather than near-dup stars.
+
+    - large-star: every node links its LARGER neighbors to the minimum
+      of its closed neighborhood;
+    - small-star: every node links its ≤ neighbors (and itself) to that
+      minimum.
+
+    Both preserve connectivity and strictly shrink potential; the
+    fixpoint is a star forest whose centers are component minima.
+    Convergence is detected with an order-independent edge-set signature
+    (count + sum of per-edge hashes — one 1-row aggregate per round);
+    a hash collision could only end the loop one round early on a
+    changed-but-same-signature set, and the pinned equivalence test
+    against min-label propagation guards exactly that."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("big"), F.least("u", "v").alias("small"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col("big").alias("node"))
+        .unionByName(edges.select(F.col("small").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("big", "small").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("big").alias("u"), F.col("small").alias("v")).unionByName(
+            e.select(F.col("small").alias("u"), F.col("big").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .filter(F.col("big") != F.col("small"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # neighbors ≤ u arrive oriented big→small already
+        m = e.groupBy("big").agg(F.min("small").alias("mn")).select(
+            "big", F.least(F.col("mn"), F.col("big")).alias("m")
+        )
+        linked = (
+            e.join(m, "big")
+            .select(F.col("small").alias("node"), F.col("m"))
+            .unionByName(m.select(F.col("big").alias("node"), F.col("m")))
+        )
+        return (
+            linked.filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("big"), F.col("m").alias("small"))
+            .distinct()
+        )
+
+    sig = signature(edges)
+    for _ in range(max_rounds):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    labels = edges.select(F.col("big").alias("node"), F.col("small").alias("component"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
     )

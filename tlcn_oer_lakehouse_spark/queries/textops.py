@@ -321,6 +321,28 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("canonical_id")
 
 
+def dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """The O(log² n)-round twin of ``dedup_clusters``: identical cluster
+    rollup, components resolved by alternating large-star/small-star
+    rounds (Kiveris et al. SoCC'14, operators/components.py:
+    connected_components_star) instead of min-label propagation — the
+    registered scale path for graphs whose components can be deep
+    chains (propagation now RAISES rather than silently mislabeling
+    when a diameter exceeds its round budget).  Same oracle as
+    dedup_clusters: the recursive-closure replay checks the component
+    assignment itself, so the two algorithms' equivalence is
+    driver-verified, not just pytest-pinned."""
+    from tlcn_oer_lakehouse_spark.operators.components import (
+        connected_components_star,
+        duplicate_clusters,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs, cc=connected_components_star).orderBy(
+        "canonical_id"
+    )
+
+
 def dedup_soft_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Soft deduplication (inverse-cluster-size sampling): instead of
     keeping exactly one member per near-dup cluster, EVERY document
@@ -722,6 +744,12 @@ SPECS = [
     QuerySpec("dedup_clusters", dedup_clusters, _clusters_oracle(),
               ref="scale op: near-dup cluster resolution (Kiveris et al. SoCC'14 family)",
               doc="connected components over minhash pairs -> canonical clusters",
+              tags=("dedup",)),
+    QuerySpec("dedup_clusters_star", dedup_clusters_star, _clusters_oracle(),
+              ref="scale op: large-star/small-star components (Kiveris et "
+                  "al. SoCC'14) — O(log² n) rounds on ANY topology; same "
+                  "recursive-closure oracle as dedup_clusters",
+              doc="cluster resolution via alternating star rounds",
               tags=("dedup",)),
     QuerySpec("dedup_soft_sample", dedup_soft_sample, _soft_sample_oracle(),
               ref="scale op: inverse-cluster-size soft dedup "
