@@ -239,3 +239,73 @@ def test_writer_append_rejects_hive_partitioned_tables(spark, tmp_path):
     t.create(_df(spark, 100))
     with pytest.raises(Exception, match="hive-partitioned"):
         _write(_df(spark, 10), t.path, "append")
+
+
+def test_stream_writer_appends_with_exactly_once_epochs(spark, tmp_path):
+    """df.writeStream.format('oer_mergetable'): micro-batches append
+    through the snapshot protocol with CDF insert logs; a second run over
+    the same landing data (fresh checkpoint, same epoch content) is the
+    replay the epoch markers must swallow when checkpoints survive."""
+    landing = str(tmp_path / "landing")
+    path = str(tmp_path / "st")
+    ckpt = str(tmp_path / "ck")
+    _df(spark, 100).coalesce(1).write.parquet(f"{landing}/b1")
+
+    def run(checkpoint):
+        q = (
+            spark.readStream.schema(_df(spark, 1).schema)
+            .parquet(f"{landing}/*")
+            .writeStream.format("oer_mergetable")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 100
+    # second batch through the SAME checkpoint: appends once
+    _df(spark, 1000).filter(F.col("id") >= 990).coalesce(1).write.parquet(
+        f"{landing}/b2"
+    )
+    run(ckpt)
+    assert t.read().count() == 110
+    # restart on the same checkpoint with no new data: no-op
+    run(ckpt)
+    assert t.read().count() == 110
+    # CDF: every commit logged its inserts
+    head = t._all_version_nums()[-1]
+    # the first stream commit IS version 0, so open the feed before it
+    feed = t.read_changes(-1, head)
+    assert feed.count() == 110
+    assert feed.filter(F.col("_change_type") != "insert").count() == 0
+    # batch reader over the stream-written table agrees
+    assert (
+        spark.read.format("oer_mergetable").option("path", path).load().count()
+        == 110
+    )
+
+
+def test_stream_writer_epoch_marker_blocks_double_commit(spark, tmp_path):
+    """Direct replay simulation: committing the same epoch twice through
+    the writer API must append once."""
+    import pyarrow as pa
+
+    from tlcn_oer_lakehouse_spark.sources.pyds import _MergeTableStreamWriter
+
+    path = str(tmp_path / "m")
+
+    def commit_epoch(writer, epoch):
+        batch = pa.record_batch({"id": pa.array([1, 2], type=pa.int64())})
+        msg = writer.write(iter([batch]))
+        writer.commit([msg], epoch)
+
+    w1 = _MergeTableStreamWriter({"path": path})
+    commit_epoch(w1, 0)
+    w2 = _MergeTableStreamWriter({"path": path})  # restarted query
+    commit_epoch(w2, 0)  # replayed epoch
+    commit_epoch(w2, 1)  # genuinely new epoch
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 4  # epochs 0 and 1 once each, no triple

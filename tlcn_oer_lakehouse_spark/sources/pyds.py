@@ -55,6 +55,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -360,12 +361,133 @@ class _MergeTableWriter(DataSourceArrowWriter):
         shutil.rmtree(self._staging, ignore_errors=True)
 
 
+class _MergeTableStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming append sink with EXACTLY-ONCE epoch commits.
+
+    Tasks stream their Arrow batches into a query-scoped pending dir
+    (they do not know the epoch id; only ``commit`` does).  ``commit``
+    assembles exactly the task-reported files into a staging snapshot —
+    hardlinking the previous head's data files, carrying the dual-written
+    ``_changes/`` insert logs — stamps it with an ``_epoch_{batchId}``
+    marker, and publishes through the shared ``publish_snapshot``
+    protocol.  A restarted query re-committing an epoch finds its marker
+    in a retained version dir and discards the replayed files instead of
+    double-appending: the marker IS the idempotence ledger, and it rides
+    inside the atomically-published snapshot so there is no window where
+    data landed but the marker did not."""
+
+    def __init__(self, options: dict) -> None:
+        if "path" not in options:
+            raise ValueError("oer_mergetable stream write requires .option('path', ...)")
+        self._path = options["path"]
+        # DETERMINISTIC pending dir: Spark instantiates this writer
+        # independently on executors (write) and on the driver (commit),
+        # so a per-instance random name would strand the task files.
+        # One pending dir per table is safe under the table's existing
+        # single-writer contract; file names inside are uuid-unique.
+        self._pending = f"{self._path}__pending_stream"
+        os.makedirs(os.path.join(self._pending, "_changes"), exist_ok=True)
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        writer = changes_writer = None
+        columns: tuple = ()
+        for batch in iterator:
+            if writer is None:
+                columns = tuple(batch.schema.names)
+                writer = pq.ParquetWriter(
+                    os.path.join(self._pending, name), batch.schema
+                )
+                changes_writer = pq.ParquetWriter(
+                    os.path.join(self._pending, "_changes", name),
+                    batch.schema.append(pa.field("_change_type", pa.string())),
+                )
+            writer.write_batch(batch)
+            changes_writer.write_batch(
+                pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [pa.array(["insert"] * batch.num_rows, type=pa.string())],
+                    schema=changes_writer.schema,
+                )
+            )
+        for w in (writer, changes_writer):
+            if w is not None:
+                w.close()
+        if writer is None:
+            return _FileCommit(filename="", columns=())
+        return _FileCommit(filename=name, columns=columns)
+
+    def _epoch_already_committed(self, batch_id: int) -> bool:
+        parent = os.path.dirname(self._path) or "."
+        base = os.path.basename(self._path) + "__v"
+        for name in os.listdir(parent):
+            if name.startswith(base) and os.path.isfile(
+                os.path.join(parent, name, f"_epoch_{batch_id}")
+            ):
+                return True
+        return False
+
+    def _drop_pending(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.filename:
+                for p in (os.path.join(self._pending, m.filename),
+                          os.path.join(self._pending, "_changes", m.filename)):
+                    if os.path.exists(p):
+                        os.remove(p)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+        import uuid
+
+        from tlcn_oer_lakehouse_spark.sinks.manifest import write_manifest
+        from tlcn_oer_lakehouse_spark.sinks.merge import publish_snapshot
+
+        if self._epoch_already_committed(batchId):
+            self._drop_pending(messages)  # replayed epoch: no double-append
+            return
+        written = [m for m in messages if m is not None and m.filename]
+        staging = f"{self._path}__staging_stream_{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(staging, "_changes"), exist_ok=True)
+        head = os.path.realpath(self._path)
+        if os.path.isdir(head) and os.path.exists(self._path):
+            if os.path.isdir(os.path.join(head, "_tombstones")):
+                raise ValueError(
+                    "stream append to a tombstone-carrying snapshot is not "
+                    "supported — compact first"
+                )
+            for f in _walk_data_files(head):
+                if os.sep in os.path.relpath(f, head):
+                    raise ValueError(
+                        "stream append to a hive-partitioned snapshot is "
+                        "not supported"
+                    )
+                os.link(f, os.path.join(staging, os.path.basename(f)))
+        for m in written:
+            os.rename(os.path.join(self._pending, m.filename),
+                      os.path.join(staging, m.filename))
+            os.rename(os.path.join(self._pending, "_changes", m.filename),
+                      os.path.join(staging, "_changes", m.filename))
+        open(os.path.join(staging, f"_epoch_{batchId}"), "w").close()
+        write_manifest(staging)
+        publish_snapshot(self._path, staging)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_pending(messages)
+
+
 class MergeTableDataSource(DataSource):
     """``spark.read.format("oer_mergetable")`` — options: ``path``
     (required), ``version`` (time travel), ``key`` (merge key, required
     when the snapshot carries MOR tombstones), ``hidden`` (comma list of
     hidden partition-transform columns to strip).  Writable with
-    ``df.write.format("oer_mergetable").mode("append"|"overwrite")``."""
+    ``df.write.format("oer_mergetable").mode("append"|"overwrite")`` and
+    ``df.writeStream.format("oer_mergetable")`` (exactly-once epoch
+    appends with CDF capture)."""
 
     @classmethod
     def name(cls) -> str:
@@ -379,6 +501,9 @@ class MergeTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return _MergeTableWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _MergeTableStreamWriter(dict(self.options))
 
 
 # ---------------------------------------------------------------------------
