@@ -183,3 +183,32 @@ def test_reader_survives_head_swap(spark, tmp_path):
     assert t.versions()
     t.vacuum(keep_last=0)
     assert not t.versions()
+
+
+def test_describe_detail(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "d"), key="id",
+        cluster_by=("id",), cluster_files=4,
+    )
+    t.create(
+        spark.range(400).select(
+            F.col("id"),
+            F.md5(F.col("id").cast("string")).alias("record_fingerprint"),
+        )
+    )
+    t.merge_upsert(
+        spark.range(400, 410).select(
+            F.col("id"),
+            F.md5(F.col("id").cast("string")).alias("record_fingerprint"),
+        )
+    )
+    d = t.detail()
+    assert d["n_rows"] == 410
+    assert d["n_data_files"] == 4 and d["total_bytes"] > 0
+    assert d["head_version"] == 1 and d["retained_versions"] == 1
+    assert d["cluster_by"] == ["id"] and not d["zorder"]
+    assert d["n_tombstone_files"] == 0 and d["has_change_feed"]
+    t.delete_where_mor([("id", "<", 10)])
+    assert t.detail()["n_tombstone_files"] >= 1

@@ -293,6 +293,40 @@ class ParquetMergeTable:
             raise ValueError(f"version {version} not retained for {self.path}")
         return self._read_snapshot_dir(d)
 
+    def detail(self) -> dict:
+        """Table introspection (Delta ``DESCRIBE DETAIL`` analog): head
+        version, file/row/byte counts (from the footer-stats manifest —
+        no data scan), layout declarations, MOR tombstone debt, and
+        retained-version count.  Metadata-only: one manifest JSON read
+        plus directory stats."""
+        from tlcn_oer_lakehouse_spark.sinks.manifest import read_manifest
+
+        snap = os.path.realpath(self.path)
+        manifest = read_manifest(snap) if self.exists() else None
+        files = manifest["files"] if manifest else []
+        tomb = os.path.join(snap, self.TOMBSTONE_DIR)
+        n_tomb_files = (
+            len([f for f in os.listdir(tomb) if f.endswith(".parquet")])
+            if os.path.isdir(tomb) else 0
+        )
+        total_bytes = sum(
+            os.path.getsize(os.path.join(snap, e["path"])) for e in files
+        )
+        return {
+            "path": self.path,
+            "head_version": self._head_version(),
+            "n_data_files": len(files),
+            "n_rows": sum(e["rows"] for e in files),
+            "total_bytes": total_bytes,
+            "partition_by": list(self.partition_by),
+            "cluster_by": list(self.cluster_by),
+            "zorder": self.zorder,
+            "hidden_transforms": list(self.partition_transforms),
+            "n_tombstone_files": n_tomb_files,
+            "retained_versions": len(self.versions()),  # non-head history
+            "has_change_feed": os.path.isdir(os.path.join(snap, self.CHANGES_DIR)),
+        }
+
     def history(self) -> list[dict]:
         """Snapshot log: retained versions plus the current head."""
         entries = [
