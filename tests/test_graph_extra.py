@@ -112,3 +112,32 @@ class TestStarComponents:
     def test_high_id_star_center(self, spark):
         edges = [(100, 1), (100, 2), (100, 3)]
         assert self._star(spark, edges) == [(1, 1), (2, 1), (3, 1), (100, 1)]
+
+
+def test_label_propagation_separates_cliques(spark, tmp_path, monkeypatch):
+    """LPA on two 5-cliques joined by one bridge edge must keep two
+    communities whose members are the cliques."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    clique_a = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    clique_b = [(a, b) for a in range(11, 16) for b in range(a + 1, 16)]
+    pairs = clique_a + clique_b + [(5, 11)]
+    # feed through the registered query by synthesizing a lineitem where
+    # each edge is one 2-item order
+    ok = [i for i, _ in enumerate(pairs) for _ in (0, 1)]
+    pk = [x for e in pairs for x in e]
+    t = pa.table({
+        "l_orderkey": pa.array(ok, type=pa.int64()),
+        "l_partkey": pa.array(pk, type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    from tlcn_oer_lakehouse_spark.queries.textops import g_label_propagation
+
+    rows = sorted(
+        (r.community, r.n_members, r.min_member)
+        for r in g_label_propagation(spark, str(d)).collect()
+    )
+    assert [(n, m) for _, n, m in rows] == [(5, 1), (5, 11)]

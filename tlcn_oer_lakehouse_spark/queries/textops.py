@@ -535,6 +535,89 @@ FROM {prev} GROUP BY u HAVING COUNT(*) >= {_KCORE_K} ORDER BY node"""
     return sql
 
 
+_LPA_ROUNDS = 4
+
+
+def g_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): every node adopts its neighbors' most frequent label each
+    round (ties → smallest label), run for a FIXED 4 rounds so the
+    deterministic trajectory — not just a fixpoint — is what the oracle
+    replays round-for-round.  All-integer (counts + argmax with a total
+    tie-break): zero transcendental/float risk, unlike modularity-greedy
+    sweeps.  Per round: one symmetric-edge join + one (node, label)
+    count + one per-node argmax window — all keyed shuffles, linear in
+    edges.  Output: per final community, size and member minimum (the
+    community summary a curation pipeline consumes)."""
+    from pyspark.sql import Window as W
+
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    edges = (
+        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = W.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.min("node").alias("min_member"))
+        .select(F.col("label").alias("community"), "n_members", "min_member")
+    )
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        """li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)""",
+        """pairs AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)""",
+        "edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges)",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT e.u, l.label, COUNT(*) AS cnt
+  FROM edges e JOIN l{i - 1} l ON e.v = l.node
+  GROUP BY e.u, l.label)""")
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}) WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT label AS community, COUNT(*) AS n_members, MIN(node) AS min_member
+FROM l{_LPA_ROUNDS}
+GROUP BY label"""
+    )
+
+
 def g_modularity(spark: SparkSession, sf: str) -> DataFrame:
     """Newman modularity of the brand partition over the co-purchase
     graph: per community c, Q_c = e_c/m − (d_c/2m)² (intra-edge fraction
@@ -776,6 +859,12 @@ SPECS = [
               ref="scale op: k-core decomposition by iterative peeling; "
                   "unique-fixpoint property makes the unrolled oracle exact",
               doc="k=75 core of the co-purchase graph, per-node core degree",
+              tags=("graph",)),
+    QuerySpec("g_label_propagation", g_label_propagation, _lpa_oracle(),
+              ref="scale op: synchronous label-propagation communities "
+                  "(Raghavan et al. 2007), fixed rounds, all-integer — "
+                  "full trajectory oracle-replayed",
+              doc="LPA community summary after 4 deterministic rounds",
               tags=("graph",)),
     QuerySpec("g_modularity", g_modularity, MODULARITY_SQL,
               ref="scale op: Newman modularity of the brand partition — the "
