@@ -199,3 +199,19 @@ def test_welch_matches_numpy(spark, sf_dir, events_pd):
     )
     assert row["t_stat"] == pytest.approx(t_ref, rel=1e-9)
     assert row["welch_df"] == pytest.approx(df_ref, rel=1e-9)
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    rows = mlstats.ml_covariance_block(spark, sf_dir).collect()
+    assert len(rows) == 36
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.stack(emb["embedding"].to_numpy())[:, : mlstats._COV_DIMS]
+    # the operator defines covariance on the 1e-6 fixed-point quantized
+    # inputs; against raw-float numpy it agrees to quantization error
+    ref = np.cov(x, rowvar=False, bias=True)
+    got = {(r.i, r.j): r.cov for r in rows}
+    for i in range(mlstats._COV_DIMS):
+        for j in range(i, mlstats._COV_DIMS):
+            assert got[(i, j)] == pytest.approx(ref[i, j], abs=2e-6)
+    # diagonal is a variance: non-negative
+    assert all(got[(k, k)] >= 0 for k in range(mlstats._COV_DIMS))

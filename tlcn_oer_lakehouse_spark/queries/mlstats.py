@@ -553,6 +553,97 @@ FROM sk CROSS JOIN ex
 
 
 # ---------------------------------------------------------------------------
+# distributed covariance matrix (PCA's sufficient statistic)
+# ---------------------------------------------------------------------------
+
+_COV_DIMS = 8          # upper-triangle block emitted (36 cells)
+_COV_SCALE = 1000000.0  # fixed-point quantization: q = floor(x·1e6 + 0.5)
+
+
+def ml_covariance_block(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariance matrix of the embedding table's leading 8 dimensions —
+    the sufficient statistic PCA/whitening eigendecomposes — in ONE
+    aggregation pass of fixed-point moments (n, Σq_i, Σq_i·q_j).
+
+    Float sums are partition-order-dependent, so the statistic is
+    DEFINED on a deterministic fixed-point quantization of the inputs:
+    q = floor(double(x)·1e6 + 0.5).  Two measured cross-engine traps
+    shape that formula: DuckDB multiplies FLOAT columns without
+    promoting to double (float32-rounded products; the explicit CAST
+    fixes it), and round() ties break half-away in Spark but half-even
+    in DuckDB (floor(·+0.5) is identical everywhere).  From the
+    quantized integers everything is exact decimal arithmetic down to
+    the final scalar divisions; the d×d driver-side eigensolve on this
+    36-cell result is O(d³) scalar work, independent of corpus size."""
+    emb = load(spark, sf, "embeddings")
+    q = [
+        F.floor(
+            F.element_at("embedding", k + 1).cast("double") * F.lit(_COV_SCALE)
+            + F.lit(0.5)
+        ).cast("long").alias(f"q{k}")
+        for k in range(_COV_DIMS)
+    ]
+    qdf = emb.select(*q)
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n")]
+    aggs += [F.sum(F.col(f"q{i}").cast("decimal(38,0)")).alias(f"s{i}")
+             for i in range(_COV_DIMS)]
+    aggs += [
+        F.sum((F.col(f"q{i}") * F.col(f"q{j}")).cast("decimal(38,0)"))
+        .alias(f"p{i}_{j}")
+        for i in range(_COV_DIMS) for j in range(i, _COV_DIMS)
+    ]
+    m = qdf.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"), F.lit(j).alias("j"),
+            (
+                (F.col("n").cast("decimal(38,0)") * F.col(f"p{i}_{j}")
+                 - F.col(f"s{i}") * F.col(f"s{j}"))
+                .cast("string").cast("double")
+                / (F.col("n") * F.col("n"))
+                / F.lit(_COV_SCALE * _COV_SCALE)
+            ).alias("cov"),
+        )
+        for i in range(_COV_DIMS) for j in range(i, _COV_DIMS)
+    ]
+    return m.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.i", "c.j", "c.cov"
+    )
+
+
+def _covariance_oracle() -> str:
+    d, sc = _COV_DIMS, _COV_SCALE
+    qs = ",\n         ".join(
+        f"CAST(floor(CAST(embedding[{k + 1}] AS DOUBLE)*{sc} + 0.5) AS BIGINT) AS q{k}"
+        for k in range(d)
+    )
+    sums = ",\n         ".join(
+        [f"COUNT(*) AS n"]
+        + [f"SUM(CAST(q{i} AS DECIMAL(38,0))) AS s{i}" for i in range(d)]
+        + [f"SUM(CAST(q{i} * q{j} AS DECIMAL(38,0))) AS p{i}_{j}"
+           for i in range(d) for j in range(i, d)]
+    )
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"CAST(CAST(CAST(n AS DECIMAL(38,0)) * p{i}_{j} - s{i} * s{j} AS VARCHAR) AS DOUBLE)"
+        f" / (n * n) / {sc * sc} AS cov FROM m"
+        for i in range(d) for j in range(i, d)
+    )
+    return f"""
+WITH q AS (
+  SELECT {qs}
+  FROM embeddings
+),
+m AS MATERIALIZED (
+  SELECT {sums}
+  FROM q
+)
+{cells}
+"""
+
+
+# ---------------------------------------------------------------------------
 # multinomial Naive Bayes language classifier (integer-surprisal scores)
 # ---------------------------------------------------------------------------
 
@@ -883,5 +974,10 @@ SPECS = [
               ref="scale op; Welch's t A/B readout from one pass of "
                   "conditional decimal moments",
               doc="unequal-variance t-statistic + Welch-Satterthwaite df",
+              tags=("mlstats",)),
+    QuerySpec("ml_covariance_block", ml_covariance_block, _covariance_oracle(),
+              ref="scale op; PCA sufficient statistic — fixed-point exact "
+                  "covariance moments in one aggregation pass",
+              doc="8x8 embedding covariance block, deterministic fixed-point",
               tags=("mlstats",)),
 ]
