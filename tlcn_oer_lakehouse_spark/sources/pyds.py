@@ -206,7 +206,19 @@ class _MergeTableReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
+        # second pruning tier: the same pushed predicates that shrank the
+        # FILE list via the manifest also skip ROW GROUPS here through
+        # parquet column statistics (pyarrow applies them as a filter, so
+        # this is belt-and-braces — Spark re-applies every filter anyway)
+        flt = None
+        for col, op, val in self._predicates:
+            if col in partition.hive or col not in self._arrow_schema.names:
+                continue
+            f = pc.field(col)
+            term = {"=": f == val, ">": f > val, ">=": f >= val,
+                    "<": f < val, "<=": f <= val}[op]
+            flt = term if flt is None else flt & term
+        table = pq.read_table(partition.path, filters=flt)
         # materialize hive partition columns at their inferred types
         for name, raw in partition.hive.items():
             typ = self._arrow_schema.field(name).type
