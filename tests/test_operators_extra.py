@@ -440,3 +440,23 @@ def test_last_touch_attribution_semantics(spark, monkeypatch, tmp_path):
     assert rows["direct"].n_purchases == 2
     assert rows["direct"].avg_gap_sec is None
     assert "view" not in rows
+
+
+def test_seasonal_decompose_reconstruction_identity(spark):
+    """Additive-model identities on the real table: seasonal components
+    are per-type zero-mean when weighted by hour counts, and hour_mean =
+    type_mean + seasonal reconstructs exactly."""
+    from tlcn_oer_lakehouse_spark.queries.windows import ts_seasonal_decompose
+
+    rows = ts_seasonal_decompose(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 120  # 5 types × 24 hours
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert sorted(r.hour for r in rs) == list(range(24))
+        # count-weighted seasonal offsets sum to ~0 (rounding at 1e-9)
+        w = sum(r.seasonal * r.n_events for r in rs)
+        n = sum(r.n_events for r in rs)
+        assert abs(w / n) < 1e-6, t
+        assert all(r.mean_abs_resid >= 0 for r in rs)

@@ -859,6 +859,99 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# seasonal decomposition (hour-of-day profile + deseasonalized residuals)
+# ---------------------------------------------------------------------------
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical seasonal decomposition for event values with an
+    hour-of-day period: per (event_type, hour) the seasonal component is
+    the decimal-exact mean, residual = value − trend − seasonal where
+    trend is the per-type global mean and seasonal is the hour mean's
+    offset from it.  Output: the 24-hour seasonal profile per type with
+    residual dispersion — the shape a seasonality-aware anomaly monitor
+    consumes.  Plan: two partial-agg groupBys + one broadcast of the
+    (type × 24)-row profile; the event stream is touched map-side only.
+    All means divide decimal-exact sums (base.py determinism contract);
+    the residual spread quantizes |value − hour_mean| with the
+    floor(·1e8 + 0.5) fixed-point device so its sum is exact decimal —
+    never an order-dependent float fold."""
+    ev = load_events(spark, sf).select("event_type", "ts_sec", "value")
+    # integer division on BOTH sides: float-division + CAST AS INT
+    # truncates in Spark but rounds in DuckDB
+    hour = F.expr("(ts_sec % 86400) div 3600").cast("int")
+    base = ev.select("event_type", hour.alias("hour"), "value")
+    n_h = F.count(F.lit(1))
+    hourly = base.groupBy("event_type", "hour").agg(
+        n_h.alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n_h
+         ).alias("hour_mean"),
+    )
+    n_t = F.count(F.lit(1))
+    overall = base.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n_t
+         ).alias("type_mean")
+    )
+    seasonal = F.col("hour_mean") - F.col("type_mean")
+    resid = F.col("value") - F.col("hour_mean")
+    prof = hourly.join(F.broadcast(overall), "event_type")
+    # |residual| quantized with the floor(·+0.5) fixed-point device (see
+    # ml_covariance_block: double→DECIMAL casts of arbitrary doubles are
+    # NOT cross-engine reproducible, floor on the shared double is)
+    q_resid = F.floor(F.abs(resid) * F.lit(100000000.0) + F.lit(0.5))
+    spread = (
+        base.join(F.broadcast(prof), ["event_type", "hour"])
+        .groupBy("event_type", "hour")
+        .agg(
+            (F.sum(q_resid.cast("decimal(38,0)")).cast("double")
+             / F.count(F.lit(1)) / F.lit(100000000.0)).alias("mean_abs_resid")
+        )
+    )
+    return (
+        prof.join(spread, ["event_type", "hour"])
+        .select(
+            "event_type", "hour", "n_events",
+            F.round(seasonal, 9).alias("seasonal"),
+            F.round(F.col("type_mean"), 9).alias("type_mean"),
+            "mean_abs_resid",
+        )
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events
+),
+base AS (
+  SELECT event_type, CAST((ts_sec % 86400) // 3600 AS INT) AS hour, value FROM ev
+),
+hourly AS (
+  SELECT event_type, hour, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS hour_mean
+  FROM base GROUP BY event_type, hour
+),
+overall AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_mean
+  FROM base GROUP BY event_type
+),
+prof AS (SELECT h.*, o.type_mean FROM hourly h JOIN overall o USING (event_type)),
+spread AS (
+  SELECT b.event_type, b.hour,
+         CAST(SUM(CAST(floor(abs(b.value - p.hour_mean) * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+           / COUNT(*) / 100000000.0 AS mean_abs_resid
+  FROM base b JOIN prof p ON b.event_type = p.event_type AND b.hour = p.hour
+  GROUP BY b.event_type, b.hour
+)
+SELECT p.event_type, p.hour, p.n_events,
+       round(p.hour_mean - p.type_mean, 9) AS seasonal,
+       round(p.type_mean, 9) AS type_mean,
+       s.mean_abs_resid
+FROM prof p JOIN spread s ON p.event_type = s.event_type AND p.hour = s.hour
+"""
+
+
+# ---------------------------------------------------------------------------
 # last-touch marketing attribution
 # ---------------------------------------------------------------------------
 
@@ -1018,6 +1111,12 @@ SPECS = [
                   "deterministic tie-broken ntiles",
               doc="recency/frequency/monetary quintiles + 3-digit segment",
               tags=("window",)),
+    QuerySpec("ts_seasonal_decompose", ts_seasonal_decompose, TS_SEASONAL_SQL,
+              ref="scale op: hour-of-day seasonal decomposition (classical "
+                  "additive model) — two partial-agg groupBys + one "
+                  "broadcast profile, map-side residuals",
+              doc="per-type 24h seasonal profile with residual dispersion",
+              tags=("window", "timeseries")),
     QuerySpec("w12_attribution_last_touch", w12_attribution_last_touch,
               W12_ATTRIBUTION_SQL,
               ref="scale op: last-touch attribution as ONE user-keyed "
