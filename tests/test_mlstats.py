@@ -215,3 +215,58 @@ def test_covariance_matches_numpy(spark, sf_dir):
             assert got[(i, j)] == pytest.approx(ref[i, j], abs=2e-6)
     # diagonal is a variance: non-negative
     assert all(got[(k, k)] >= 0 for k in range(mlstats._COV_DIMS))
+
+
+def test_kaplan_meier_hand_computed_fixture(spark, tmp_path):
+    """Textbook KM on a hand-built cohort: durations/censoring chosen so
+    every n_i, d_i and survival step is checkable by hand."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 6 users, study 0..20 days; censor horizon = final 12h
+    # u1: days 0..2  -> dur 2, churned
+    # u2: days 0..2  -> dur 2, churned
+    # u3: days 0..5  -> dur 5, churned
+    # u4: days 3..8  -> dur 5, churned
+    # u5: days 0..20 -> dur 20, censored (active at end)
+    # u6: days 1..20 -> dur 19, censored
+    day = 86400 * 1_000_000  # µs
+    events = []
+    spans = {1: (0, 2), 2: (0, 2), 3: (0, 5), 4: (3, 8), 5: (0, 20), 6: (1, 20)}
+    eid = 0
+    for u, (a, b) in spans.items():
+        for d in (a, b):
+            events.append((eid, d * day, u))
+            eid += 1
+    t = pa.table({
+        "event_id": pa.array([e[0] for e in events], type=pa.int64()),
+        "ts": pa.array([e[1] for e in events], type=pa.timestamp("us")),
+        "user_id": pa.array([e[2] for e in events], type=pa.int64()),
+        "event_type": pa.array(["view"] * len(events)),
+        "value": pa.array([1.0] * len(events)),
+        "props": pa.array(["{}"] * len(events)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    rows = {r.duration_days: r
+            for r in mlstats.ml_kaplan_meier(spark, str(d)).collect()}
+    # t=2: n=6 at risk, d=2 -> S = 1 - 2/6 = 2/3
+    assert rows[2].n_at_risk == 6 and rows[2].n_events == 2
+    assert rows[2].survival == pytest.approx(2 / 3, abs=1e-12)
+    # t=5: n=4 at risk, d=2 -> S = (2/3)(1 - 2/4) = 1/3
+    assert rows[5].n_at_risk == 4 and rows[5].n_events == 2
+    assert rows[5].survival == pytest.approx(1 / 3, abs=1e-12)
+    # censored users produce no event rows
+    assert set(rows) == {2, 5}
+
+
+def test_kaplan_meier_monotone_on_real_data(spark, sf_dir):
+    rows = sorted(mlstats.ml_kaplan_meier(spark, sf_dir).collect(),
+                  key=lambda r: r.duration_days)
+    assert rows, "expected at least one churn event"
+    last = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= last + 1e-15  # non-increasing
+        assert 0 < r.n_events <= r.n_at_risk
+        last = r.survival

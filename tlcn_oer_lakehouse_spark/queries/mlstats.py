@@ -921,6 +921,109 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (user-retention survival curve)
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_SEC = 12 * 3600  # users active in the final 12h are censored
+# (the synthetic events cover ~30 days with median last-activity gap ~7h,
+#  so a 12h horizon yields a genuine mix of observed churn and censoring)
+
+
+def ml_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes: duration = days
+    between a user's first and last event; a user whose last activity
+    falls within the study's final 12 hours is right-CENSORED (still alive),
+    otherwise the churn event is observed.  S(t) = Π_{t_i ≤ t}
+    (1 − d_i / n_i) with d_i churn events and n_i the at-risk count at
+    each observed duration — THE classical estimator for retention with
+    incomplete observation, which the naive churn-rate ratio gets wrong.
+
+    Determinism: durations/counts are all-integer; each factor is one
+    double division; the running product folds in duration order in
+    both engines (windowed product over the same sorted frame), so the
+    curve is bit-identical.  Plan: one user-keyed aggregation, a
+    duration histogram, and windows over DISTINCT durations only (≤
+    study-span days — at 100 TB partition by cohort so each window
+    stays tiny)."""
+    from tlcn_oer_lakehouse_spark.queries.base import load_events
+
+    ev = load_events(spark, sf).select(
+        "user_id", F.col("ts_sec").alias("sec")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("sec").alias("mn"), F.max("sec").alias("mx")
+    )
+    study_end = per_user.agg(F.max("mx").alias("end_sec"),
+                             F.count(F.lit(1)).alias("n_users"))
+    users = (
+        per_user.crossJoin(F.broadcast(study_end))
+        .select(
+            F.expr("(mx - mn) div 86400").alias("duration_days"),
+            (F.col("mx") < F.col("end_sec") - F.lit(_KM_CENSOR_SEC))
+            .cast("int").alias("churned"),
+            "n_users",
+        )
+    )
+    hist = users.groupBy("duration_days", "n_users").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("churned").alias("n_events"),
+    )
+    w_prev = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = hist.withColumn(
+        "n_at_risk",
+        F.col("n_users") - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0)),
+    )
+    ev_rows = at_risk.filter(F.col("n_events") > 0).withColumn(
+        "factor",
+        F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_at_risk"),
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev_rows.select(
+        "duration_days", "n_at_risk", "n_events", "factor",
+        F.product("factor").over(w_cum).alias("survival"),
+    )
+
+
+KAPLAN_MEIER_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events
+),
+per_user AS (
+  SELECT user_id, MIN(sec) AS mn, MAX(sec) AS mx FROM ev GROUP BY user_id
+),
+study AS (SELECT MAX(mx) AS end_sec, COUNT(*) AS n_users FROM per_user),
+users AS (
+  SELECT (mx - mn) // 86400 AS duration_days,
+         CASE WHEN mx < end_sec - {_KM_CENSOR_SEC} THEN 1 ELSE 0 END AS churned,
+         n_users
+  FROM per_user CROSS JOIN study
+),
+hist AS (
+  SELECT duration_days, n_users, COUNT(*) AS n_total, SUM(churned) AS n_events
+  FROM users GROUP BY duration_days, n_users
+),
+at_risk AS (
+  SELECT *, n_users - COALESCE(SUM(n_total) OVER (ORDER BY duration_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM hist
+),
+ev_rows AS (
+  SELECT duration_days, n_at_risk, n_events,
+         1.0 - CAST(n_events AS DOUBLE) / n_at_risk AS factor
+  FROM at_risk WHERE n_events > 0
+)
+SELECT duration_days, n_at_risk, n_events, factor,
+       product(factor) OVER (ORDER BY duration_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS survival
+FROM ev_rows
+"""
+
+
 SPECS = [
     QuerySpec("ml_feature_scaling", ml_feature_scaling, FEATURE_SCALING_SQL,
               ref="scale op; the in-engine fit/transform split ahead of the "
@@ -979,5 +1082,11 @@ SPECS = [
               ref="scale op; PCA sufficient statistic — fixed-point exact "
                   "covariance moments in one aggregation pass",
               doc="8x8 embedding covariance block, deterministic fixed-point",
+              tags=("mlstats",)),
+    QuerySpec("ml_kaplan_meier", ml_kaplan_meier, KAPLAN_MEIER_SQL,
+              ref="scale op; Kaplan-Meier retention survival curve with "
+                  "right censoring — the estimator naive churn ratios get "
+                  "wrong under incomplete observation",
+              doc="survival S(t) over user lifetimes, censored final 12h",
               tags=("mlstats",)),
 ]
