@@ -460,3 +460,34 @@ def test_seasonal_decompose_reconstruction_identity(spark):
         n = sum(r.n_events for r in rs)
         assert abs(w / n) < 1e-6, t
         assert all(r.mean_abs_resid >= 0 for r in rs)
+
+
+def test_holt_forecast_matches_sequential_reference(spark):
+    """The distributed 28-step Holt fold must equal a plain sequential
+    implementation on the same daily series."""
+    import pytest
+
+    from tlcn_oer_lakehouse_spark.queries import windows as W
+    from tlcn_oer_lakehouse_spark.queries.base import load_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_events(spark, sf).select("event_type", "ts_sec", "value").toPandas()
+    d0 = ev["ts_sec"].min() // 86400
+    ev["day_idx"] = ev["ts_sec"] // 86400 - d0
+    ev = ev[ev["day_idx"] < W._HOLT_DAYS]
+    got = {r.event_type: r for r in W.ts_holt_forecast(spark, sf).collect()}
+    a, b = W._HOLT_ALPHA, W._HOLT_BETA
+    for etype, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day_idx")["value"].apply(
+            lambda s: float(sum(round(v * 100) for v in s)) / 100.0
+        )
+        y = [daily.get(k, 0.0) for k in range(W._HOLT_DAYS)]
+        lvl, trd = y[1], y[1] - y[0]
+        for t in range(2, W._HOLT_DAYS):
+            new_l = a * y[t] + (1 - a) * (lvl + trd)
+            trd = b * (new_l - lvl) + (1 - b) * trd
+            lvl = new_l
+        r = got[etype]
+        assert r.level == pytest.approx(lvl, rel=1e-12)
+        assert r.trend == pytest.approx(trd, rel=1e-9)
+        assert r.forecast_7d == pytest.approx(lvl + 7 * trd, rel=1e-9)

@@ -952,6 +952,109 @@ FROM prof p JOIN spread s ON p.event_type = s.event_type AND p.hour = s.hour
 
 
 # ---------------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing)
+# ---------------------------------------------------------------------------
+
+_HOLT_DAYS = 28
+_HOLT_ALPHA = 0.5   # dyadic: α·x is exact double scaling
+_HOLT_BETA = 0.25
+
+
+def ts_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear-trend method (double exponential smoothing) over
+    each event type's DAILY value totals: level/trend recursions
+    ℓ_t = α·y_t + (1−α)(ℓ+b), b_t = β(ℓ_t−ℓ) + (1−β)b, unrolled for a
+    fixed 28 days, forecasting 1/3/7 days ahead — the classic
+    workload-forecasting operator.
+
+    Determinism: daily y_t are decimal-exact sums (missing days → 0);
+    the smoothing constants are dyadic so every recursion step is exact
+    double scaling/addition with the SAME expression tree in both
+    engines; the whole trajectory therefore hash-matches.  Plan shape:
+    one (type, day) partial-agg groupBy, a 28-column pivot of the tiny
+    (types × 28) frame, then the fold as chained column expressions —
+    map-only after the single keyed shuffle."""
+    ev = load_events(spark, sf).select("event_type", "ts_sec", "value")
+    day0 = ev.agg(F.expr("min(ts_sec) div 86400").alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(day0))
+        .withColumn("day_idx", F.expr("ts_sec div 86400") - F.col("d0"))
+        .filter(F.col("day_idx") < _HOLT_DAYS)
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("y"))
+    )
+    wide = daily.groupBy("event_type").pivot(
+        "day_idx", list(range(_HOLT_DAYS))
+    ).sum("y")
+    for k in range(_HOLT_DAYS):
+        wide = wide.withColumn(f"y{k}", F.coalesce(F.col(f"{k}"), F.lit(0.0)))
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    dp = wide.withColumn("l1", F.col("y1")).withColumn(
+        "b1", F.col("y1") - F.col("y0")
+    )
+    for t in range(2, _HOLT_DAYS):
+        prev_l, prev_b = F.col(f"l{t-1}"), F.col(f"b{t-1}")
+        lt = F.lit(a) * F.col(f"y{t}") + F.lit(1 - a) * (prev_l + prev_b)
+        dp = dp.withColumn(f"l{t}", lt)
+        dp = dp.withColumn(
+            f"b{t}",
+            F.lit(b) * (F.col(f"l{t}") - prev_l) + F.lit(1 - b) * prev_b,
+        )
+    last = _HOLT_DAYS - 1
+    lvl, trd = F.col(f"l{last}"), F.col(f"b{last}")
+    return dp.select(
+        "event_type",
+        lvl.alias("level"),
+        trd.alias("trend"),
+        (lvl + F.lit(1.0) * trd).alias("forecast_1d"),
+        (lvl + F.lit(3.0) * trd).alias("forecast_3d"),
+        (lvl + F.lit(7.0) * trd).alias("forecast_7d"),
+    )
+
+
+def _holt_oracle() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    ys = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN day_idx = {k} THEN y END), 0.0) AS y{k}"
+        for k in range(_HOLT_DAYS)
+    )
+    steps = ["l1 AS (SELECT *, y1 AS l_1, y1 - y0 AS b_1 FROM wide)"]
+    for t in range(2, _HOLT_DAYS):
+        steps.append(
+            f"l{t} AS (SELECT *, "
+            f"{a} * y{t} + {1 - a} * (l_{t-1} + b_{t-1}) AS l_{t}, "
+            f"{b} * (({a} * y{t} + {1 - a} * (l_{t-1} + b_{t-1})) - l_{t-1})"
+            f" + {1 - b} * b_{t-1} AS b_{t} FROM l{t-1})"
+        )
+    last = _HOLT_DAYS - 1
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events
+),
+day0 AS (SELECT MIN(ts_sec) // 86400 AS d0 FROM ev),
+daily AS (
+  SELECT event_type, ts_sec // 86400 - d0 AS day_idx,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM ev CROSS JOIN day0
+  WHERE ts_sec // 86400 - d0 < {_HOLT_DAYS}
+  GROUP BY event_type, ts_sec // 86400 - d0
+),
+wide AS (
+  SELECT event_type,
+         {ys}
+  FROM daily GROUP BY event_type
+),
+{steps_sql}
+SELECT event_type, l_{last} AS level, b_{last} AS trend,
+       l_{last} + 1.0 * b_{last} AS forecast_1d,
+       l_{last} + 3.0 * b_{last} AS forecast_3d,
+       l_{last} + 7.0 * b_{last} AS forecast_7d
+FROM l{last}
+"""
+
+
+# ---------------------------------------------------------------------------
 # last-touch marketing attribution
 # ---------------------------------------------------------------------------
 
@@ -1111,6 +1214,12 @@ SPECS = [
                   "deterministic tie-broken ntiles",
               doc="recency/frequency/monetary quintiles + 3-digit segment",
               tags=("window",)),
+    QuerySpec("ts_holt_forecast", ts_holt_forecast, _holt_oracle(),
+              ref="scale op: Holt double-exponential-smoothing forecast "
+                  "(dyadic constants → exact doubles; 28-step trajectory "
+                  "fully oracle-replayed)",
+              doc="per-type daily level/trend + 1/3/7-day forecasts",
+              tags=("window", "timeseries")),
     QuerySpec("ts_seasonal_decompose", ts_seasonal_decompose, TS_SEASONAL_SQL,
               ref="scale op: hour-of-day seasonal decomposition (classical "
                   "additive model) — two partial-agg groupBys + one "
