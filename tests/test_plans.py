@@ -172,6 +172,8 @@ _BNLJ_ALLOWED = {
     "a_kmv_set_ops",          # 1-row sketch × 1-row exact counters
     "td_unigram_segment",     # 1-row vocab-total broadcast (cost denominator)
     "g_modularity",           # 1-row edge-total (m) broadcast
+    "ml_kaplan_meier",        # 1-row study-end/cohort-size broadcast
+    "ts_holt_forecast",       # 1-row first-day broadcast
 }
 
 
