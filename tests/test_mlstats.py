@@ -270,3 +270,22 @@ def test_kaplan_meier_monotone_on_real_data(spark, sf_dir):
         assert 0.0 <= r.survival <= last + 1e-15  # non-increasing
         assert 0 < r.n_events <= r.n_at_risk
         last = r.survival
+
+
+def test_lift_gain_identities(spark, sf_dir, events_pd):
+    rows = sorted(mlstats.ml_lift_gain(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n = len(events_pd)
+    npos = int((events_pd["event_type"] == "purchase").sum())
+    assert sum(r.n_rows for r in rows) == n
+    assert sum(r.d_pos for r in rows) == npos
+    assert rows[-1].cum_pos == npos
+    assert rows[-1].gain == pytest.approx(1.0, abs=1e-15)
+    # gains are non-decreasing; decile sizes within 1 of n/10
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains)
+    assert all(abs(r.n_rows - n / 10) <= 1 for r in rows)
+    # average of lifts weighted by decile size = 1
+    w = sum(r.lift * r.n_rows for r in rows) / n
+    assert w == pytest.approx(1.0, rel=1e-12)

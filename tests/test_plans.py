@@ -174,6 +174,7 @@ _BNLJ_ALLOWED = {
     "g_modularity",           # 1-row edge-total (m) broadcast
     "ml_kaplan_meier",        # 1-row study-end/cohort-size broadcast
     "ts_holt_forecast",       # 1-row first-day broadcast
+    "ml_lift_gain",           # 1-row corpus-totals broadcast
 }
 
 

@@ -131,6 +131,7 @@ _SAMPLE_LAST = frozenset({
     "w13_conversion_time_quantiles", "td_unigram_segment",
     "dedup_clusters_star", "g_label_propagation", "ml_covariance_block",
     "ts_seasonal_decompose", "ml_kaplan_meier", "ts_holt_forecast",
+    "ml_lift_gain",
 })
 
 

@@ -922,6 +922,79 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# decile lift / gain table (model-evaluation companion to ml_auc_roc)
+# ---------------------------------------------------------------------------
+
+
+def ml_lift_gain(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift & cumulative-gain table for score=``value`` against
+    label=``event_type='purchase'`` — the campaign-targeting readout AUC
+    alone doesn't give.  Rows rank by (score desc, event_id) — a TOTAL
+    order, so decile assignment is deterministic — deciles cut by
+    ``(rank−1)·10 div n``; per decile: size, positives, cumulative
+    positives, gain = cum_pos/total_pos, lift = decile rate / overall
+    rate.  Integer arithmetic until the final divisions.  Scale note: a
+    global rank is a single-partition sort of the scored rows — the
+    registered report form; the two-phase range-partition prefix sum
+    (ml_auc_roc) is the documented swap when the scored set is the
+    corpus itself."""
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("event_id").asc())
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    n_tot = ranked.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("pos").alias("n_pos"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn("decile", F.expr("(rn - 1) * 10 div n") + 1)
+        .groupBy("decile", "n", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("pos").alias("d_pos"))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = deciles.withColumn("cum_pos", F.sum("d_pos").over(w_cum))
+    return cum.select(
+        "decile", "n_rows", "d_pos", "cum_pos",
+        (F.col("cum_pos").cast("double") / F.col("n_pos")).alias("gain"),
+        ((F.col("d_pos").cast("double") / F.col("n_rows"))
+         / (F.col("n_pos").cast("double") / F.col("n"))).alias("lift"),
+    )
+
+
+LIFT_GAIN_SQL = """
+WITH ev AS (
+  SELECT event_id, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, event_id ASC) AS rn FROM ev
+),
+tot AS (SELECT COUNT(*) AS n, SUM(pos) AS n_pos FROM ev),
+deciles AS (
+  SELECT (rn - 1) * 10 // n + 1 AS decile, n, n_pos,
+         COUNT(*) AS n_rows, SUM(pos) AS d_pos
+  FROM ranked CROSS JOIN tot
+  GROUP BY (rn - 1) * 10 // n + 1, n, n_pos
+),
+cum AS (
+  SELECT *, SUM(d_pos) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+  FROM deciles
+)
+SELECT decile, n_rows, d_pos, cum_pos,
+       CAST(cum_pos AS DOUBLE) / n_pos AS gain,
+       (CAST(d_pos AS DOUBLE) / n_rows) / (CAST(n_pos AS DOUBLE) / n) AS lift
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
 # Kaplan-Meier survival estimator (user-retention survival curve)
 # ---------------------------------------------------------------------------
 
@@ -1082,6 +1155,11 @@ SPECS = [
               ref="scale op; PCA sufficient statistic — fixed-point exact "
                   "covariance moments in one aggregation pass",
               doc="8x8 embedding covariance block, deterministic fixed-point",
+              tags=("mlstats",)),
+    QuerySpec("ml_lift_gain", ml_lift_gain, LIFT_GAIN_SQL,
+              ref="scale op; decile lift/gain targeting table — the "
+                  "model-eval readout AUC alone doesn't give",
+              doc="per-decile size/positives/cumulative gain/lift",
               tags=("mlstats",)),
     QuerySpec("ml_kaplan_meier", ml_kaplan_meier, KAPLAN_MEIER_SQL,
               ref="scale op; Kaplan-Meier retention survival curve with "
