@@ -112,8 +112,8 @@ WITH stats AS (
   SELECT *, sqrt(e2 - mean_price * mean_price) AS std_price FROM stats
 )
 SELECT li.l_returnflag, s.n, s.mean_price, s.std_price, s.min_price, s.max_price,
-       SUM(CASE WHEN abs((li.l_extendedprice - s.mean_price) / s.std_price) > 2.0
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(SUM(CASE WHEN abs((li.l_extendedprice - s.mean_price) / s.std_price) > 2.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM lineitem li JOIN stats2 s ON li.l_returnflag = s.l_returnflag
 GROUP BY li.l_returnflag, s.n, s.mean_price, s.std_price, s.min_price, s.max_price
 """
@@ -266,7 +266,8 @@ WITH cm AS (
                CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS l
         FROM orders)
 )
-SELECT tp, fp, fn, tn,
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
        CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
        CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
        CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
@@ -359,7 +360,7 @@ WITH hist AS (
          SUM(pos_cnt) AS npos, SUM(cnt) AS n
   FROM ranked
 )
-SELECT npos, n - npos AS nneg,
+SELECT CAST(npos AS BIGINT) AS npos, CAST(n - npos AS BIGINT) AS nneg,
        CAST(sumr2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * (n - npos)) AS auc,
        2.0 * (CAST(sumr2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * (n - npos))) - 1.0 AS gini
 FROM a
@@ -547,7 +548,7 @@ SELECT sk.k_used,
        CASE WHEN sk.k_used < {_KMV_K} THEN CAST(sk.k_used AS DOUBLE)
             ELSE {float(_KMV_K - 1)} * {_HASH_SPACE} / CAST(sk.hk + 1 AS DOUBLE)
        END AS est_intersection,
-       ex.exact_intersection
+       CAST(ex.exact_intersection AS BIGINT) AS exact_intersection
 FROM sk CROSS JOIN ex
 """
 
@@ -907,7 +908,7 @@ WITH m AS (
          CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE) AS q2
   FROM events WHERE event_type IN ('click', 'purchase')
 )
-SELECT n1, n2,
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        s1 / n1 AS mean_a, s2 / n2 AS mean_b,
        (q1 - s1 * s1 / n1) / (n1 - 1) AS var_a,
        (q2 - s2 * s2 / n2) / (n2 - 1) AS var_b,
@@ -987,7 +988,8 @@ cum AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
   FROM deciles
 )
-SELECT decile, n_rows, d_pos, cum_pos,
+SELECT decile, n_rows, CAST(d_pos AS BIGINT) AS d_pos,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
        CAST(cum_pos AS DOUBLE) / n_pos AS gain,
        (CAST(d_pos AS DOUBLE) / n_rows) / (CAST(n_pos AS DOUBLE) / n) AS lift
 FROM cum
@@ -1086,7 +1088,8 @@ at_risk AS (
   FROM hist
 ),
 ev_rows AS (
-  SELECT duration_days, n_at_risk, n_events,
+  SELECT duration_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+         CAST(n_events AS BIGINT) AS n_events,
          1.0 - CAST(n_events AS DOUBLE) / n_at_risk AS factor
   FROM at_risk WHERE n_events > 0
 )

@@ -532,7 +532,7 @@ running AS (
   FROM agg
 )
 SELECT event_type,
-       MAX(active) AS peak_concurrent,
+       CAST(MAX(active) AS BIGINT) AS peak_concurrent,
        COUNT(*) AS n_boundary_instants
 FROM running GROUP BY event_type ORDER BY event_type
 """
