@@ -197,20 +197,20 @@ def test_registry_wide_no_accidental_cross_products(spark):
 
 def test_priority_queries_inside_driver_window():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Every query needing a fresh driver row this round — the 8
-    events-loader repairs plus all round-4 additions — must sort inside
-    that window, or it silently goes unverified."""
-    from tlcn_oer_lakehouse_spark.queries import REGISTRY, _REPAIRED_FIRST
+    entries. Every query needing a fresh driver row this round — the 9
+    changed-since-green re-verifies plus every never-driver-sampled
+    query — must sort inside that window, or it silently goes
+    unverified."""
+    from tlcn_oer_lakehouse_spark.queries import (
+        REGISTRY,
+        _DRIVER_GREEN_R04,
+        _REVERIFY_FIRST,
+    )
 
     order = list(REGISTRY)
     window = set(order[:50])
-    needs_row = set(_REPAIRED_FIRST) | {
-        "s8_inferred_reference", "mm_wav_decode", "mm_image_decode",
-        "mm_wav_windows", "td_pipeline_e2e", "a_countmin_sketch",
-        "td_bloom_contamination", "ann_pq_adc", "ts_subsequence_search",
-        "j_fuzzy_deletion", "w5_funnel", "td_weighted_sample",
-        "a_hll_sketch", "g_pagerank", "w6_cohort_retention", "w7_event_transitions", "w8_activity_streaks",
-    }
+    never_sampled = set(order) - _DRIVER_GREEN_R04 - set(_REVERIFY_FIRST)
+    needs_row = set(_REVERIFY_FIRST) | never_sampled
     missing = needs_row - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
 
