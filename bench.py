@@ -13,6 +13,15 @@ Fault isolation: every query (and every stage probe) runs inside its own
 try/except — a failing builder costs one ``{"err": ...}`` row in the
 output, never the whole JSON line.  Round 3 lost its entire perf signal
 because one broken loader aborted the loop before anything printed.
+
+Median timing (VERDICT r04 #3): a one-shot timing whipsaws ±40% with
+host load (r04 measured 10.0 s for a query whose own stage probe read
+4.3 s in the same process).  Each query now runs once un-timed (JVM
+codegen + parquet-footer warmup) then ``RUNS`` timed repetitions;
+``queries`` reports the per-query MEDIAN, ``queries_min`` the best
+case (closest to a quiet host), and ``value`` the sum of medians.
+Any persisted intermediates left by a builder are dropped between
+queries so repetitions don't accumulate executor-memory cache.
 """
 
 from __future__ import annotations
@@ -28,29 +37,37 @@ from tlcn_oer_lakehouse_spark.queries import REGISTRY
 from tlcn_oer_lakehouse_spark.session import get_spark
 
 
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
     bench_specs = {n: s for n, s in sorted(REGISTRY.items()) if "bench" in s.tags}
 
-    # warm the JVM + parquet footers once with the cheapest query
-    try:
-        first = next(iter(bench_specs.values()))
-        first.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass  # warmup is best-effort; the timed run below reports the error
-
     timings: dict[str, object] = {}
+    minimums: dict[str, float] = {}
     errors = 0
     for name, spec in bench_specs.items():
-        t0 = time.perf_counter()
         try:
+            # one un-timed warmup: JVM codegen, parquet footers, broadcast
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            reps: list[float] = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                reps.append(time.perf_counter() - t0)
+            reps.sort()
+            timings[name] = round(reps[len(reps) // 2], 4)
+            minimums[name] = round(reps[0], 4)
         except Exception as exc:  # noqa: BLE001 — one row, not the round
             errors += 1
             timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+        finally:
+            # builders that persist intermediates (dedup, graph, auc)
+            # must not accumulate cache across queries/repetitions
+            spark.catalog.clearCache()
 
     try:
         stages = _stage_timings(spark, sf_dir)
@@ -63,7 +80,9 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "runs": RUNS,
         "queries": timings,
+        "queries_min": minimums,
         "stages": stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
