@@ -134,12 +134,15 @@ def test_changes_stream_matches_batch_feed(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out)
     head = max(v for v in t._all_version_nums())
-    want = t.read_changes(0, None)
+    # default start is -1 (exclusive): the feed includes commit v0 —
+    # the CREATE's 1000 insert rows — like the batch feed opened at -1
+    want = t.read_changes(-1, None)
     assert got.count() == want.count()
     by_type = {r["_change_type"]: r["n"] for r in
                got.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
-    assert by_type["insert"] == 3  # the second upsert's new keys
+    assert by_type["insert"] == 1003  # create's 1000 + second upsert's 3
     assert by_type["update_preimage"] == by_type["update_postimage"] == 5
+    assert got.agg(F.min("_commit_version")).collect()[0][0] == 0
     assert got.agg(F.max("_commit_version")).collect()[0][0] == head
 
 
@@ -309,3 +312,62 @@ def test_stream_writer_epoch_marker_blocks_double_commit(spark, tmp_path):
     commit_epoch(w2, 1)  # genuinely new epoch
     t = ParquetMergeTable(spark, path, key="id")
     assert t.read().count() == 4  # epochs 0 and 1 once each, no triple
+
+
+def test_changes_stream_default_start_includes_version_zero(spark, tmp_path):
+    """A py-written table logs its first CDF inserts at commit version 0;
+    the change-feed default (since_version=-1, exclusive) must deliver
+    them without the caller knowing the versioning convention."""
+    path = str(tmp_path / "v0")
+    _write(_df(spark, 25), path, "append")  # creates the table at v0
+    out, ckpt = str(tmp_path / "v0o"), str(tmp_path / "v0c")
+    q = (spark.readStream.format("oer_mergetable_changes")
+         .option("path", path).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 25
+    assert got.agg(F.min("_commit_version")).collect()[0][0] == 0
+
+
+def test_writer_append_same_names_different_type_raises(spark, tmp_path):
+    """The append guard compares (name, type) pairs from the parquet
+    footers — a same-named column at a different physical type must not
+    publish a mixed-schema snapshot."""
+    path = str(tmp_path / "wt")
+    _write(_df(spark, 50), path, "append")
+    bad = _df(spark, 5).withColumn("val", F.col("val").cast("int"))
+    with pytest.raises(Exception, match="does not match"):
+        _write(bad, path, "append")
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 50  # failed commit did not advance the head
+
+
+def test_stream_epoch_replay_after_vacuum_does_not_double_append(spark, tmp_path):
+    """Epoch markers ride forward into every newer snapshot, so dropping
+    old version dirs with vacuum() cannot erase the exactly-once ledger
+    a replayed epoch is checked against."""
+    import pyarrow as pa
+
+    from tlcn_oer_lakehouse_spark.sources.pyds import _MergeTableStreamWriter
+
+    path = str(tmp_path / "vac")
+
+    def commit_epoch(writer, epoch, lo):
+        batch = pa.record_batch({"id": pa.array([lo, lo + 1], type=pa.int64())})
+        msg = writer.write(iter([batch]))
+        writer.commit([msg], epoch)
+
+    w1 = _MergeTableStreamWriter({"path": path})
+    commit_epoch(w1, 0, 10)
+    commit_epoch(w1, 1, 20)
+    commit_epoch(w1, 2, 30)
+    t = ParquetMergeTable(spark, path, key="id")
+    # keep_last counts retained NON-head versions: drop both, so the
+    # only surviving ledger copy is the head's forwarded markers
+    assert t.vacuum(keep_last=0) == 2  # epoch-0/1 version dirs are gone
+    w2 = _MergeTableStreamWriter({"path": path})  # restarted query
+    commit_epoch(w2, 0, 10)  # replay of a vacuumed epoch
+    commit_epoch(w2, 1, 20)
+    assert t.read().count() == 6  # three epochs, once each

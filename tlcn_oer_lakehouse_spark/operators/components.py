@@ -285,6 +285,17 @@ def k_core(
             .join(keep_v, "v", "left_semi")
             .localCheckpoint()
         )
+    else:
+        # Silently returning pre-fixpoint degrees would over-report the
+        # core (same failure mode connected_components raises on).  Each
+        # peel removes ≥1 node, so rounds are bounded by the node count;
+        # hitting the budget means the caller sized max_rounds too small
+        # for the graph, not that the loop cannot finish.
+        raise RuntimeError(
+            f"k_core did not reach its fixpoint in {max_rounds} rounds; "
+            "raise max_rounds (each round removes at least one node, so "
+            "the fixpoint is at most n rounds away)"
+        )
     return (
         deg.filter(F.col("core_degree") >= k)
         .select(F.col("u").alias("node"), "core_degree")

@@ -494,7 +494,10 @@ def g_kcore(spark: SparkSession, sf: str) -> DataFrame:
     rounds.  The oracle unrolls 8 peeling rounds; because the k-core
     fixpoint is unique and peeling is idempotent at the fixpoint, extra
     unrolled rounds are no-ops and Spark's converge-then-stop loop
-    yields the identical node set and degrees."""
+    yields the identical node set and degrees.  The Spark loop gets the
+    SAME round budget as the oracle's unroll: k_core raises on budget
+    exhaustion, so a slower-converging graph fails loudly instead of
+    hash-mismatching a pre-fixpoint oracle."""
     from tlcn_oer_lakehouse_spark.operators.components import k_core
 
     li = (
@@ -509,7 +512,7 @@ def g_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
-    return k_core(pairs, _KCORE_K).orderBy("node")
+    return k_core(pairs, _KCORE_K, max_rounds=_KCORE_ROUNDS).orderBy("node")
 
 
 def _kcore_oracle() -> str:

@@ -351,14 +351,31 @@ class _MergeTableWriter(DataSourceArrowWriter):
             if old_files and written:
                 import pyarrow.parquet as pq
 
-                old_cols = tuple(pq.read_schema(old_files[0]).names)
-                if set(old_cols) != set(written[0].columns):
+                # compare (name, type) pairs from the parquet footers, not
+                # just name sets — a same-named column written at a
+                # different type (id as int32) would otherwise publish a
+                # snapshot with mixed per-file schemas that later reads
+                # fail on or silently coerce
+                old_schema = pq.read_schema(old_files[0])
+                new_schema = pq.read_schema(
+                    os.path.join(self._staging, written[0].filename)
+                )
+                old_sig = {f.name: f.type for f in old_schema}
+                new_sig = {f.name: f.type for f in new_schema}
+                if old_sig != new_sig:
                     raise ValueError(
-                        f"append schema {written[0].columns} does not match "
-                        f"table schema {old_cols}"
+                        f"append schema {sorted(new_sig.items(), key=str)} "
+                        "does not match table schema "
+                        f"{sorted(old_sig.items(), key=str)}"
                     )
             for f in old_files:
                 os.link(f, os.path.join(self._staging, os.path.basename(f)))
+            # a batch append between stream epochs must not orphan the
+            # stream writer's exactly-once ledger (see
+            # _MergeTableStreamWriter.commit) — carry markers forward
+            for marker in os.listdir(snap):
+                if marker.startswith("_epoch_"):
+                    open(os.path.join(self._staging, marker), "w").close()
         if self._overwrite:
             # physical-only commit — same CDF semantics as create()
             ch = os.path.join(self._staging, "_changes")
@@ -386,7 +403,11 @@ class _MergeTableStreamWriter(DataSourceStreamArrowWriter):
     in a retained version dir and discards the replayed files instead of
     double-appending: the marker IS the idempotence ledger, and it rides
     inside the atomically-published snapshot so there is no window where
-    data landed but the marker did not."""
+    data landed but the marker did not.  Every commit (stream epoch or
+    batch append) copies the head's ``_epoch_*`` markers forward, so the
+    newest snapshot carries the complete ledger and ``vacuum()`` —
+    which retains the newest versions — never deletes the only copy of
+    an epoch's marker."""
 
     def __init__(self, options: dict) -> None:
         if "path" not in options:
@@ -479,6 +500,14 @@ class _MergeTableStreamWriter(DataSourceStreamArrowWriter):
                         "not supported"
                     )
                 os.link(f, os.path.join(staging, os.path.basename(f)))
+            # carry the epoch ledger forward: the newest snapshot always
+            # holds EVERY committed epoch marker, so vacuum() — which
+            # keeps the newest versions — cannot drop the idempotence
+            # record an old version dir held, and a post-vacuum epoch
+            # replay is still detected instead of double-appending
+            for name in os.listdir(head):
+                if name.startswith("_epoch_"):
+                    open(os.path.join(staging, name), "w").close()
         for m in written:
             os.rename(os.path.join(self._pending, m.filename),
                       os.path.join(staging, m.filename))
@@ -534,7 +563,12 @@ class _ChangesStreamReader(DataSourceStreamReader):
         if "path" not in options:
             raise ValueError("oer_mergetable_changes requires .option('path', ...)")
         self._path = options["path"]
-        self._since = int(options.get("since_version", 0))
+        # since_version is an EXCLUSIVE start; the default -1 therefore
+        # includes commit version 0.  Tables created by the python
+        # batch/stream writers log CDF inserts at v0 (unlike
+        # ParquetMergeTable.create, which is physical-only), so a 0
+        # default would silently skip a py-written table's first commit.
+        self._since = int(options.get("since_version", -1))
         self._arrow_schema = self._infer_changes_schema()
 
     def _all_versions(self) -> list[int]:
@@ -616,7 +650,9 @@ class _ChangesStreamReader(DataSourceStreamReader):
 class MergeTableChangesDataSource(DataSource):
     """``spark.readStream.format("oer_mergetable_changes")`` — tail a
     merge table's change feed; options: ``path`` (required),
-    ``since_version`` (exclusive start, default 0)."""
+    ``since_version`` (EXCLUSIVE start version; default -1, i.e.
+    deliver from commit version 0 — py-written tables log their first
+    CDF rows at v0)."""
 
     @classmethod
     def name(cls) -> str:
