@@ -141,3 +141,56 @@ def test_label_propagation_separates_cliques(spark, tmp_path, monkeypatch):
         for r in g_label_propagation(spark, str(d)).collect()
     )
     assert [(n, m) for _, n, m in rows] == [(5, 1), (5, 11)]
+
+
+def test_lpa_converged_barbell_needs_more_than_four_rounds(spark):
+    """Barbell fixture (two 4-cliques joined by a 6-node chain): the
+    fixpoint lands after 7 synchronous rounds, so the fixed-4-round
+    trajectory provably under-converges — the converged operator must
+    push past it and return exactly two communities (one per clique
+    side, chain absorbed)."""
+    import itertools
+
+    from pyspark.sql import Window as W
+
+    from tlcn_oer_lakehouse_spark.operators.components import label_propagation
+
+    clique_a = list(itertools.combinations(range(4), 2))
+    clique_b = list(itertools.combinations(range(50, 54), 2))
+    chain = [10, 11, 12, 13, 14, 15]
+    path = ([(3, chain[0])]
+            + list(zip(chain, chain[1:]))
+            + [(chain[-1], 50)])
+    edges = _pairs(spark, [(int(u), int(v)) for u, v in clique_a + clique_b + path])
+
+    converged = {r.node: r.label for r in label_propagation(edges, max_rounds=10).collect()}
+
+    # replay exactly 4 synchronous rounds (the trajectory query's rule)
+    p = edges.select("u", "v").distinct()
+    sym = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node"))
+    for _ in range(4):
+        counts = (sym.join(labels, sym.v == labels.node)
+                  .groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt")))
+        w = W.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        labels = (counts.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("u").alias("node"), "label").localCheckpoint())
+    four_rounds = {r.node: r.label for r in labels.collect()}
+
+    assert four_rounds != converged  # 4 rounds demonstrably under-converge
+    # converged state is a fixpoint: one more round changes nothing
+    assert len(set(converged.values())) == 2  # the two clique communities
+
+
+def test_lpa_raises_on_budget_exhaustion(spark):
+    """A lone edge oscillates under synchronous updates (the two labels
+    swap forever) — the operator must raise, never return the
+    mid-oscillation labeling."""
+    import pytest as _pytest
+
+    from tlcn_oer_lakehouse_spark.operators.components import label_propagation
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(_pairs(spark, [(1, 2)]), max_rounds=6)

@@ -21,7 +21,7 @@ labels) — a scalar to the driver, never data."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -391,3 +391,75 @@ def connected_components_star(
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """(node, label) via synchronous label propagation (Raghavan et al.
+    2007) run UNTIL CONVERGENCE: every node adopts its neighbors' most
+    frequent label each round (count ties → smallest label), stopping
+    at the first round that changes zero labels.  This is the operator
+    a user reaches for — the fixed-round trajectory variant
+    (queries/textops.py:g_label_propagation) exists as an oracle-exact
+    replay, but its result is only meaningful if the round count covers
+    the graph's actual mixing time.
+
+    Per round: one symmetric-edge join + one (node, label) count + one
+    per-node argmax window + one changed-label count — all keyed
+    shuffles, linear in edges, with a per-round ``localCheckpoint``
+    (same plan-depth rationale as :func:`connected_components`).  The
+    changed count is an O(1) driver scalar per round, k-means-shaped.
+
+    Synchronous LPA can oscillate on symmetric structures (a lone edge
+    flips its two labels forever), so a fixpoint is not guaranteed in
+    general: like :func:`connected_components`, budget exhaustion
+    RAISES rather than returning a mid-oscillation labeling.
+    """
+    p = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).distinct()
+    edges = (
+        p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        counts = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        new_labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label_propagation did not converge in {max_rounds} rounds — "
+            "the graph's mixing time exceeds the budget, or synchronous "
+            "updates are oscillating; raise max_rounds, or use the "
+            "fixed-round trajectory variant if a bounded-round labeling "
+            "is acceptable"
+        )
+    return labels

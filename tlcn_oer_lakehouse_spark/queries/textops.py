@@ -621,6 +621,74 @@ GROUP BY label"""
     )
 
 
+_LPA_CONV_BUDGET = 10  # ≥ measured fixpoint (5 rounds at sf0.01, 3 at sf0.001)
+
+
+def g_lpa_converged(spark: SparkSession, sf: str) -> DataFrame:
+    """Until-convergence label propagation — the operator a user
+    actually reaches for (operators/components.py:label_propagation):
+    same per-round update as :func:`g_label_propagation` (most frequent
+    neighbor label, ties → smallest) but iterated to the first round
+    with zero label changes, raising on budget exhaustion instead of
+    returning a mid-trajectory labeling.  The fixed-4-round variant
+    provably under-converges on this graph at sf0.01 (fixpoint after 5
+    rounds); this query returns the actual fixpoint communities.
+
+    Oracle: unrolls the FULL round budget — at a fixpoint the update
+    reproduces itself, so extra unrolled rounds are no-ops and the
+    Spark converge-then-stop loop yields the identical labeling; a
+    graph needing more rounds than the shared budget raises Spark-side
+    (loud) rather than hash-mismatching (silent)."""
+    from tlcn_oer_lakehouse_spark.operators.components import label_propagation
+
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    labels = label_propagation(pairs, max_rounds=_LPA_CONV_BUDGET)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.min("node").alias("min_member"))
+        .select(F.col("label").alias("community"), "n_members", "min_member")
+    )
+
+
+def _lpa_converged_oracle() -> str:
+    ctes = [
+        """li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)""",
+        """pairs AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)""",
+        "edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges)",
+    ]
+    for i in range(1, _LPA_CONV_BUDGET + 1):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT e.u, l.label, COUNT(*) AS cnt
+  FROM edges e JOIN l{i - 1} l ON e.v = l.node
+  GROUP BY e.u, l.label)""")
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}) WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT label AS community, COUNT(*) AS n_members, MIN(node) AS min_member
+FROM l{_LPA_CONV_BUDGET}
+GROUP BY label"""
+    )
+
+
 def g_modularity(spark: SparkSession, sf: str) -> DataFrame:
     """Newman modularity of the brand partition over the co-purchase
     graph: per community c, Q_c = e_c/m − (d_c/2m)² (intra-edge fraction
@@ -868,6 +936,12 @@ SPECS = [
                   "(Raghavan et al. 2007), fixed rounds, all-integer — "
                   "full trajectory oracle-replayed",
               doc="LPA community summary after 4 deterministic rounds",
+              tags=("graph",)),
+    QuerySpec("g_lpa_converged", g_lpa_converged, _lpa_converged_oracle(),
+              ref="scale op: LPA run to its fixpoint (zero label changes) "
+                  "with a raise on budget exhaustion — the production "
+                  "variant of the fixed-round trajectory query",
+              doc="LPA community summary at the converged fixpoint",
               tags=("graph",)),
     QuerySpec("g_modularity", g_modularity, MODULARITY_SQL,
               ref="scale op: Newman modularity of the brand partition — the "
