@@ -698,3 +698,110 @@ class TestWavQuadrature:
 
         rows = wav_quadrature_features(df).collect()
         assert rows[0].window_no == -1 and rows[0].p_dc == -1
+
+
+class TestMp4Codec:
+    """ISO BMFF container: box-tree walk + sample-table expansion
+    (functions/mp4io.py) and the mp4_frame_features operator."""
+
+    def _frames(self, n=4, w=16, h=8):
+        import numpy as np
+
+        from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+
+        out = []
+        for f in range(n):
+            vals = np.array([[(f * 37 + j * 11) % 256 for j in range(w // 8)]],
+                            dtype=np.int64)
+            px = np.kron(vals, np.ones((h, 8), dtype=np.int64)).astype(np.uint8)
+            out.append(write_jpeg(px, quality=50))
+        return out
+
+    def test_round_trip_bytes_exact(self):
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        frames = self._frames(5)
+        meta = read_mp4(write_mp4_mjpeg(frames, 16, 8, fps=25, sync_every=3))
+        assert meta["codec"] == "jpeg"
+        assert (meta["width"], meta["height"]) == (16, 8)
+        assert meta["timescale"] == 25 and meta["duration"] == 5
+        assert meta["frames"] == frames  # byte-exact sample extraction
+        assert [s["dts"] for s in meta["samples"]] == [0, 1, 2, 3, 4]
+        assert [s["sync"] for s in meta["samples"]] == [
+            True, False, False, True, False]
+
+    def test_sample_offsets_are_absolute_and_ordered(self):
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        frames = self._frames(3)
+        buf = write_mp4_mjpeg(frames, 16, 8)
+        meta = read_mp4(buf)
+        for s, f in zip(meta["samples"], frames):
+            assert buf[s["offset"]:s["offset"] + s["size"]] == f
+
+    def test_malformed_payloads_raise(self):
+        import pytest as _pytest
+
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        with _pytest.raises(ValueError, match="ftyp"):
+            read_mp4(b"RIFF\x00\x00\x00\x00AVI ")
+        buf = bytearray(write_mp4_mjpeg(self._frames(2), 16, 8))
+        with _pytest.raises(ValueError):
+            read_mp4(bytes(buf[:40]))  # truncated inside mdat
+
+    def test_missing_sample_table_raises(self):
+        import struct
+
+        from tlcn_oer_lakehouse_spark.functions.mp4io import read_mp4
+
+        # ftyp + empty moov: every required box missing
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        moov = struct.pack(">I", 8) + b"moov"
+        try:
+            read_mp4(ftyp + moov)
+            raise AssertionError("should have raised")
+        except ValueError as e:
+            assert "missing required box" in str(e)
+
+    def test_unsupported_codec_yields_metadata_row(self, spark):
+        """An avc1 track parses at the container level but has no pure-
+        Python pixel decoder — the operator must surface the parsed
+        metadata with decode_status='unsupported_codec', not die."""
+        from tlcn_oer_lakehouse_spark.functions.mp4io import write_mp4_mjpeg
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            mp4_frame_features,
+        )
+
+        buf = bytearray(write_mp4_mjpeg(self._frames(2), 16, 8))
+        idx = bytes(buf).find(b"jpeg", 200)  # the stsd sample-entry fourcc
+        buf[idx:idx + 4] = b"avc1"
+        df = spark.createDataFrame([(1, bytes(buf))],
+                                   "doc_id long, payload binary")
+        rows = mp4_frame_features(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.decode_status == "unsupported_codec"
+        assert (r.width, r.height, r.n_frames) == (16, 8, 2)
+
+    def test_operator_frame_sampling(self, spark):
+        from tlcn_oer_lakehouse_spark.functions.mp4io import write_mp4_mjpeg
+        from tlcn_oer_lakehouse_spark.operators.multimodal import (
+            mp4_frame_features,
+        )
+
+        buf = write_mp4_mjpeg(self._frames(8), 16, 8)
+        df = spark.createDataFrame([(1, buf)], "doc_id long, payload binary")
+        rows = mp4_frame_features(df, n_sample=4).collect()
+        assert [r.frame_no for r in rows] == [0, 2, 4, 6]
+        assert all(r.decode_status == "ok" for r in rows)
+        assert all(r.n_frames == 8 for r in rows)

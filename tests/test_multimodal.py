@@ -46,6 +46,14 @@ def test_decode_stub_raises(docs):
         decode_asset(docs, "image")
 
 
+def test_descope_gate_names_rationale(docs):
+    """webp/mp3 are formally de-scoped (COVERAGE.md) — the gate must say
+    where the rationale lives and what IS implemented."""
+    for kind in ("webp", "mp3"):
+        with pytest.raises(NotImplementedError, match="de-scoped.*COVERAGE"):
+            decode_asset(docs, kind)
+
+
 def test_fake_features_schema_and_values(docs):
     feats = fake_image_features(docs, "doc_id")
     assert [f.name for f in feats.schema.fields] == [

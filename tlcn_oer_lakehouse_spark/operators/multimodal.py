@@ -110,10 +110,22 @@ def decode_asset(df: DataFrame, kind: str) -> DataFrame:
         return image_features(df)
     if kind == "avi":
         return video_frame_features(df)
+    if kind == "mp4":
+        return mp4_frame_features(df)
+    # webp and mp3 are FORMALLY DE-SCOPED for pure-Python pixel/sample
+    # decode (COVERAGE.md): webp requires the VP8 boolean arithmetic
+    # decoder + loop filter, mp3 the polyphase/MDCT synthesis filterbank
+    # — both are DSP engines, not container walks, and a from-spec
+    # Python implementation would be neither fast enough to run inside
+    # an executor batch nor independently verifiable by a closed-form
+    # oracle the way the DC-only JPEG path is.  The container/framing
+    # layer of the family IS implemented for real (RIFF/AVI, ISO BMFF
+    # MP4 with full sample tables); swap in PIL/librosa/pyav on a
+    # cluster image for the pixel/sample step — same mapInPandas shape.
     raise NotImplementedError(
-        f"real {kind} decode requires codec libraries not present in this "
-        "container; pdf/wav/pgm/ppm/png/jpeg/gif/avi decode for real, and "
-        "fake_image_features/frame_sample cover the byte-level path"
+        f"real {kind} decode is de-scoped in pure Python (see COVERAGE.md): "
+        "pdf/wav/pgm/ppm/png/jpeg/gif/avi/mp4 decode for real; webp/mp3 "
+        "need a codec library (PIL/librosa) on the cluster image"
     )
 
 
@@ -527,6 +539,90 @@ def video_frame_features(
         schema=(
             f"{id_col} long, frame_no int, width int, height int, "
             "mean_luma double, n_frames int, decode_status string"
+        ),
+    )
+
+
+def mp4_frame_features(
+    df: DataFrame, id_col: str = "doc_id", n_sample: int | None = None
+) -> DataFrame:
+    """REAL MP4 frame sampling: ISO BMFF box-tree walk + sample-table
+    expansion (functions/mp4io.py: stts/stsc/stsz/stco/stss) → per-frame
+    baseline-JPEG decode (functions/jpegio.py) for ``'jpeg'``-codec
+    tracks — the MJPEG-in-MP4 twin of :func:`video_frame_features`,
+    plus the columns only the MP4 sample tables can provide:
+    ``is_sync`` (stss keyframe flag — the "seek to keyframes only"
+    primitive) and ``dts`` (decode timestamp in track timescale ticks).
+
+    Tracks whose codec has no pure-Python pixel decoder (avc1/hvc1)
+    yield a ``decode_status='unsupported_codec'`` row carrying the
+    container metadata that DID parse — at scale that is the honest
+    behavior: the sampling/indexing layer works on any MP4, the pixel
+    step is pluggable."""
+    from tlcn_oer_lakehouse_spark.functions.jpegio import read_jpeg
+    from tlcn_oer_lakehouse_spark.functions.mp4io import read_mp4
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in (
+                    "id", "fno", "w", "h", "luma", "total", "sync", "dts",
+                    "stat",
+                )
+            }
+
+            def emit(i, fno, w, h, luma, total, sync, dts, stat):
+                rows["id"].append(i)
+                rows["fno"].append(fno)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["luma"].append(luma)
+                rows["total"].append(total)
+                rows["sync"].append(sync)
+                rows["dts"].append(dts)
+                rows["stat"].append(stat)
+
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    meta = read_mp4(bytes(p))
+                    n_total = meta["n_frames"]
+                    if meta["codec"] != "jpeg":
+                        emit(i, -1, meta["width"], meta["height"], 0.0,
+                             n_total, False, -1, "unsupported_codec")
+                        continue
+                    if n_sample is None or n_sample >= n_total:
+                        idxs = list(range(n_total))
+                    else:
+                        idxs = sorted({f * n_total // n_sample
+                                       for f in range(n_sample)})
+                    for fno in idxs:
+                        s = meta["samples"][fno]
+                        arr = read_jpeg(meta["frames"][fno])
+                        emit(i, fno, arr.shape[1], arr.shape[0],
+                             float(arr.mean()), n_total, s["sync"],
+                             s["dts"], "ok")
+                except Exception:  # noqa: BLE001 — bad payload ≠ dead task
+                    emit(i, -1, 0, 0, 0.0, 0, False, -1, "error")
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["id"], dtype="int64"),
+                    "frame_no": pd.Series(rows["fno"], dtype="int32"),
+                    "width": pd.Series(rows["w"], dtype="int32"),
+                    "height": pd.Series(rows["h"], dtype="int32"),
+                    "mean_luma": pd.Series(rows["luma"], dtype="float64"),
+                    "n_frames": pd.Series(rows["total"], dtype="int32"),
+                    "is_sync": pd.Series(rows["sync"], dtype="bool"),
+                    "dts": pd.Series(rows["dts"], dtype="int64"),
+                    "decode_status": pd.Series(rows["stat"], dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _frames,
+        schema=(
+            f"{id_col} long, frame_no int, width int, height int, "
+            "mean_luma double, n_frames int, is_sync boolean, dts long, "
+            "decode_status string"
         ),
     )
 

@@ -118,7 +118,20 @@ def _train(
 ) -> tuple[list[tuple], DataFrame]:
     """Run the merge-learning loop.  Returns (merge list, final vocab) —
     the vocab frame keeps (word, freq, enc) so the trained segmentation
-    is directly joinable by the tokenize-apply step."""
+    is directly joinable by the tokenize-apply step.
+
+    Scale bound (stated, not hidden): each merge re-aggregates ALL
+    adjacent-pair counts over the word-frequency table, so training is
+    O(n_merges × distinct-words) — fine at the registered N_MERGES and
+    at any corpus size (the word table after the frequency rollup is
+    vocabulary-sized, ~millions of rows at 100 TB, not corpus-sized),
+    but a 32k-merge production vocabulary wants DELTA-MAINTAINED pair
+    counts: only words containing the merged pair change between steps
+    (filter `array_contains`-style on (l,r)), so the upgrade is
+    subtract-old/add-new pair counts for that slice instead of a full
+    re-aggregate — same 1-row argmax per step, same join shapes.  The
+    apply step is unaffected either way (ONE vocab-sized join, no
+    per-merge replay over the corpus)."""
     vocab = words.select(
         "word", "freq", _enc0_expr().alias("enc")
     ).localCheckpoint()

@@ -799,6 +799,82 @@ ORDER BY doc_id, frame_no
 """
 
 
+def mm_mp4_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL MP4 decode round-trip: per doc, ``2 + d % 3`` constant-block
+    grayscale frames (16×8 px, two 8×8 blocks, value
+    ``(d*17 + f*53 + j*31) % 256``) are JPEG-encoded, wrapped in a
+    spec-complete ISO BMFF container (functions/mp4io.py: ftyp/mdat/
+    moov box tree, 'jpeg' visual sample entry, stts/stsc/stsz/stco
+    sample tables, every-2nd-frame stss sync marks), then decoded back
+    through the full box walk + per-frame Huffman/IDCT JPEG decode.
+    Beyond the AVI twin (mm_video_frames), the MP4 sample tables yield
+    ``is_sync`` and ``dts`` — both oracle-replayed in closed form
+    (sync ⇔ even frame_no; dts = frame_no at timescale=fps)."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+    from tlcn_oer_lakehouse_spark.functions.mp4io import write_mp4_mjpeg
+    from tlcn_oer_lakehouse_spark.operators.multimodal import (
+        mp4_frame_features,
+    )
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(2 + d % 3):
+                    vals = np.array(
+                        [[(d * 17 + f * 53 + j * 31) % 256 for j in range(2)]],
+                        dtype=np.int64,
+                    )
+                    px = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(
+                        np.uint8
+                    )
+                    frames.append(write_jpeg(px, quality=50))
+                payloads.append(
+                    write_mp4_mjpeg(frames, width=16, height=8, sync_every=2)
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    vids = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return mp4_frame_features(vids).orderBy("doc_id", "frame_no")
+
+
+# the JPEG DC-only closed form is shared with mm_video_frames; only the
+# value formula, frame count, and the two MP4-specific columns differ
+MM_MP4_SQL = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, (2 + doc_id % 3) - 1)) AS frame_no
+  FROM documents
+),
+b AS (SELECT doc_id, frame_no, unnest([0, 1]) AS j FROM f),
+dec AS (
+  SELECT doc_id, frame_no,
+         least(255, greatest(0,
+           floor(floor(((doc_id * 17 + frame_no * 53 + j * 31) % 256 - 128) * 8 / 16.0 + 0.5)
+                 * 16 / 8.0 + 128 + 0.5)
+         )) AS dv
+  FROM b
+)
+SELECT doc_id,
+       CAST(frame_no AS INT) AS frame_no,
+       16 AS width,
+       8 AS height,
+       CAST(SUM(dv) AS DOUBLE) / 2 AS mean_luma,
+       CAST(2 + doc_id % 3 AS INT) AS n_frames,
+       frame_no % 2 = 0 AS is_sync,
+       CAST(frame_no AS BIGINT) AS dts,
+       'ok' AS decode_status
+FROM dec
+GROUP BY doc_id, frame_no
+ORDER BY doc_id, frame_no
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_metadata", mm_binary_metadata, MM_META_SQL,
               ref="transformer.py:570-609 (S7/U4 asset stat enrichment)",
@@ -846,6 +922,13 @@ SPECS = [
               ref="scale op: real MJPEG/AVI container walk + per-frame "
                   "JPEG decode; closes the video branch of SURVEY §2.8",
               doc="AVI encode→container parse→frame JPEG decode round trip",
+              tags=("multimodal", "video")),
+    QuerySpec("mm_mp4_frames", mm_mp4_frames, MM_MP4_SQL,
+              ref="scale op: real ISO BMFF box walk + sample-table "
+                  "expansion (stts/stsc/stsz/stco/stss) + per-frame JPEG "
+                  "decode; closes the mp4 branch of the r4 codec trio",
+              doc="MP4 encode→box-tree parse→frame JPEG decode round trip "
+                  "with keyframe flags and decode timestamps",
               tags=("multimodal", "video")),
     QuerySpec("mm_wav_windows", mm_wav_windows, MM_WAV_WINDOWS_SQL,
               ref="scale op: audio frame windowing (1→N on real decoded PCM)",

@@ -492,7 +492,19 @@ def w9_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     sort before starts at the same instant because the interval is
     half-open.  The classic alternative — self-joining events against
     overlapping events — is O(n·overlap) and skew-bound; the sweep is
-    linear in boundaries."""
+    linear in boundaries.
+
+    Scale bound (stated, not hidden): the running sum is an ordered
+    window PARTITION BY event_type, so one task materializes one type's
+    full boundary stream — bounded by DISTINCT TIME INSTANTS per type
+    (the pre-aggregate collapses same-instant deltas), not by event
+    volume, but still a single-task ceiling if one type spans billions
+    of instants.  The 100 TB swap mirrors the two-phase prefix sum used
+    in queries/traindata.py: chunk each type's instants into ranges,
+    aggregate per-chunk delta sums, prefix-sum the per-chunk totals
+    (tiny), then broadcast chunk offsets back for an embarrassingly
+    parallel within-chunk running sum — same result, no single-task
+    scan."""
     from pyspark.sql import Window
 
     ev = load_events(spark, sf).select("event_type", "ts_sec")
