@@ -198,3 +198,57 @@ def test_unigram_viterbi_matches_sequential_reference(spark, sf_dir):
     for r in rows:
         assert r["freq"] == freqs[r["word"]]
         assert r["min_bits"] == viterbi(r["word"]), r["word"]
+
+
+def test_delta_trainer_identical_to_full_reaggregate(spark):
+    """The delta-maintained trainer must produce the EXACT merge list
+    and final vocab of the full re-aggregate trainer, at a merge depth
+    (10) past the registered query's 6 — equivalence is the whole claim
+    behind swapping it in at 32k merges."""
+    from tlcn_oer_lakehouse_spark.queries import bpe
+
+    words = {
+        "lower": 5, "lowest": 3, "newer": 6, "newest": 2, "wider": 4,
+        "low": 7, "new": 9, "widest": 1, "renew": 2, "slower": 3,
+    }
+    df = spark.createDataFrame(list(words.items()), "word string, freq long")
+    full_merges, full_vocab = bpe._train(spark, df, 10)
+    delta_merges, delta_vocab = bpe._train_delta(spark, df, 10)
+    assert delta_merges == full_merges
+    fv = {r.word: r.enc for r in full_vocab.collect()}
+    dv = {r.word: r.enc for r in delta_vocab.collect()}
+    assert dv == fv  # byte-identical final encodings
+
+
+def test_delta_trainer_maintained_counts_match_reaggregate(spark):
+    """After every merge the maintained count table equals a fresh
+    full re-aggregate over the current vocab — the invariant that makes
+    the incremental argmax sound."""
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.queries import bpe
+
+    words = {"abab": 3, "aba": 2, "bab": 4, "aabb": 1}
+    df = spark.createDataFrame(list(words.items()), "word string, freq long")
+    vocab = df.select("word", "freq", bpe._enc0_expr().alias("enc"))
+    counts = bpe._adjacent_pair_counts(vocab)
+    for step in range(3):
+        best = (counts.filter(F.col("cnt") > 0)
+                .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+                .limit(1).collect())[0]
+        pat, rep = bpe._merge_pattern(best.l, best.r)
+        affected = vocab.filter(F.col("enc").contains(pat))
+        re_enc = affected.withColumn(
+            "enc", F.replace(F.col("enc"), F.lit(pat), F.lit(rep)))
+        delta = (bpe._adjacent_pair_counts(affected)
+                 .select("l", "r", (-F.col("cnt")).alias("cnt"))
+                 .unionByName(bpe._adjacent_pair_counts(re_enc)))
+        counts = (counts.unionByName(delta).groupBy("l", "r")
+                  .agg(F.sum("cnt").alias("cnt"))
+                  .filter(F.col("cnt") != 0).localCheckpoint())
+        vocab = (vocab.filter(~F.col("enc").contains(pat))
+                 .unionByName(re_enc).localCheckpoint())
+        fresh = {(r.l, r.r): r.cnt
+                 for r in bpe._adjacent_pair_counts(vocab).collect()}
+        maintained = {(r.l, r.r): r.cnt for r in counts.collect()}
+        assert maintained == fresh, f"divergence after merge {step + 1}"

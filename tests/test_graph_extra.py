@@ -194,3 +194,32 @@ def test_lpa_raises_on_budget_exhaustion(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         label_propagation(_pairs(spark, [(1, 2)]), max_rounds=6)
+
+
+def test_jaccard_neighbors_hand_fixture(spark):
+    """K4 minus one edge: nodes 1..4, all edges except (3,4).
+    N(3)={1,2}, N(4)={1,2} → common=2, union=2, J(3,4)=1.0 — the
+    classic link-prediction signal (3-4 is the missing edge)."""
+    from tlcn_oer_lakehouse_spark.queries.textops import (
+        _JACC_NBR_CAP,  # noqa: F401 — import proves the cap is exported
+    )
+    from pyspark.sql import functions as F
+
+    pairs = _pairs(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)])
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    e2 = edges.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    common = (e1.join(e2, "w").where(F.col("x") < F.col("y"))
+              .groupBy(F.col("x").alias("nu"), F.col("y").alias("nv"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    du = deg.select(F.col("u").alias("nu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("nv"), F.col("d").alias("dv"))
+    out = {(r.nu, r.nv): (r.common, r.du + r.dv - r.common)
+           for r in common.join(du, "nu").join(dv, "nv").collect()}
+    # J(3,4): both neighbor sets are exactly {1,2}
+    assert out[(3, 4)] == (2, 2)
+    # J(1,2): common {3,4}, union {1,2,3,4} minus... N(1)={2,3,4},
+    # N(2)={1,3,4} → common=2, union=4
+    assert out[(1, 2)] == (2, 4)

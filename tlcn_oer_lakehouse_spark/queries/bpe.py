@@ -154,6 +154,61 @@ def _train(
     return merges, vocab
 
 
+def _train_delta(
+    spark: SparkSession, words: DataFrame, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """The 100 TB trainer: DELTA-MAINTAINED pair counts (the upgrade
+    :func:`_train`'s docstring specifies).  The full adjacent-pair
+    aggregate runs ONCE; each merge then touches only the words whose
+    encoding contains the merged pair — their old pair contributions
+    are subtracted and their re-encoded contributions added back, so
+    per-merge work is O(affected words), not O(all words).  At a 32k-
+    merge production vocabulary the affected slice shrinks rapidly
+    (late merges touch a handful of words), which is what makes large
+    vocabularies trainable.  Same 1-row argmax per step, same merge
+    list, byte-identical final vocab — pinned equivalent to the full
+    re-aggregate by test_bpe.py and by sharing td_bpe_merges' oracle."""
+    vocab = words.select(
+        "word", "freq", _enc0_expr().alias("enc")
+    ).localCheckpoint()
+    counts = _adjacent_pair_counts(vocab).localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            counts.filter(F.col("cnt") > 0)
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((step, l, r, cnt))
+        pat, rep = _merge_pattern(l, r)
+        affected = vocab.filter(F.col("enc").contains(pat))
+        re_encoded = affected.withColumn(
+            "enc", F.replace(F.col("enc"), F.lit(pat), F.lit(rep))
+        )
+        delta = (
+            _adjacent_pair_counts(affected)
+            .select("l", "r", (-F.col("cnt")).alias("cnt"))
+            .unionByName(_adjacent_pair_counts(re_encoded))
+        )
+        counts = (
+            counts.unionByName(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint()
+        )
+        vocab = (
+            vocab.filter(~F.col("enc").contains(pat))
+            .unionByName(re_encoded)
+            .localCheckpoint()
+        )
+    return merges, vocab
+
+
 def learn_bpe_merges(
     spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
 ) -> DataFrame:
@@ -169,6 +224,17 @@ def learn_bpe_merges(
 
 def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     return learn_bpe_merges(spark, _word_freqs(spark, sf)).orderBy("step")
+
+
+def bpe_learn_merges_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """The delta-maintained trainer over the same corpus — result-
+    identical to td_bpe_merges by construction (shared oracle, shared
+    argmax tie-break), different cost model: per-merge work scales with
+    the affected-word slice instead of the whole vocabulary."""
+    merges, _ = _train_delta(spark, _word_freqs(spark, sf), N_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, merge_left string, merge_right string, pair_count long"
+    ).orderBy("step")
 
 
 def _symbol_counts(words: DataFrame) -> DataFrame:
@@ -561,6 +627,16 @@ SPECS = [
         ref="scale op: BPE subword-vocab training (Sennrich et al. 2016) "
             "on the word-frequency table; oracle replays all iterations",
         doc="distributed BPE merge learning, K=6 merge steps",
+        tags=("text",),
+    ),
+    QuerySpec(
+        "td_bpe_merges_delta",
+        bpe_learn_merges_delta,
+        _bpe_oracle(),
+        ref="scale op: DELTA-MAINTAINED BPE pair counts — the 32k-merge "
+            "production trainer (per-merge cost O(affected words)); "
+            "shares td_bpe_merges' oracle, proving result identity",
+        doc="BPE merge learning via incremental pair-count maintenance",
         tags=("text",),
     ),
     QuerySpec(

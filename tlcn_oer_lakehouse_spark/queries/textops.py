@@ -745,6 +745,102 @@ def g_modularity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_JACC_NBR_CAP = 1000  # wedge-center degree cap (see docstring)
+_JACC_NBR_TOPK = 100
+
+
+def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity — the link-prediction / related-
+    items primitive (Liben-Nowell & Kleinberg 2003): for node pairs
+    sharing ≥2 common neighbors, J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|,
+    top-100 by (jaccard, u, v).  Common neighbors come from ONE wedge
+    self-join through the center node (the same equi-join-only shape as
+    triangle counting), intersection/union from the degree table —
+    all-integer until one division rounded to 9 dp.
+
+    100 TB design: wedge volume is Σ_w deg(w)², so hub centers are the
+    skew-killer — centers with degree > {cap} are EXCLUDED from wedge
+    generation (the df-cap convention used by the contamination check;
+    a part co-ordered with thousands of others contributes noise, not
+    similarity signal — the standard truncation in similarity mining).
+    The cap is inert at test scale (max co-purchase degree ≪ 1000) and
+    replayed identically by the oracle, so it is part of the operator's
+    DEFINITION, not a hidden approximation.  Final top-k is
+    TakeOrderedAndProject (k per partition → k global), never a full
+    sort."""
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= _JACC_NBR_CAP).select(
+        F.col("u").alias("w")
+    )
+    e1 = edges.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    e2 = edges.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    common = (
+        e1.join(centers, "w")
+        .join(e2, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("nu"), F.col("y").alias("nv"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    du = deg.select(F.col("u").alias("nu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("nv"), F.col("d").alias("dv"))
+    return (
+        common.join(du, "nu").join(dv, "nv")
+        .select(
+            F.col("nu").alias("u"),
+            F.col("nv").alias("v"),
+            "common",
+            (F.col("du") + F.col("dv") - F.col("common")).alias("union_size"),
+            F.round(
+                F.col("common")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(_JACC_NBR_TOPK)
+    )
+
+
+JACCARD_NEIGHBORS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+centers AS (SELECT node AS w FROM deg WHERE d <= {_JACC_NBR_CAP}),
+common AS (
+  SELECT e1.v AS u, e2.v AS v, COUNT(*) AS common
+  FROM edges e1
+  JOIN centers c ON e1.u = c.w
+  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  GROUP BY e1.v, e2.v
+  HAVING COUNT(*) >= 2
+)
+SELECT c.u, c.v, c.common,
+       du.d + dv.d - c.common AS union_size,
+       round(c.common / CAST(du.d + dv.d - c.common AS DOUBLE), 9) AS jaccard
+FROM common c JOIN deg du ON c.u = du.node JOIN deg dv ON c.v = dv.node
+ORDER BY jaccard DESC, c.u, c.v
+LIMIT {_JACC_NBR_TOPK}
+"""
+
+
 MODULARITY_SQL = """
 WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
 pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
@@ -942,6 +1038,14 @@ SPECS = [
                   "with a raise on budget exhaustion — the production "
                   "variant of the fixed-round trajectory query",
               doc="LPA community summary at the converged fixpoint",
+              tags=("graph",)),
+    QuerySpec("g_jaccard_neighbors", g_jaccard_neighbors,
+              JACCARD_NEIGHBORS_SQL,
+              ref="scale op: neighbor-set Jaccard link prediction "
+                  "(Liben-Nowell & Kleinberg 2003) — wedge self-join with "
+                  "a degree-capped center set, all-integer to one division",
+              doc="top-100 most-similar co-purchase node pairs by "
+                  "common-neighbor Jaccard",
               tags=("graph",)),
     QuerySpec("g_modularity", g_modularity, MODULARITY_SQL,
               ref="scale op: Newman modularity of the brand partition — the "
