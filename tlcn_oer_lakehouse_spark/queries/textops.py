@@ -780,10 +780,14 @@ def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
+    # materialize the shared subtrees ONCE (g_kcore's localCheckpoint
+    # convention): edges feeds the wedge join twice and the degree
+    # table, deg feeds centers + both endpoint joins — without this the
+    # lineitem scan + co-purchase self-join would replay per reference
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     centers = deg.filter(F.col("d") <= _JACC_NBR_CAP).select(
         F.col("u").alias("w")
     )
