@@ -101,7 +101,14 @@ def kmeans_fit(
     for _ in range(n_iter):
         assigned = kmeans_assign_once(work, centroids, id_col, "__v")
         centroids = _recompute_centroids(assigned, "__v")
-    return centroids
+    # checkpoint ONLY the returned k-row frame: consumers reference the
+    # trained centroids several times (assign, PQ code + ADC distance
+    # tables) and would otherwise replay the whole Lloyd chain per
+    # reference (measured 57 Exchange nodes in ann_pq_adc's plan before,
+    # 9 after); intra-loop checkpoints are deliberately NOT added — at
+    # n_iter<=2 their per-job launch overhead costs more than the
+    # replay they save
+    return centroids.localCheckpoint()
 
 
 def kmeans_fit_assign(

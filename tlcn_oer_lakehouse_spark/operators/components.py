@@ -155,16 +155,23 @@ def pagerank(
     would drift with partition order), ranks round to 12 dp per
     iteration; symmetric edges mean every node has in- and out-edges, so
     there is no dangling-mass term to redistribute."""
+    # the shared frames (edges, deg) and each iteration's ranks are
+    # localCheckpoint'd — without it every reference replays the pair
+    # derivation and the plan nests per iteration (measured 239
+    # Exchange nodes and 9.2 s at sf0.01 for n_iter=2; 5 exchanges and
+    # ~1 s after), the same plan-depth rationale as
+    # connected_components
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
         .distinct()
+        .localCheckpoint()
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     nodes = edges.select(F.col("u").alias("node")).distinct()
-    nst = nodes.agg(F.count(F.lit(1)).alias("n"))
+    nst = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     ranks = nodes.crossJoin(F.broadcast(nst)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
@@ -186,7 +193,7 @@ def pagerank(
                 F.lit(1.0 - damping) / F.col("n") + F.lit(damping) * F.col("s"),
                 12,
             ).alias("rank"),
-        )
+        ).localCheckpoint()
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -225,11 +232,15 @@ def triangle_counts(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # the oriented edge list feeds three joins (both wedge sides + the
+    # closing lookup) — checkpoint it once or the pair derivation and
+    # degree joins replay per reference (measured 63 Exchange nodes
+    # before, 7 after, at sf0.001)
     ori = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+    ).localCheckpoint()
     e1 = ori.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
     e2 = ori.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
     wedges = e1.join(e2, "s").where(

@@ -114,6 +114,13 @@ _REVERIFY_FIRST = (
     "ann_kmeans_assign",
     "k1_merge_upsert",
     "k2_merge_delete",
+    # round-5 plan-hygiene changes (localCheckpoint on multiply-
+    # referenced frames: pagerank edges/deg/ranks, triangle ori,
+    # kmeans_fit returned centroids) — result-identical by contract,
+    # but the green-set policy says changed builders re-verify
+    "g_pagerank",
+    "g_triangle_count",
+    "ann_pq_adc",
 )
 
 
