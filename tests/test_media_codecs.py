@@ -805,3 +805,47 @@ class TestMp4Codec:
         assert [r.frame_no for r in rows] == [0, 2, 4, 6]
         assert all(r.decode_status == "ok" for r in rows)
         assert all(r.n_frames == 8 for r in rows)
+
+
+class TestMp4Property:
+    def test_container_round_trip_any_frame_set(self):
+        """Any frame multiset, any fps/sync cadence: the box tree +
+        sample tables must reproduce every frame byte-exactly with the
+        declared timing and keyframe pattern."""
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        def gray(v, wb, hb):
+            px = np.full((hb * 8, wb * 8), v, dtype=np.uint8)
+            return write_jpeg(px, quality=50)
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.lists(st.integers(min_value=0, max_value=255), min_size=1,
+                     max_size=8),
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=1, max_value=60),
+            st.integers(min_value=1, max_value=5),
+        )
+        def run(values, wb, hb, fps, sync_every):
+            frames = [gray(v, wb, hb) for v in values]
+            meta = read_mp4(write_mp4_mjpeg(
+                frames, width=wb * 8, height=hb * 8, fps=fps,
+                sync_every=sync_every,
+            ))
+            assert meta["frames"] == frames
+            assert meta["n_frames"] == len(frames)
+            assert (meta["width"], meta["height"]) == (wb * 8, hb * 8)
+            assert meta["timescale"] == fps
+            assert [s["dts"] for s in meta["samples"]] == list(range(len(frames)))
+            assert [s["sync"] for s in meta["samples"]] == [
+                i % sync_every == 0 for i in range(len(frames))]
+
+        run()
