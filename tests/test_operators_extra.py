@@ -491,3 +491,19 @@ def test_holt_forecast_matches_sequential_reference(spark):
         assert r.level == pytest.approx(lvl, rel=1e-12)
         assert r.trend == pytest.approx(trd, rel=1e-9)
         assert r.forecast_7d == pytest.approx(lvl + 7 * trd, rel=1e-9)
+
+
+def test_dedup_recall_eval_invariants(spark, sf_dir):
+    """Per-bucket invariants of the LSH recall table: pred never exceeds
+    truth (banding only prunes), recall is their exact ratio, and exact
+    copies (jaccard = 1.0, identical signatures → collide in every
+    band) are always found."""
+    from tlcn_oer_lakehouse_spark.queries.textops import dedup_recall_eval
+
+    rows = dedup_recall_eval(spark, sf_dir).collect()
+    assert rows, "no truth pairs at all"
+    for r in rows:
+        assert 0 <= r.n_pred <= r.n_truth
+        assert abs(r.recall - r.n_pred / r.n_truth) < 1e-9
+    top = {r.jacc_bucket: r for r in rows}[1.0]
+    assert top.recall == 1.0

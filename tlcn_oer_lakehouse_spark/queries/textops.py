@@ -745,6 +745,104 @@ def g_modularity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH index quality eval — the dedup twin of ann_recall_eval: per
+    exact-Jaccard bucket, how many true near-dup pairs (exact verify
+    over ALL pairs sharing ≥1 shingle — the ground truth) does the
+    banded MinHash index also surface?  The eval every production dedup
+    deployment runs after choosing (num_hashes, bands): banding trades
+    recall near the threshold for pruning, and this table shows exactly
+    where (recall ≈ 1 in high buckets, degrading toward 0.5).
+
+    Verification uses the same threshold on both sides, so the banded
+    set is a SUBSET of the truth set (banding only prunes candidates) —
+    precision is 1.0 by construction and recall is the one number that
+    varies; a property test pins the subset claim.
+
+    100 TB note: the exact shared-shingle side is O(Σ df(shingle)²) —
+    the quadratic path LSH exists to avoid — so at scale this eval runs
+    on a bounded corpus sample (ann_recall_eval's convention); the
+    banded side under test stays the production path.  Buckets are
+    floor(10·j)/10 on IEEE-identical doubles, so bucket edges replay
+    exactly."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        jaccard_verify_from,
+        minhash_near_duplicates,
+        shingle_rows,
+    )
+
+    corpus = augmented_corpus(spark, sf)
+    sh = shingle_rows(corpus, "doc_id", "text", 3).persist()
+    truth_cands = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    truth = (
+        jaccard_verify_from(sh, truth_cands)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    pred = minhash_near_duplicates(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        threshold=0.5,
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    return (
+        truth.join(pred, ["doc_a", "doc_b"], "left")
+        .select(
+            (F.floor(F.col("jaccard") * 10) / 10).alias("jacc_bucket"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("jacc_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum("hit").cast("long").alias("n_pred"),
+            F.round(
+                F.sum("hit").cast("double") / F.count(F.lit(1)), 9
+            ).alias("recall"),
+        )
+        .orderBy("jacc_bucket")
+    )
+
+
+def _dedup_recall_oracle() -> str:
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip()},
+truth_cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+t_inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+  FROM truth_cands
+  JOIN sh sa ON sa.doc = truth_cands.doc_a
+  JOIN sh sb ON sb.doc = truth_cands.doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
+  FROM t_inter i
+  JOIN sizes na ON na.doc = i.doc_a
+  JOIN sizes nb ON nb.doc = i.doc_b
+  WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
+),
+pred AS ({_minhash_oracle().strip()})
+SELECT floor(t.jaccard * 10) / 10 AS jacc_bucket,
+       COUNT(*) AS n_truth,
+       CAST(SUM(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       round(SUM(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS recall
+FROM truth t
+LEFT JOIN pred p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+GROUP BY 1
+ORDER BY jacc_bucket
+"""
+
+
 _JACC_NBR_CAP = 1000  # wedge-center degree cap (see docstring)
 _JACC_NBR_TOPK = 100
 
@@ -1043,6 +1141,13 @@ SPECS = [
                   "variant of the fixed-round trajectory query",
               doc="LPA community summary at the converged fixpoint",
               tags=("graph",)),
+    QuerySpec("dedup_recall_eval", dedup_recall_eval, _dedup_recall_oracle(),
+              ref="scale op: LSH index recall grading vs exact shared-"
+                  "shingle ground truth — the dedup twin of "
+                  "ann_recall_eval; banding's near-threshold recall "
+                  "loss measured per jaccard bucket",
+              doc="per-bucket recall of banded MinHash vs exact Jaccard",
+              tags=("dedup",)),
     QuerySpec("g_jaccard_neighbors", g_jaccard_neighbors,
               JACCARD_NEIGHBORS_SQL,
               ref="scale op: neighbor-set Jaccard link prediction "
