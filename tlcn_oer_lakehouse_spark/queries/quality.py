@@ -641,7 +641,132 @@ ORDER BY doc_id
 """
 
 
+def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML boilerplate removal — the main-content extraction step of a
+    web-corpus pipeline (trafilatura/jusText territory, the structural
+    core): drop <script>/<style> payloads and <nav>/<header>/<footer>
+    chrome blocks, strip remaining tags, unescape the basic entities,
+    collapse whitespace.  Each document is wrapped in a deterministic
+    page template (title, nav with 3 links, inline style, footer with 2
+    links — built from the doc's own fields, no randomness), so the
+    query is a ROUND TRIP: extraction must recover exactly the
+    whitespace-normalized article text, and ``clean_roundtrip`` proves
+    it per row.  All pure column regexes — map-only, scan speed, zero
+    shuffles; (?s) non-greedy block patterns are RE2-portable so the
+    identical expressions run on Spark's Java regex and DuckDB's RE2.
+
+    At 100 TB this is the shape that matters: boilerplate removal is a
+    per-row function of the raw page, so it rides the scan — the
+    chrome-link count and retention ratio it emits are exactly the
+    quality signals (link density, text share) the downstream Gopher
+    gates consume."""
+    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
+    body = F.regexp_replace(F.col("text"), r"\s+", " ")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>body{margin:0} .x{color:red}</style>"
+              "<script>var t=1;</script></head><body>"
+              "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> "
+              "<a href=\"/c\">Contact</a></nav><header><h1>"),
+        F.col("source"),
+        F.lit("</h1></header><article><p>"),
+        body,
+        F.lit("</p></article><footer><a href=\"/t\">Terms</a> "
+              "<a href=\"/p\">Privacy</a> &copy; corp</footer></body></html>"),
+    )
+    # strip order matters: payload blocks first (their text must not
+    # leak), then chrome blocks, then remaining tags, then entities
+    no_script = F.regexp_replace(page, r"(?s)<script.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>", " ")
+    no_chrome = F.regexp_replace(
+        no_style, r"(?s)<(nav|header|footer).*?</(nav|header|footer)>", " "
+    )
+    no_tags = F.regexp_replace(no_chrome, r"<[^>]*>", " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, r"&amp;", "&"),
+            r"&(lt|gt);", " "),
+        r"&[a-z]+;", " ")
+    extracted = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+                     F.lit(" "), body),
+            r"\s+", " ",
+        )
+    )
+    n_links = F.size(F.split(page, "<a ")) - 1
+    return (
+        docs.select(
+            "doc_id",
+            extracted.alias("extracted"),
+            (extracted == expected).alias("clean_roundtrip"),
+            n_links.cast("int").alias("n_chrome_links"),
+            F.length(extracted).alias("n_extracted_chars"),
+            F.length(page).alias("n_page_chars"),
+            F.round(F.length(extracted) / F.length(page).cast("double"), 9)
+            .alias("retention_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, regexp_replace(text, '\s+', ' ', 'g') AS body
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, body,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>body{margin:0} .x{color:red}</style>'
+         || '<script>var t=1;</script></head><body>'
+         || '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav><header><h1>'
+         || source || '</h1></header><article><p>' || body
+         || '</p></article><footer><a href="/t">Terms</a> <a href="/p">Privacy</a> &copy; corp</footer></body></html>'
+           AS page
+  FROM base
+),
+stripped AS (
+  SELECT doc_id, body, page,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(page, '(?s)<script.*?</script>', ' ', 'g'),
+                       '(?s)<style.*?</style>', ' ', 'g'),
+                     '(?s)<(nav|header|footer).*?</(nav|header|footer)>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&amp;', '&', 'g'),
+               '&(lt|gt);', ' ', 'g'),
+             '&[a-z]+;', ' ', 'g'),
+           '\s+', ' ', 'g')) AS extracted
+  FROM pages
+)
+SELECT doc_id,
+       extracted,
+       extracted = trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || body,
+                                       '\s+', ' ', 'g')) AS clean_roundtrip,
+       CAST(len(string_split(page, '<a ')) - 1 AS INT) AS n_chrome_links,
+       CAST(length(extracted) AS BIGINT) AS n_extracted_chars,
+       CAST(length(page) AS BIGINT) AS n_page_chars,
+       round(length(extracted) / CAST(length(page) AS DOUBLE), 9) AS retention_ratio
+FROM stripped
+ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("qual_boilerplate_strip", boilerplate_strip, BOILERPLATE_SQL,
+              ref="scale op: main-content extraction from HTML chrome "
+                  "(trafilatura-shape) — pure column regexes, map-only, "
+                  "round-trip-proven per row",
+              doc="script/style/nav/footer strip + entity unescape with "
+                  "exact round-trip flag and link-density signals",
+              tags=("text",)),
     QuerySpec("pii_scrub", pii_scrub, _pii_oracle(),
               ref="scale op; completes the reference's metadata-only PII handling "
                   "(transformer.py dc.contributor fields are stored unscrubbed)",
