@@ -844,6 +844,108 @@ def mm_mp4_frames(spark: SparkSession, sf: str) -> DataFrame:
     return mp4_frame_features(vids).orderBy("doc_id", "frame_no")
 
 
+def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal near-dup primitive
+    (every multimodal corpus dedups images before training): decode the
+    REAL raster (netpbm bytes through the in-repo codec), average-hash
+    it (aHash: per-cell mean vs global mean → one bit per cell over an
+    8×4 grid), then cluster by exact hash bucket.  Synthesized images
+    give every ``doc_id // 5`` cohort the same base pattern, with a +2
+    luma shift on ``doc_id % 5 == 1`` members — a near-duplicate the
+    bit threshold absorbs — so clusters of ~5 are recovered from
+    genuinely different bytes.
+
+    100 TB design: the hash is computed per asset inside the decode
+    mapInPandas (no shuffle), and clustering is ONE groupBy on the
+    64-bit hash — the banded-bucket shape every dedup op here uses,
+    never an all-pairs compare; Hamming-near buckets would band the
+    hash into 4×16-bit keys the same way SimHash does
+    (operators/dedup.py:simhash pigeonhole banding).  The oracle
+    replays decode (netpbm is lossless), cell means, threshold bits and
+    the bucket aggregation in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from tlcn_oer_lakehouse_spark.functions.netpbm import read_netpbm, write_pgm
+
+    GW, GH, CELL = 8, 4, 4  # 8×4 grid of 4×4 cells → 32×16 px, 32 bits
+
+    def _synth(batches):
+        for b in batches:
+            payloads = []
+            for d in b["doc_id"]:
+                d = int(d)
+                base, member = d // 5, d % 5
+                cells = np.array(
+                    [[(base * 1009 + (y * GW + x) * 757
+                       + base * (y * GW + x) * 31) % 240
+                      for x in range(GW)] for y in range(GH)],
+                    dtype=np.int64,
+                )
+                if member == 1:
+                    cells = cells + 2  # near-duplicate: small luma shift
+                px = np.kron(cells, np.ones((CELL, CELL), dtype=np.int64))
+                payloads.append(write_pgm(px.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
+
+    def _ahash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = read_netpbm(bytes(p)).astype(np.int64)
+                cells = arr.reshape(GH, CELL, GW, CELL).mean(axis=(1, 3))
+                mean = cells.mean()
+                bits = (cells >= mean).astype(np.int64).ravel()
+                ids.append(i)
+                hashes.append(int((bits << np.arange(bits.size)).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+    hashed = imgs.mapInPandas(_ahash, schema="doc_id long, ahash long")
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("ahash")
+    )
+
+
+# constant cells mean per-cell average == the cell value, so the whole
+# decode+hash chain reduces to integer arithmetic on the cell formula;
+# the +2 near-dup shift adds 2 to every cell AND to the global mean, so
+# the threshold bits are provably identical — that is the aHash
+# robustness claim, replayed rather than assumed
+MM_PHASH_SQL = """
+WITH cells AS (
+  SELECT doc_id, doc_id // 5 AS base, i,
+         ((doc_id // 5) * 1009 + i * 757 + (doc_id // 5) * i * 31) % 240
+           + CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 0 END AS v
+  FROM documents, LATERAL (SELECT unnest(generate_series(0, 31)) AS i)
+),
+means AS (
+  SELECT doc_id, CAST(SUM(v) AS DOUBLE) / 32 AS m FROM cells GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN c.v >= m.m THEN CAST(1 AS BIGINT) << c.i ELSE 0 END) AS BIGINT) AS ahash
+  FROM cells c JOIN means m ON c.doc_id = m.doc_id
+  GROUP BY c.doc_id
+)
+SELECT ahash, COUNT(*) AS n_members, MIN(doc_id) AS canonical_doc
+FROM hashes
+GROUP BY ahash
+HAVING COUNT(*) >= 2
+ORDER BY ahash
+"""
+
+
 # the JPEG DC-only closed form is shared with mm_video_frames; only the
 # value formula, frame count, and the two MP4-specific columns differ
 MM_MP4_SQL = """
@@ -923,6 +1025,13 @@ SPECS = [
                   "JPEG decode; closes the video branch of SURVEY §2.8",
               doc="AVI encode→container parse→frame JPEG decode round trip",
               tags=("multimodal", "video")),
+    QuerySpec("mm_phash_dedup", mm_phash_dedup, MM_PHASH_SQL,
+              ref="scale op: perceptual-hash (aHash) image dedup over real "
+                  "decoded rasters — per-asset hash in the decode stage, "
+                  "ONE hash-bucket groupBy, near-dup +2 shift absorbed",
+              doc="aHash clusters from netpbm decode; cohorts of ~5 "
+                  "recovered from different bytes",
+              tags=("multimodal", "dedup")),
     QuerySpec("mm_mp4_frames", mm_mp4_frames, MM_MP4_SQL,
               ref="scale op: real ISO BMFF box walk + sample-table "
                   "expansion (stts/stsc/stsz/stco/stss) + per-frame JPEG "
