@@ -137,6 +137,84 @@ LIMIT 10
 """
 
 
+def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training — the
+    DPR/RocketQA data-prep step: per training query, the best negatives
+    are the top BM25-RANKED documents that are NOT relevant (lexically
+    close, semantically wrong), not random draws.  Relevance proxy here
+    is deterministic DEEP coverage: a positive mentions every query
+    term at least twice (a document actually about all three aspects);
+    a top-BM25 document with shallower coverage is the classic hard
+    negative — lexically hot, topically lopsided.  Output follows the
+    DPR recipe exactly: the top-5 POSITIVES by BM25 plus the top-15
+    MINED NEGATIVES by BM25 (ranked within label) — the (query,
+    positive, negatives) triple-building input, with the per-doc
+    deep-term count exposing why each row got its label.
+
+    Plan shape inherits bm25_scores: scan → 1-row stats broadcast →
+    per-row math → one per-label rank window over the labeled score
+    table.  At 100 TB with a real query SET the window partitions by
+    (query_id, label) — same algebra, keyed by query."""
+    from pyspark.sql import Window
+
+    s = bm25_scores(spark, sf)
+    terms_present = _scored_docs(spark, sf).select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"tf_{i}") >= 2, 1).otherwise(0)
+            for i in range(len(QUERY_TERMS))
+        ).cast("int").alias("n_deep_terms"),
+    )
+    labeled = (
+        s.join(terms_present, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("bm25_raw"), 9).alias("bm25"),
+            "n_deep_terms",
+            F.when(F.col("n_deep_terms") == len(QUERY_TERMS), "positive")
+            .otherwise("hard_negative")
+            .alias("label"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    keep = F.when(F.col("label") == "positive", 5).otherwise(15)
+    return (
+        labeled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep)
+        .select("label", "rank", "doc_id", "bm25", "n_deep_terms")
+        .orderBy("label", "rank")
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH {_bm25_sql_core().strip()},
+presence AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"CASE WHEN {_tf_sql(t)} >= 2 THEN 1 ELSE 0 END" for t in QUERY_TERMS)} AS INT)
+           AS n_deep_terms
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents)
+),
+labeled AS (
+  SELECT b.doc_id, round(b.bm25_raw, 9) AS bm25, p.n_deep_terms,
+         CASE WHEN p.n_deep_terms = {len(QUERY_TERMS)} THEN 'positive'
+              ELSE 'hard_negative' END AS label
+  FROM bm25 b JOIN presence p ON b.doc_id = p.doc_id
+),
+ranked AS (
+  SELECT label, row_number() OVER (PARTITION BY label ORDER BY bm25 DESC, doc_id ASC) AS rank,
+         doc_id, bm25, n_deep_terms
+  FROM labeled
+)
+SELECT label, rank, doc_id, bm25, n_deep_terms
+FROM ranked
+WHERE rank <= CASE WHEN label = 'positive' THEN 5 ELSE 15 END
+ORDER BY label, rank
+"""
+
+
 def hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid fusion (chatbot_api.py:244-274): lexical branch = BM25 over
     documents; vector branch = (cosine+1) of each embedding vs the
@@ -593,6 +671,13 @@ SPECS = [
               ref="chatbot_api.py:202-217 (Q1 BM25 match) → SURVEY §2.10",
               doc="Okapi BM25 top-10, pure column exprs + 1-row stats broadcast",
               tags=("retrieval", "bench")),
+    QuerySpec("td_hard_negatives", hard_negatives, HARD_NEGATIVES_SQL,
+              ref="scale op: DPR/RocketQA hard-negative mining — top-BM25 "
+                  "non-relevant docs labeled against a deterministic "
+                  "term-coverage relevance proxy",
+              doc="top-20 BM25 ranks labeled positive/hard_negative with "
+                  "term coverage",
+              tags=("traindata", "retrieval")),
     QuerySpec("q3_hybrid_fusion", hybrid_search, HYBRID_SQL,
               ref="chatbot_api.py:37-40, 244-274 (Q3 max-norm weighted fusion)",
               doc="hybrid BM25+cosine fusion top-10", tags=("retrieval",)),
