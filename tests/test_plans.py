@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "ann_recall_eval",        # query sample hard-bounded at 100 rows
     "td_curriculum_order",    # inherits td_unigram_surprisal's 1-row total
     "q6_context_pack",        # inherits BM25's 1-row corpus-stats broadcast
+    "td_hard_negatives",      # inherits BM25's 1-row corpus-stats broadcast
     "ml_quantile_bucketize",  # 1-row percentile-cutoffs broadcast
     "ml_naive_bayes_langid",  # C-row class totals × 1-row vocab size/doc total
     "ml_chi2_features",       # 1-row corpus doc count broadcast
