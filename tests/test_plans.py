@@ -206,14 +206,23 @@ def test_priority_queries_inside_driver_window():
         REGISTRY,
         _DRIVER_GREEN_R04,
         _REVERIFY_FIRST,
+        _SAMPLE_LAST,
     )
 
     order = list(REGISTRY)
     window = set(order[:50])
-    never_sampled = set(order) - _DRIVER_GREEN_R04 - set(_REVERIFY_FIRST)
+    never_sampled = (
+        set(order) - _DRIVER_GREEN_R04 - set(_REVERIFY_FIRST) - _SAMPLE_LAST
+    )
     needs_row = set(_REVERIFY_FIRST) | never_sampled
     missing = needs_row - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
+    # every demotion must be deliberate (documented in _SAMPLE_LAST),
+    # never an accidental overflow of the 50-slot window
+    assert len(needs_row) <= 50, (
+        f"window over-subscribed by {len(needs_row) - 50}: demote "
+        "deliberately via _SAMPLE_LAST or stop adding queries"
+    )
 
 
 def test_contamination_two_wide_shuffles(spark):

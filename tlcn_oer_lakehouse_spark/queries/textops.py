@@ -1007,22 +1007,35 @@ def g_pointer_doubling_depth(spark: SparkSession, sf: str) -> DataFrame:
     O(depth) rounds): every node starts pointing at its parent with
     distance 1, and each round rewires ``anc ← anc[anc]``,
     ``dist += dist[anc]`` via ONE keyed self-join, halving the longest
-    unresolved chain.  3 rounds resolve this forest (max depth 6); at
-    100 TB a depth-10⁶ lineage chain needs only 20 rounds where
-    step-by-step traversal needs 10⁶.
+    unresolved chain; at 100 TB a depth-10⁶ lineage chain needs only 20
+    rounds where step-by-step traversal needs 10⁶.
+
+    The loop runs UNTIL every node's ancestor is a root (the doubling
+    update is idempotent once it is — roots carry dist 0), with the
+    raise-on-budget-exhaustion convention of the other iterative graph
+    operators.  A fixed round count calibrated at one scale factor is
+    exactly the silent-wrong-result trap: the original 3-round form was
+    correct for sf0.01's max depth 6 but returned pre-fixpoint
+    ancestors for sf0.1's depth-9 chains (node 3⁹ = 19683 reported
+    root 3, depth 8 instead of root 1, depth 9) — caught by the sf0.1
+    strict-parity sweep, round 5.  The unresolved count is an O(1)
+    driver scalar per round, and 30 rounds cover depth 2³⁰.
 
     The forest is derived from ``part``: parent(p) = p // 3, roots are
     p ≤ 2.  The oracle recomputes depths with a recursive CTE — a
     genuinely different algorithm (sequential descent) agreeing on the
-    same answer."""
+    same answer at any depth."""
     parts = load(spark, sf, "part").select(F.col("p_partkey").alias("node"))
     state = parts.select(
         "node",
         F.when(F.col("node") <= 2, F.col("node"))
         .otherwise(F.expr("node div 3")).alias("anc"),
         F.when(F.col("node") <= 2, F.lit(0)).otherwise(F.lit(1)).alias("dist"),
-    )
-    for _ in range(3):  # ceil(log2(max_depth 6)) = 3
+    ).localCheckpoint()
+    max_rounds = 30
+    for _ in range(max_rounds):
+        if state.filter(F.col("anc") > 2).count() == 0:
+            break
         hop = state.select(
             F.col("node").alias("anc"),
             F.col("anc").alias("anc2"),
@@ -1035,6 +1048,13 @@ def g_pointer_doubling_depth(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("anc2").alias("anc"),
                 (F.col("dist") + F.col("d2")).alias("dist"),
             )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"pointer doubling did not resolve all chains in {max_rounds} "
+            "rounds — the forest depth exceeds 2^30, which this budget "
+            "was not sized for"
         )
     return state.select(
         "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
