@@ -849,3 +849,138 @@ class TestMp4Property:
                 i % sync_every == 0 for i in range(len(frames))]
 
         run()
+
+
+class TestMp4Hardening:
+    """Round-6 ADVICE fixes: declared-count bounds, per-track first-wins,
+    sync_every validation."""
+
+    def _frames(self, n=2, w=16, h=8):
+        import numpy as np
+
+        from tlcn_oer_lakehouse_spark.functions.jpegio import write_jpeg
+
+        return [
+            write_jpeg(np.full((h, w), (f * 37) % 256, dtype=np.uint8),
+                       quality=50)
+            for f in range(n)
+        ]
+
+    def test_sync_every_zero_raises(self):
+        import pytest as _pytest
+
+        from tlcn_oer_lakehouse_spark.functions.mp4io import write_mp4_mjpeg
+
+        with _pytest.raises(ValueError, match="sync_every"):
+            write_mp4_mjpeg(self._frames(2), 16, 8, sync_every=0)
+
+    def _patch_u32(self, buf, marker, field_off, value):
+        """Overwrite the uint32 at `field_off` past the first `marker`
+        fourcc in `buf`."""
+        import struct
+
+        i = buf.find(marker)
+        assert i >= 0
+        out = bytearray(buf)
+        out[i + field_off : i + field_off + 4] = struct.pack(">I", value)
+        return bytes(out)
+
+    def test_hostile_stsz_count_raises_not_allocates(self):
+        """A crafted stsz declaring ~2^31 fixed-size samples must raise
+        ValueError, not allocate a multi-GB list (MemoryError would
+        escape mp4_frame_features' per-row try/except)."""
+        import pytest as _pytest
+
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        buf = write_mp4_mjpeg(self._frames(2), 16, 8)
+        # stsz payload: version/flags (4) + fixed_size (4) + count (4)
+        hostile = self._patch_u32(buf, b"stsz", 4 + 4, 4)       # fixed=4
+        hostile = self._patch_u32(hostile, b"stsz", 4 + 8, 2**31)
+        with _pytest.raises(ValueError, match="stsz"):
+            read_mp4(hostile)
+        # variable-size path: count beyond the box's own entries
+        hostile2 = self._patch_u32(buf, b"stsz", 4 + 8, 2**31)
+        with _pytest.raises(ValueError):
+            read_mp4(hostile2)
+
+    def test_hostile_stts_run_count_raises(self):
+        import pytest as _pytest
+
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        buf = write_mp4_mjpeg(self._frames(2), 16, 8)
+        # stts payload: version/flags (4) + n_runs (4) + [cnt, delta]
+        # hostile per-run sample count (n_runs stays 1, box size intact)
+        hostile = self._patch_u32(buf, b"stts", 4 + 8, 2**31)
+        with _pytest.raises(ValueError, match="stts"):
+            read_mp4(hostile)
+        # hostile run-table length
+        hostile2 = self._patch_u32(buf, b"stts", 4 + 4, 2**30)
+        with _pytest.raises(ValueError, match="stts"):
+            read_mp4(hostile2)
+
+    def test_hostile_stco_stss_counts_raise(self):
+        import pytest as _pytest
+
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        buf = write_mp4_mjpeg(self._frames(2), 16, 8)
+        for marker in (b"stco", b"stss"):
+            hostile = self._patch_u32(buf, marker, 4 + 4, 2**30)
+            with _pytest.raises(ValueError, match="entries"):
+                read_mp4(hostile)
+
+    def test_second_track_not_merged_into_first(self):
+        """A leading metadata-only trak (the audio-first layout) must NOT
+        be silently completed with the second trak's sample tables —
+        per-track first-wins surfaces the incomplete track as an error
+        instead of a wrong-but-plausible cross-track merge."""
+        import struct
+
+        import pytest as _pytest
+
+        from tlcn_oer_lakehouse_spark.functions.mp4io import (
+            _box,
+            _full,
+            read_mp4,
+            write_mp4_mjpeg,
+        )
+
+        buf = write_mp4_mjpeg(self._frames(2), 16, 8)
+        # carve up the written file: ftyp, mdat, moov(mvhd + trak)
+        def boxes(b, pos, end):
+            out = []
+            while pos + 8 <= end:
+                size = struct.unpack(">I", b[pos:pos + 4])[0]
+                out.append((b[pos + 4:pos + 8], b[pos:pos + size]))
+                pos += size
+            return out
+
+        top = dict(boxes(buf, 0, len(buf)))
+        moov_children = boxes(top[b"moov"], 8, len(top[b"moov"]))
+        mvhd = next(b for t, b in moov_children if t == b"mvhd")
+        video_trak = next(b for t, b in moov_children if t == b"trak")
+        # a bare trak with tkhd+mdhd only — no stbl at all
+        stub_tkhd = _full(b"tkhd", 0, 7, struct.pack(">5I", 0, 0, 2, 0, 2)
+                          + b"\x00" * 52 + struct.pack(">II", 0, 0))
+        stub_mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 10, 2)
+                          + struct.pack(">HH", 0x55C4, 0))
+        stub_trak = _box(b"trak", stub_tkhd + _box(b"mdia", stub_mdhd))
+        moov2 = _box(b"moov", mvhd + stub_trak + video_trak)
+        hostile = top[b"ftyp"] + top[b"mdat"] + moov2
+        with _pytest.raises(ValueError, match="missing required box"):
+            read_mp4(hostile)
+        # and with the complete video trak first, the file reads fine
+        moov3 = _box(b"moov", mvhd + video_trak + stub_trak)
+        meta = read_mp4(top[b"ftyp"] + top[b"mdat"] + moov3)
+        assert meta["n_frames"] == 2 and meta["codec"] == "jpeg"

@@ -371,3 +371,34 @@ def test_stream_epoch_replay_after_vacuum_does_not_double_append(spark, tmp_path
     commit_epoch(w2, 0, 10)  # replay of a vacuumed epoch
     commit_epoch(w2, 1, 20)
     assert t.read().count() == 6  # three epochs, once each
+
+
+def test_batch_overwrite_carries_stream_epoch_ledger_forward(spark, tmp_path):
+    """The _epoch_* ledger records epoch DELIVERY, independent of the
+    data being replaced: a batch overwrite of a stream-written table
+    must carry the head's markers forward so a restarted stream cannot
+    re-deliver an already-committed epoch after the overwrite."""
+    import pyarrow as pa
+
+    from tlcn_oer_lakehouse_spark.sources.pyds import _MergeTableStreamWriter
+
+    path = str(tmp_path / "ow")
+
+    def commit_epoch(writer, epoch, lo):
+        batch = pa.record_batch({"id": pa.array([lo, lo + 1], type=pa.int64())})
+        msg = writer.write(iter([batch]))
+        writer.commit([msg], epoch)
+
+    w1 = _MergeTableStreamWriter({"path": path})
+    commit_epoch(w1, 0, 10)
+    commit_epoch(w1, 1, 20)
+    # batch overwrite replaces the DATA but must not reset the ledger
+    ow = spark.range(5).select(F.col("id"))
+    _write(ow, path, "overwrite")
+    t = ParquetMergeTable(spark, path, key="id")
+    assert t.read().count() == 5
+    w2 = _MergeTableStreamWriter({"path": path})  # restarted query
+    commit_epoch(w2, 0, 10)  # replay of a pre-overwrite epoch
+    commit_epoch(w2, 2, 30)  # genuinely new epoch
+    ids = {r.id for r in t.read().collect()}
+    assert ids == {0, 1, 2, 3, 4, 30, 31}  # replay discarded, epoch 2 landed

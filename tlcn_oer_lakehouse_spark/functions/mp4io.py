@@ -63,6 +63,8 @@ def write_mp4_mjpeg(
     ``stss`` (frame 1 always is), exercising the keyframe table."""
     if not frames:
         raise ValueError("MP4 needs at least one frame")
+    if sync_every < 1:
+        raise ValueError(f"sync_every must be >= 1, got {sync_every}")
     timescale = fps
     duration = len(frames)  # one tick per frame at timescale=fps
 
@@ -161,15 +163,27 @@ def _walk(buf: bytes, pos: int, end: int, found: dict) -> None:
             body = pos + 8
         if pos + size > end:
             raise ValueError(f"box {btype!r} overruns its parent")
-        if btype in _CONTAINERS:
+        if btype == b"trak":
+            # First-wins must be per TRACK, not per leaf box: recursing
+            # into a second trak would silently mix one track's
+            # stsd/stsz with another's stts/stss.  Only the first trak
+            # subtree is captured; later traks are skipped wholesale.
+            if not found.get("_trak_seen"):
+                found["_trak_seen"] = True
+                _walk(buf, body, pos + size, found)
+        elif btype in _CONTAINERS:
             _walk(buf, body, pos + size, found)
         else:
-            # first track wins (single-video-track contract)
             found.setdefault(btype, buf[body : pos + size])
         pos += size
 
 
 def _u32s(payload: bytes, off: int, n: int) -> list[int]:
+    if off + 4 * n > len(payload):
+        raise ValueError(
+            f"table declares {n} entries but box payload holds "
+            f"{max(0, (len(payload) - off)) // 4}"
+        )
     return list(struct.unpack(f">{n}I", payload[off : off + 4 * n]))
 
 
@@ -205,10 +219,24 @@ def read_mp4(payload: bytes) -> dict:
         raise ValueError("empty stsd")
     codec = stsd[12:16].decode("latin-1")
 
-    # stsz → per-sample sizes
+    # stsz → per-sample sizes.  Declared counts are attacker/corruption
+    # controlled 32-bit ints — bound every one against the payload
+    # BEFORE expanding so a ~100-byte crafted file declaring counts
+    # near 2^32 raises ValueError instead of forcing a multi-GB
+    # allocation (a MemoryError would escape the per-row try/except in
+    # mp4_frame_features and kill the executor).
     stsz = found[b"stsz"]
     fixed_size, n_samples = struct.unpack(">II", stsz[4:12])
+    if n_samples > len(payload):
+        raise ValueError(
+            f"stsz declares {n_samples} samples for a {len(payload)}-byte file"
+        )
     if fixed_size:
+        if fixed_size * n_samples > len(payload):
+            raise ValueError(
+                f"stsz declares {n_samples}x{fixed_size}-byte samples "
+                f"exceeding the {len(payload)}-byte file"
+            )
         sizes = [fixed_size] * n_samples
     else:
         sizes = _u32s(stsz, 12, n_samples)
@@ -216,9 +244,15 @@ def read_mp4(payload: bytes) -> dict:
     # stts → per-sample decode timestamps
     stts = found[b"stts"]
     (n_runs,) = struct.unpack(">I", stts[4:8])
+    if 8 + 8 * n_runs > len(stts):
+        raise ValueError(f"stts declares {n_runs} runs beyond its box")
     dts, t = [], 0
     for i in range(n_runs):
         cnt, delta = struct.unpack(">II", stts[8 + 8 * i : 16 + 8 * i])
+        if len(dts) + cnt > n_samples:
+            raise ValueError(
+                f"stts run of {cnt} overruns the {n_samples} declared samples"
+            )
         for _ in range(cnt):
             dts.append(t)
             t += delta
@@ -233,6 +267,8 @@ def read_mp4(payload: bytes) -> dict:
     chunk_offsets = _u32s(stco, 8, n_chunks)
     stsc = found[b"stsc"]
     (n_stsc,) = struct.unpack(">I", stsc[4:8])
+    if 8 + 12 * n_stsc > len(stsc):
+        raise ValueError(f"stsc declares {n_stsc} runs beyond its box")
     runs = [struct.unpack(">III", stsc[8 + 12 * i : 20 + 12 * i])
             for i in range(n_stsc)]
     per_chunk: list[int] = []

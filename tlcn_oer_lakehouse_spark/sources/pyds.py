@@ -381,6 +381,16 @@ class _MergeTableWriter(DataSourceArrowWriter):
             ch = os.path.join(self._staging, "_changes")
             if os.path.isdir(ch):
                 shutil.rmtree(ch)
+            # the exactly-once ledger records epoch DELIVERY, which is
+            # independent of the data being replaced: an overwrite that
+            # dropped the head's _epoch_* markers would let a restarted
+            # stream re-commit an already-delivered epoch and
+            # double-append — so overwrite carries markers forward too
+            if head_exists:
+                snap = os.path.realpath(self._path)
+                for marker in os.listdir(snap):
+                    if marker.startswith("_epoch_"):
+                        open(os.path.join(self._staging, marker), "w").close()
         write_manifest(self._staging)
         publish_snapshot(self._path, self._staging)
 
