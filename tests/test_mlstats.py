@@ -289,3 +289,22 @@ def test_lift_gain_identities(spark, sf_dir, events_pd):
     # average of lifts weighted by decile size = 1
     w = sum(r.lift * r.n_rows for r in rows) / n
     assert w == pytest.approx(1.0, rel=1e-12)
+
+
+@pytest.mark.parametrize("n_shuffle", ["5", "13"])
+def test_prefix_sum_partition_count_from_session_conf(spark, sf_dir, n_shuffle):
+    """The two-phase prefix sum reads its scan width from
+    spark.sql.shuffle.partitions (not a test-scale constant) and its
+    RESULT is partition-count-independent — both consumers stay
+    oracle-green under non-default widths."""
+    from tests.oracle_harness import compare
+    from tlcn_oer_lakehouse_spark.queries import REGISTRY
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
+    try:
+        for qname in ("ml_auc_roc", "td_token_budget_shards_scalable"):
+            ok, msg = compare(spark, sf_dir, REGISTRY[qname])
+            assert ok, f"{qname} @ shuffle={n_shuffle}: {msg}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

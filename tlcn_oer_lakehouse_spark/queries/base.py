@@ -60,6 +60,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def prefix_sum_partitions(spark: SparkSession) -> int:
+    """Partition count for the two-phase distributed prefix sum
+    (range-partition → per-partition window → broadcast offsets).
+
+    Reads the session's ``spark.sql.shuffle.partitions`` so the scan
+    width scales with the cluster instead of a test-scale constant; the
+    RESULT is partition-count-independent (a prefix sum doesn't care
+    where the partition boundaries fall — pinned by the parallelism
+    probe), so determinism is preserved while the driver-side offset
+    collect stays one row per partition."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return max(1, int(raw))
+    except ValueError:  # "auto" under some AQE configs
+        return int(spark.sparkContext.defaultParallelism)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table, normalising either ``ts`` encoding.
 

@@ -61,7 +61,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+from tlcn_oer_lakehouse_spark.queries.base import (
+    QuerySpec,
+    load,
+    prefix_sum_partitions,
+)
 
 # ---------------------------------------------------------------------------
 # standard scaler fit + outlier transform
@@ -302,7 +306,7 @@ def ml_auc_roc(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt"))
     )
     parts = (
-        hist.repartitionByRange(8, "score")
+        hist.repartitionByRange(prefix_sum_partitions(spark), "score")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
@@ -690,7 +694,9 @@ def naive_bayes_confusion(docs: DataFrame) -> DataFrame:
     n_docs_tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
     # scoring grid: every (token, class) with its smoothed bit cost
     grid = (
-        vocab.crossJoin(class_tot.select(F.col("lang").alias("c"), "n_tok"))
+        vocab.crossJoin(
+            F.broadcast(class_tot.select(F.col("lang").alias("c"), "n_tok"))
+        )
         .join(cc.select(F.col("lang").alias("c"), "t", "cnt"), ["c", "t"], "left")
         .crossJoin(F.broadcast(vsize))
         .select(

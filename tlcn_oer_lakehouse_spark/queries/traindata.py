@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tlcn_oer_lakehouse_spark.functions.text import shingles, token_count, tokens
-from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+from tlcn_oer_lakehouse_spark.queries.base import (
+    QuerySpec,
+    load,
+    prefix_sum_partitions,
+)
 
 
 def _bucket(c: F.Column, mod: int) -> F.Column:
@@ -241,7 +245,7 @@ def token_budget_shards_scalable(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     parts = (
-        docs.repartitionByRange(8, "doc_id")
+        docs.repartitionByRange(prefix_sum_partitions(spark), "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
