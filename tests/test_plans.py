@@ -176,6 +176,9 @@ _BNLJ_ALLOWED = {
     "ml_kaplan_meier",        # 1-row study-end/cohort-size broadcast
     "ts_holt_forecast",       # 1-row first-day broadcast
     "ml_lift_gain",           # 1-row corpus-totals broadcast
+    "q3_hybrid_recency",      # 1-row max-score normalizers (fusion shape)
+    "q_tiered_search",        # 1-row summary-tier BM25 stats broadcast
+    "rag_serve_e2e",          # 1-row stats/maxes/gate broadcasts (composed)
 }
 
 
@@ -198,13 +201,13 @@ def test_registry_wide_no_accidental_cross_products(spark):
 
 def test_priority_queries_inside_driver_window():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries. Every query needing a fresh driver row this round — the 9
+    entries. Every query needing a fresh driver row this round — the
     changed-since-green re-verifies plus every never-driver-sampled
     query — must sort inside that window, or it silently goes
     unverified."""
     from tlcn_oer_lakehouse_spark.queries import (
         REGISTRY,
-        _DRIVER_GREEN_R04,
+        _DRIVER_GREEN,
         _REVERIFY_FIRST,
         _SAMPLE_LAST,
     )
@@ -212,7 +215,7 @@ def test_priority_queries_inside_driver_window():
     order = list(REGISTRY)
     window = set(order[:50])
     never_sampled = (
-        set(order) - _DRIVER_GREEN_R04 - set(_REVERIFY_FIRST) - _SAMPLE_LAST
+        set(order) - _DRIVER_GREEN - set(_REVERIFY_FIRST) - _SAMPLE_LAST
     )
     needs_row = set(_REVERIFY_FIRST) | never_sampled
     missing = needs_row - window
@@ -297,3 +300,47 @@ def test_kmv_min_k_is_hierarchical(spark):
     plan = audit.formatted_plan(df)
     assert plan.lower().count("row_number") >= 2
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+
+
+def test_tiered_search_prunes_tier3_partitions(spark, tmp_path):
+    """The tiered-store serving claim (HIERARCHICAL_CHUNKING_DESIGN.md
+    §8: search tier 1-2 only, ~70-80% index reduction): over a
+    chunk_tier-partitioned store, the SCORING scan's partition filters
+    must exclude tier 3 — tier-3 files are opened only by the O(k)
+    drill-down join."""
+    from tlcn_oer_lakehouse_spark.operators.chunking import hierarchical_chunks
+    from tlcn_oer_lakehouse_spark.queries.base import load
+    from tlcn_oer_lakehouse_spark.queries.serve import tiered_search_from_chunks
+
+    store = str(tmp_path / "chunks")
+    chunks = hierarchical_chunks(load(spark, SF, "documents"), "doc_id", "text")
+    chunks.write.partitionBy("chunk_tier").parquet(store)
+    stored = spark.read.parquet(store)
+    df = tiered_search_from_chunks(stored)
+    plan = audit.formatted_plan(df)
+    # the summary-tier scan carries a partition filter keeping tiers <= 2
+    assert "PartitionFilters" in plan
+    assert "chunk_tier#" in plan and "<= 2" in plan
+    # and the result over the store matches the on-the-fly build
+    direct = tiered_search_from_chunks(chunks)
+    assert sorted(map(str, df.collect())) == sorted(map(str, direct.collect()))
+
+
+def test_tiered_search_drilldown_broadcasts_chapters(spark):
+    """Drill-down joins tier-3 rows against the O(k) selected chapters —
+    a broadcast equi-join, never a shuffle of the detail tier."""
+    df = _build(spark, "q_tiered_search")
+    assert audit.broadcast_join_count(df) >= 1
+    plan = audit.simple_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_rag_serve_e2e_exchange_budget(spark):
+    """The composed serve plan's corpus-sized work is one BM25 scan +
+    one embedding scan; stats/maxes/gate travel as 1-row broadcasts and
+    the pack window runs over <= 10 rows.  Wide shuffles stay bounded:
+    the lex-vec equi-join (+AQE coalesce) and the final tiny window."""
+    df = _build(spark, "rag_serve_e2e")
+    assert audit.exchange_count(df) <= 4
+    # three 1-row broadcast stages: bm25 stats, fusion maxes, gate
+    assert audit.broadcast_join_count(df) >= 3

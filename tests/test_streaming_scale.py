@@ -1,0 +1,92 @@
+"""Stream-equals-batch at the sf1.0 hardening corpus (VERDICT r05
+stretch task): the corpus-prep ingest flow, fed the 50k-document sf1.0
+table in parquet-file micro-batches, must admit exactly the documents
+the equivalent batch pipeline admits — proven at fixture scale in
+test_streaming.py, proven here at 100× that.
+
+Skipped when the generated corpus is absent (create it with
+``python tools/gen_testdata.py --sf 1.0 --out testdata_local/sf1.0``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SF1 = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                   "testdata_local", "sf1.0")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF1),
+    reason="sf1.0 corpus not generated (tools/gen_testdata.py)",
+)
+
+
+def test_corpus_prep_stream_equals_batch_at_sf1(spark, tmp_path):
+    from tlcn_oer_lakehouse_spark.functions.text import (
+        fingerprint,
+        quality_score,
+    )
+    from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+    from tlcn_oer_lakehouse_spark.streaming.ingest import corpus_prep_ingest
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    n_docs = docs.count()
+    assert n_docs == 50_000
+
+    # land the corpus as 5 parquet files -> 5 micro-batches of ~10k docs
+    landing = str(tmp_path / "landing")
+    docs.repartition(5).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    corpus = ParquetMergeTable(
+        spark, str(tmp_path / "corpus"), key="record_fingerprint"
+    )
+    t0 = time.perf_counter()
+    q = corpus_prep_ingest(
+        stream,
+        corpus,
+        chunks_dir=str(tmp_path / "chunks"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_quality=0.55,
+    )
+    q.awaitTermination(1200)
+    elapsed = time.perf_counter() - t0
+    # progress evidence: genuinely incremental, multiple triggers
+    assert len(q.recentProgress) >= 5
+
+    # batch twin: same gate + global fingerprint dedup in one pass
+    batch_admitted = (
+        docs.select(
+            "doc_id",
+            F.round(quality_score(F.col("text")), 9).alias("quality"),
+            fingerprint(F.col("text")).alias("record_fingerprint"),
+        )
+        .filter(F.col("quality") >= 0.55)
+        .groupBy("record_fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    want_fps = {r.record_fingerprint for r in batch_admitted.collect()}
+    got = corpus.read().select("record_fingerprint", "doc_id").collect()
+    got_fps = {r.record_fingerprint for r in got}
+    assert got_fps == want_fps
+    # dedup within AND across micro-batches: one row per fingerprint
+    assert len(got) == len(got_fps)
+    # the min-id-wins canon matches batch for fingerprints whose dup
+    # copies landed in the SAME micro-batch; across batches the stream
+    # admits the first-arriving copy (documented ingest semantics), so
+    # only assert the batch-global count here
+    print(f"sf1.0 corpus_prep_ingest: {n_docs} docs, "
+          f"{len(got)} admitted, {elapsed:.1f}s over "
+          f"{len(q.recentProgress)} triggers")
+
+    # chunks exist for every admitted doc (content-addressed; replay-safe)
+    chunks = spark.read.parquet(str(tmp_path / "chunks"))
+    assert chunks.select("doc_id").distinct().count() == len(got_fps)

@@ -113,8 +113,11 @@ def chunk_hierarchical(spark: SparkSession, sf: str) -> DataFrame:
     return hierarchical_chunks(load(spark, sf, "documents"), "doc_id", "text")
 
 
-HIERARCHICAL_SQL = f"""
-WITH toks AS (SELECT doc_id, {NORM_TK} AS tk, len({NORM_TK}) AS n FROM documents),
+# Shared DuckDB core for the 3-tier chunk set: the CTE chain ends in a
+# `chunks` relation with the exact columns hierarchical_chunks emits.
+# Reused by queries/serve.py (tiered search drills into the same set).
+HIER_CHUNKS_SQL_CORE = f"""
+toks AS (SELECT doc_id, {NORM_TK} AS tk, len({NORM_TK}) AS n FROM documents),
 t1 AS (
   SELECT doc_id,
          array_to_string(tk[1:30], ' ') AS t1_text,
@@ -142,7 +145,8 @@ t3 AS (
   SELECT doc_id, c, s,
          array_to_string(tk[(c-1)*100 + (s-1)*50 + 1:(c-1)*100 + (s-1)*50 + 50], ' ') AS t3_text
   FROM sections
-)
+),
+chunks AS (
 SELECT doc_id, 1 AS chunk_tier, 'doc_summary' AS chunk_type,
        0 AS chapter_number, 0 AS chunk_order, t1_text AS chunk_text,
        t1_id AS chunk_id, CAST(NULL AS VARCHAR) AS parent_chunk_id
@@ -156,6 +160,13 @@ SELECT t3.doc_id, 3, 'section_detail', CAST(t3.c AS INT), CAST(t3.s AS INT), t3.
                      CAST(t3.s AS VARCHAR), substring(t3.t3_text, 1, 16))),
        t2.t2_id
 FROM t3 JOIN t2 ON t3.doc_id = t2.doc_id AND t3.c = t2.c
+)"""
+
+HIERARCHICAL_SQL = f"""
+WITH {HIER_CHUNKS_SQL_CORE.strip()}
+SELECT doc_id, chunk_tier, chunk_type, chapter_number, chunk_order,
+       chunk_text, chunk_id, parent_chunk_id
+FROM chunks
 """
 
 

@@ -40,19 +40,23 @@ def _tf(toks, term: str):
     return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
 
-def _scored_docs(spark: SparkSession, sf: str) -> DataFrame:
+def _scored_docs(
+    spark: SparkSession, sf: str, terms: tuple[str, ...] = QUERY_TERMS
+) -> DataFrame:
     """documents + per-query-term tf columns + doc length."""
     docs = load(spark, sf, "documents").select("doc_id", "text")
     toks = tokens(F.col("text"))
     out = docs.select(
         "doc_id",
         F.size(toks).alias("dl"),
-        *[_tf(toks, term).alias(f"tf_{i}") for i, term in enumerate(QUERY_TERMS)],
+        *[_tf(toks, term).alias(f"tf_{i}") for i, term in enumerate(terms)],
     )
     return out
 
 
-def bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+def bm25_scores(
+    spark: SparkSession, sf: str, terms: tuple[str, ...] = QUERY_TERMS
+) -> DataFrame:
     """Okapi BM25 of the fixed query against every document.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))           [Robertson-Sparck-Jones]
@@ -63,19 +67,19 @@ def bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
     per-row math. avgdl is computed as exact-int SUM(dl)/COUNT so both
     engines divide the same two integers.
     """
-    scored = _scored_docs(spark, sf)
+    scored = _scored_docs(spark, sf, terms)
     stats = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         *[
             F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
-            for i in range(len(QUERY_TERMS))
+            for i in range(len(terms))
         ],
     )
     j = scored.crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     score = F.lit(0.0)
-    for i in range(len(QUERY_TERMS)):
+    for i in range(len(terms)):
         tf = F.col(f"tf_{i}").cast("double")
         df = F.col(f"df_{i}").cast("double")
         idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
@@ -275,6 +279,78 @@ SELECT doc_id,
        round(0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec), 9) AS hybrid_score
 FROM joined, maxes
 ORDER BY hybrid_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# Gaussian recency decay (reference README.md:35 "Gaussian Decay
+# Scoring: Ưu tiên tài liệu mới hơn" — an Elasticsearch function_score
+# `gauss` clause on the accession date).  ES semantics with origin=now,
+# offset=0, decay=0.5 at `scale`: multiplier = 0.5 ^ ((age/scale)^2)
+# = exp(-(age/scale)^2 · ln 2).  The documents table carries no date
+# column, so age_days is a DETERMINISTIC doc_id-derived stand-in for
+# `dc.date.accessioned` (identical expression on both engines); the
+# operator under test is the decay fold itself, one multiplicative
+# column expression on the fused score — zero extra shuffles.
+_RECENCY_SCALE_DAYS = 365.0
+_RECENCY_AGE_MOD = 1461  # ~4 years of synthetic ages
+
+
+def hybrid_recency(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid fusion × Gaussian recency decay: the ES function_score
+    shape (query score multiplied by the decay function's value)."""
+    lex = bm25_scores(spark, sf)
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    vec = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        (cosine(F.col("embedding"), F.col("q_emb")) + F.lit(1.0)).alias("vec_raw"),
+    )
+    joined = lex.join(vec, "doc_id")
+    maxes = joined.agg(
+        F.max("bm25_raw").alias("max_lex"), F.max("vec_raw").alias("max_vec")
+    )
+    age_days = (F.col("doc_id") * F.lit(37) % F.lit(_RECENCY_AGE_MOD)).cast("double")
+    gauss = F.exp(
+        -F.pow(age_days / F.lit(_RECENCY_SCALE_DAYS), F.lit(2.0))
+        * F.lit(0.6931471805599453)  # ln 2 → decay=0.5 at scale
+    )
+    fused = joined.crossJoin(F.broadcast(maxes)).select(
+        "doc_id",
+        F.round(
+            (
+                F.lit(0.5) * (F.col("bm25_raw") / F.col("max_lex"))
+                + F.lit(0.5) * (F.col("vec_raw") / F.col("max_vec"))
+            )
+            * gauss,
+            9,
+        ).alias("recency_score"),
+    )
+    return fused.orderBy(
+        F.col("recency_score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+HYBRID_RECENCY_SQL = f"""
+WITH {_bm25_sql_core().strip()},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         ({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q})) + 1.0 AS vec_raw
+  FROM embeddings, q
+),
+joined AS (
+  SELECT b.doc_id, b.bm25_raw, v.vec_raw
+  FROM bm25 b JOIN vec v ON b.doc_id = v.doc_id
+),
+maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined)
+SELECT doc_id,
+       round((0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec))
+             * exp(-pow(CAST(doc_id * 37 % {_RECENCY_AGE_MOD} AS DOUBLE)
+                        / {_RECENCY_SCALE_DAYS}, 2.0)
+                   * 0.6931471805599453), 9) AS recency_score
+FROM joined, maxes
+ORDER BY recency_score DESC, doc_id ASC
 LIMIT 10
 """
 
@@ -681,4 +757,9 @@ SPECS = [
     QuerySpec("q3_hybrid_fusion", hybrid_search, HYBRID_SQL,
               ref="chatbot_api.py:37-40, 244-274 (Q3 max-norm weighted fusion)",
               doc="hybrid BM25+cosine fusion top-10", tags=("retrieval",)),
+    QuerySpec("q3_hybrid_recency", hybrid_recency, HYBRID_RECENCY_SQL,
+              ref="README.md:35 (Gaussian Decay Scoring) — ES function_score "
+                  "gauss clause folded into the fusion as one column expr",
+              doc="hybrid fusion × exp(-(age/τ)²·ln2) recency decay top-10",
+              tags=("retrieval",)),
 ]

@@ -1,0 +1,220 @@
+"""Repo-side deterministic testdata generator — the sf1.0 hardening
+corpus (VERDICT r05 task 1).
+
+Reproduces the driver corpus's SCHEMAS exactly (column names, arrow
+types, including timestamp[us] date columns) and its distribution
+SHAPES (per-order line-count mixture, 1995-2001 date envelope, 5-lang
+document mix, 20-source round-robin, 10-cluster embeddings, exact- and
+near-duplicate documents) at any scale factor, under the repo's OWN
+seed — /root/testdata/ stays untouched and read-only.
+
+The strict-parity sweep (tools/driver_sim.py with SPARK_GRAFT_SF_DIR
+pointed here) compares the repo's Spark plans against its DuckDB
+oracles ON THIS DATA, so parity is generator-independent; what the
+bigger corpus adds is the scale-calibrated bug class: fixed iteration
+budgets, driver-side collects that stop being O(1), skew that only
+materializes at volume (the class the sf0.1 sweep caught in
+g_pointer_doubling_depth).
+
+Usage:
+    python tools/gen_testdata.py --sf 1.0 --out testdata_local/sf1.0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 20260814  # repo seed — deliberately NOT the driver's seed=42
+
+VOCAB = (
+    "spark merge vector batch part line column order small sort fast value "
+    "scan hash slow group agg filter query big key window row table stream "
+    "data join customer a the"
+).split()
+
+LANGS = ("en", "en", "en", "en", "de", "es", "fr", "zh")  # ~50% en
+MKT = ("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+PRIO = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+STATUS = ("F", "O", "P")
+PTYPES = ("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+PNAME_ADJ = ("large", "hot", "blue", "old", "cold", "small", "dark", "new")
+PNAME_NOUN = ("ring", "bolt", "plate", "case", "wheel", "box", "cap", "rod")
+ETYPES = ("click", "error", "purchase", "signup", "view")
+DAY_US = 86_400_000_000
+
+
+def _ts_us(days_from_epoch):
+    return (np.asarray(days_from_epoch, dtype=np.int64) * DAY_US).astype(
+        "datetime64[us]"
+    )
+
+
+def gen(sf: float, out: str) -> None:
+    rng = np.random.default_rng(SEED)
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_ev = int(1_000_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+    n_users = int(15_000 * sf)
+
+    os.makedirs(out, exist_ok=True)
+
+    def w(name: str, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+        print(f"  {name}: {table.num_rows} rows")
+
+    # -- region / nation ---------------------------------------------------
+    w("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    }))
+    w("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    # -- customer / supplier ----------------------------------------------
+    w("customer", pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+        "c_mktsegment": pa.array(np.array(MKT)[rng.integers(0, 5, n_cust)]),
+    }))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
+    }))
+
+    # -- part --------------------------------------------------------------
+    adj = np.array(PNAME_ADJ)[rng.integers(0, len(PNAME_ADJ), n_part)]
+    noun = np.array(PNAME_NOUN)[rng.integers(0, len(PNAME_NOUN), n_part)]
+    w("part", pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": pa.array(np.char.add(np.char.add(adj, " "), noun)),
+        "p_brand": pa.array([f"Brand#{i}" for i in
+                             rng.integers(1, 26, n_part)]),
+        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(900.0 + np.arange(n_part) % 1000 / 10.0, 2),
+    }))
+
+    # -- orders ------------------------------------------------------------
+    # 1995-01-01 .. 2001-08-01 (driver envelope)
+    d0, d1 = 9131, 11535  # days from epoch
+    odate_days = rng.integers(d0, d1 + 1, n_ord)
+    w("orders", pa.table({
+        "o_orderkey": pa.array(range(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(np.array(STATUS)[rng.integers(0, 3, n_ord)]),
+        "o_totalprice": np.round(rng.uniform(850.0, 400_000.0, n_ord), 2),
+        "o_orderdate": pa.array(_ts_us(odate_days), pa.timestamp("us")),
+        "o_orderpriority": pa.array(np.array(PRIO)[rng.integers(0, 5, n_ord)]),
+    }))
+
+    # -- lineitem: per-order line-count mixture (mean ~4, tail to ~17) -----
+    nlines = np.clip(1 + rng.poisson(3.0, n_ord), 1, 17)
+    l_orderkey = np.repeat(np.arange(n_ord, dtype=np.int64), nlines)
+    n_li = len(l_orderkey)
+    # vectorized 1..k per order: global index minus each order's start
+    order_starts = np.concatenate(([0], np.cumsum(nlines)[:-1]))
+    l_linenumber = (
+        np.arange(n_li, dtype=np.int64) - np.repeat(order_starts, nlines) + 1
+    ).astype(np.int32)
+    ship_off = rng.integers(1, 95, n_li)  # ship 1-94 days after order date
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array(l_orderkey, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(l_linenumber, pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900.0, 105_000.0, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[
+            rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[
+            rng.integers(0, 2, n_li)]),
+        "l_shipdate": pa.array(
+            _ts_us(np.repeat(odate_days, nlines) + ship_off),
+            pa.timestamp("us")),
+    }))
+
+    # -- events: sorted us-timestamps over 30 days of 2024-01 --------------
+    t0 = 19723 * DAY_US  # 2024-01-01 in µs
+    span = 30 * DAY_US
+    ts = np.sort(rng.integers(0, span, n_ev)) + t0
+    w("events", pa.table({
+        "event_id": pa.array(range(n_ev), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
+        "value": np.round(rng.exponential(80.0, n_ev), 2),
+        "props": pa.array([f'{{"k": {k}}}' for k in
+                           rng.integers(0, 100, n_ev)]),
+    }))
+
+    # -- documents: vocab bag-of-words, exact dups + near-dups -------------
+    doc_len = rng.integers(8, 91, n_doc)
+    vocab = np.array(VOCAB)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in doc_len
+    ]
+    # ~0.2% exact duplicates and ~0.5% near-duplicates (1-2 token edits)
+    # of earlier docs — the dedup family needs real positives at scale
+    n_dup = max(2, n_doc // 500)
+    n_near = max(3, n_doc // 200)
+    dup_src = rng.integers(0, n_doc // 2, n_dup)
+    dup_dst = rng.integers(n_doc // 2, n_doc, n_dup)
+    for s_i, t_i in zip(dup_src, dup_dst):
+        texts[t_i] = texts[s_i]
+    near_src = rng.integers(0, n_doc // 2, n_near)
+    near_dst = rng.integers(n_doc // 2, n_doc, n_near)
+    for s_i, t_i in zip(near_src, near_dst):
+        tk = texts[s_i].split()
+        for _ in range(rng.integers(1, 3)):
+            tk[rng.integers(0, len(tk))] = vocab[rng.integers(0, len(vocab))]
+        texts[t_i] = " ".join(tk)
+    w("documents", pa.table({
+        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "text": texts,
+        "lang": pa.array(np.array(LANGS)[rng.integers(0, len(LANGS), n_doc)]),
+        "source": [f"src{i % 20}" for i in range(n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # -- embeddings: 10 gaussian clusters in R^64 --------------------------
+    centers = rng.normal(0.0, 0.12, (10, 64))
+    labels = rng.integers(0, 10, n_emb)
+    emb = (centers[labels] + rng.normal(0.0, 0.06, (n_emb, 64))).astype(
+        np.float32
+    )
+    w("embeddings", pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump({"sf": sf, "seed": SEED, "lineitem_rows": int(n_li)}, f)
+    print(f"done: sf={sf} lineitem={n_li} → {out}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, required=True)
+    ap.add_argument("--out", required=True)
+    a = ap.parse_args()
+    gen(a.sf, a.out)
