@@ -198,7 +198,7 @@ seg_toks AS (
 ),
 scored AS (
   SELECT st.doc_id, st.seg_no, st.seg_text,
-         round(CAST(SUM(CAST(coalesce(df.idf, 0.0) AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 9) AS seg_score
+         round(CAST(CAST(SUM(CAST(coalesce(df.idf, 0.0) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS seg_score
   FROM seg_toks st LEFT JOIN doc_freq df ON st.tok = df.tok
   GROUP BY st.doc_id, st.seg_no, st.seg_text
 ),
@@ -209,7 +209,7 @@ ranked AS (
 )
 SELECT doc_id,
        array_to_string(array_agg(seg_text ORDER BY seg_no), ' ') AS summary,
-       round(CAST(SUM(CAST(seg_score AS DECIMAL(28,9))) AS DOUBLE), 9) AS score_sum,
+       round(CAST(CAST(SUM(CAST(seg_score AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE), 9) AS score_sum,
        COUNT(*) AS n_segments
 FROM ranked
 WHERE rank <= 3

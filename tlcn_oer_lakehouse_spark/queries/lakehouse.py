@@ -153,7 +153,7 @@ WITH survivors AS (
   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 )
 SELECT c_nationkey, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
 FROM survivors
 GROUP BY c_nationkey
 ORDER BY c_nationkey
@@ -321,7 +321,7 @@ def gold_bridge_weighted(spark: SparkSession, sf: str) -> DataFrame:
 GOLD_BRIDGE_SQL = """
 WITH pairs AS (
   SELECT o.o_custkey, l.l_partkey,
-         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_weight,
+         CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty_weight,
          COUNT(*) AS n_lines
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY o.o_custkey, l.l_partkey

@@ -80,7 +80,7 @@ def ml_feature_scaling(spark: SparkSession, sf: str) -> DataFrame:
     n = F.count(F.lit(1))
     stats = li.groupBy("l_returnflag").agg(
         n.alias("n"),
-        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("string").cast("double") / n
          ).alias("mean_price"),
         (F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
                 * F.col("l_extendedprice").cast("decimal(18,2)"))
@@ -107,7 +107,7 @@ FEATURE_SCALING_SQL = """
 WITH stats AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_price,
          CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS e2,
          MIN(l_extendedprice) AS min_price,
          MAX(l_extendedprice) AS max_price
@@ -214,8 +214,8 @@ OLS_SQL = """
 WITH m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
          CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy,
          CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
          CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy
@@ -908,8 +908,8 @@ WELCH_SQL = """
 WITH m AS (
   SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
-         CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
-         CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS s2,
          CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE) AS q1,
          CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE) AS q2
   FROM events WHERE event_type IN ('click', 'purchase')

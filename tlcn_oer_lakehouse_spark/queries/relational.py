@@ -365,14 +365,14 @@ def j5_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("string").cast("double").alias("total_acctbal"),
         )
     )
 
 
 J5_SQL = """
 SELECT r_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -416,7 +416,7 @@ def a1_grouped_multi_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").cast("double").alias("total_qty"),
     )
 
 
@@ -425,7 +425,7 @@ SELECT l_suppkey,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        COUNT(DISTINCT l_partkey) AS n_parts,
        CAST(MAX(l_shipdate) AS DATE) AS last_ship,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
 FROM lineitem GROUP BY l_suppkey
 """
 
@@ -477,14 +477,14 @@ def a_rollup(spark: SparkSession, sf: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").cast("double").alias("qty"),
         )
     )
 
 
 A_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -498,14 +498,14 @@ def a_cube(spark: SparkSession, sf: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").cast("double").alias("qty"),
         )
     )
 
 
 A_CUBE_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -613,7 +613,7 @@ def a_pivot(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").cast("double"))
     )
 
 
@@ -706,7 +706,7 @@ def a_column_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.min("o_orderdate").alias("min_orderdate"),
         F.max("o_orderdate").alias("max_orderdate"),
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("string").cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("avg_totalprice"),
@@ -719,7 +719,7 @@ SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT o_custkey) AS n_customers,
        CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
        MIN(o_orderdate) AS min_orderdate, MAX(o_orderdate) AS max_orderdate,
-       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_totalprice,
+       round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_totalprice,
        COUNT(DISTINCT o_orderstatus) AS n_statuses
 FROM orders
 """

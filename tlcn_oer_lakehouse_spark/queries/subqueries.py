@@ -24,14 +24,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").cast("double")
             / F.count(F.lit(1))
         ).alias("avg_qty")
     )
     j = li.join(part_avg, li.l_partkey == part_avg.pk)
     return j.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")).agg(
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / 7.0,
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("string").cast("double") / 7.0,
             9,
         ).alias("avg_yearly")
     )
@@ -40,10 +40,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
 Q17_SQL = """
 WITH part_avg AS (
   SELECT l_partkey AS pk,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 9) AS avg_yearly
+SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / 7.0, 9) AS avg_yearly
 FROM lineitem JOIN part_avg ON l_partkey = pk
 WHERE l_quantity < 0.5 * avg_qty
 """
@@ -91,7 +91,7 @@ def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         SELECT o_orderstatus,
                o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS total_price,
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
@@ -104,7 +104,7 @@ GROUPING_SETS_SQL = """
 SELECT o_orderstatus,
        o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS total_price,
        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
@@ -133,7 +133,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)

@@ -442,7 +442,7 @@ def _pagerank_oracle(n_iter: int = 2, damping: float = 0.85) -> str:
     for i in range(n_iter):
         parts.append(
             f"c{i + 1} AS (SELECT e.v AS node, "
-            f"CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS s "
+            f"CAST(CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s "
             f"FROM edges e JOIN r{i} r ON e.u = r.node JOIN deg d ON e.u = d.u "
             f"GROUP BY e.v)"
         )

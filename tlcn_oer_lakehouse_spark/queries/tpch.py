@@ -37,11 +37,11 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(28,6)")).cast("double").alias("sum_charge"),
+            F.sum(disc_price.cast("decimal(28,6)")).cast("string").cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,6)")).cast("string").cast("double").alias("sum_charge"),
             (F.sum(_dec2("l_quantity")).cast("double") / n).alias("avg_qty"),
             (F.sum(_dec2("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / n).alias("avg_disc"),
+            (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("string").cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -51,13 +51,13 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -95,7 +95,7 @@ Q3_SQL = """
 SELECT
   l_orderkey,
   CAST(o_orderdate AS DATE) AS o_orderdate,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -133,7 +133,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
 Q5_SQL = """
 SELECT
   n_name,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -168,7 +168,7 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 Q6_SQL = """
 SELECT
-  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -199,7 +199,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
 Q10_SQL = """
 SELECT
   c_custkey, c_name, n_name, c_acctbal,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -85,7 +85,7 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -145,10 +145,10 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 Q8_SQL = """
 SELECT year(o_orderdate) AS o_year,
        round(
-         CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+         CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
-                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
-         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE),
          9) AS mkt_share
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -194,8 +194,8 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                     - p_retailprice * 0.6 * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     - p_retailprice * 0.6 * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
          AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -412,10 +412,10 @@ def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 Q22_SQL = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
         FROM customer WHERE c_acctbal > 0
       )
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

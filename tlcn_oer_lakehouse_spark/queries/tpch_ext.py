@@ -63,7 +63,7 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return j.agg(
         F.round(
-            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("string").cast("double")
             * 100.0
             / F.sum(rev).cast("double"),
             9,
@@ -73,10 +73,10 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 Q14_SQL = """
 SELECT round(
-         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+         CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
-                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) * 100.0
-         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) * 100.0
+         / CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE),
          9) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'

@@ -478,7 +478,7 @@ SELECT COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
        round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
-       round(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9) AS mean_quality,
+       round(CAST(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS mean_quality,
        COUNT(DISTINCT fp) AS n_distinct_contents,
        CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
        round((COUNT(*) - COUNT(DISTINCT fp)) / CAST(COUNT(*) AS DOUBLE), 9) AS dup_rate
@@ -776,7 +776,7 @@ def hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     # decimal digits — DECIMAL(38,30) holds it exactly; float summation
     # order would diverge between engines)
     pow2 = F.lit(2.0) ** (-F.col("r").cast("double"))
-    s_present = F.sum(pow2.cast("decimal(38,30)")).cast("double")
+    s_present = F.sum(pow2.cast("decimal(38,30)")).cast("string").cast("double")
     n_present = F.count(F.lit(1))
     agg = regs.agg(
         s_present.alias("s_present"), n_present.alias("n_present")
@@ -822,7 +822,7 @@ WITH terms AS (
                        ELSE {vb + 1} - length(bin(v)) END) AS r
   FROM hashed GROUP BY idx
 ), agg AS (
-  SELECT CAST(SUM(CAST(power(2.0, -r) AS DECIMAL(38,30))) AS DOUBLE) AS s_present,
+  SELECT CAST(CAST(SUM(CAST(power(2.0, -r) AS DECIMAL(38,30))) AS VARCHAR) AS DOUBLE) AS s_present,
          COUNT(*) AS n_present
   FROM regs
 ), est AS (
@@ -965,7 +965,7 @@ def td_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     doc_stats = meta.groupBy("split", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
-            F.sum(F.col("quality").cast("decimal(18,9)")).cast("double")
+            F.sum(F.col("quality").cast("decimal(18,9)")).cast("string").cast("double")
             / F.count(F.lit(1))
         ).alias("mean_quality"),
     )
@@ -1044,7 +1044,7 @@ WITH base AS (
   WHERE s = 1 OR s - 40 + 50 - 1 < len(tk)
 ), doc_stats AS (
   SELECT split, lang_pred, COUNT(*) AS n_docs,
-         CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+         CAST(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(*)
            AS mean_quality
   FROM meta GROUP BY 1, 2
 ), chunk_stats AS (

@@ -251,7 +251,7 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
         )
         parts.append(
             f"dims{i} AS (SELECT cluster_id, j, "
-            f"round(CAST(SUM(CAST(v[j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS m "
+            f"round(CAST(CAST(SUM(CAST(v[j] AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 12) AS m "
             f"FROM assign{i}, generate_series(1, {dim}) t(j) GROUP BY cluster_id, j)"
         )
         parts.append(
@@ -318,7 +318,7 @@ def _pq_oracle(m: int = 8, sub: int = 8, k: int = 16, n_iter: int = 1) -> str:
             )
             parts.append(
                 f"dims{it}_{i} AS (SELECT cluster_id, j, "
-                f"round(CAST(SUM(CAST(v[j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS mn "
+                f"round(CAST(CAST(SUM(CAST(v[j] AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 12) AS mn "
                 f"FROM assign{it}_{i}, generate_series(1, {sub}) t(j) GROUP BY cluster_id, j)"
             )
             parts.append(

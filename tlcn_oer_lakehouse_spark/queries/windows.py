@@ -31,7 +31,7 @@ def tumbling_event_counts(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -47,7 +47,7 @@ TUMBLING_SQL = f"""
 SELECT CAST(date_trunc('day', {_DUCK_TS}) AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -157,7 +157,7 @@ def range_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("string").cast("double"), 2
             ).alias("sum_value"),
         )
         .orderBy("interval_id")
@@ -175,7 +175,7 @@ iv AS (
   FROM (SELECT unnest(generate_series(0, 99)) AS i)
 )
 SELECT interval_id, COUNT(*) AS n_events,
-       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+       round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 2) AS sum_value
 FROM iv JOIN ev ON ev.ts_sec BETWEEN iv.lo_sec AND iv.hi_sec
 GROUP BY interval_id
 ORDER BY interval_id
@@ -350,7 +350,7 @@ def w5_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.count("t2").alias("n_click_after_view"),
         F.count("t3").alias("n_purchase_after_click"),
         F.round(
-            F.sum((F.col("t3") - F.col("t1")).cast("decimal(38,0)")).cast("double")
+            F.sum((F.col("t3") - F.col("t1")).cast("decimal(38,0)")).cast("string").cast("double")
             / F.count("t3")
             / F.lit(1000000000.0),
             6,
@@ -370,7 +370,7 @@ t3 AS (SELECT e.user_id, MIN(e.ts_ns) AS t3
 SELECT COUNT(t1.t1) AS n_view,
        COUNT(t2.t2) AS n_click_after_view,
        COUNT(t3.t3) AS n_purchase_after_click,
-       round(CAST(SUM(CAST(t3.t3 - t1.t1 AS DECIMAL(38,0))) AS DOUBLE)
+       round(CAST(CAST(SUM(CAST(t3.t3 - t1.t1 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
              / COUNT(t3.t3) / 1000000000.0, 6) AS avg_conversion_sec
 FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
 """
@@ -701,7 +701,7 @@ def j_salted_hot_key(spark: SparkSession, sf: str) -> DataFrame:
         joined.groupBy("event_type", "type_total")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("string").cast("double").alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -711,7 +711,7 @@ J_SALTED_SQL = """
 WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type)
 SELECT e.event_type, d.type_total,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type, d.type_total
 ORDER BY e.event_type
@@ -896,12 +896,12 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
     n_h = F.count(F.lit(1))
     hourly = base.groupBy("event_type", "hour").agg(
         n_h.alias("n_events"),
-        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n_h
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("string").cast("double") / n_h
          ).alias("hour_mean"),
     )
     n_t = F.count(F.lit(1))
     overall = base.groupBy("event_type").agg(
-        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n_t
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("string").cast("double") / n_t
          ).alias("type_mean")
     )
     seasonal = F.col("hour_mean") - F.col("type_mean")
@@ -915,7 +915,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
         base.join(F.broadcast(prof), ["event_type", "hour"])
         .groupBy("event_type", "hour")
         .agg(
-            (F.sum(q_resid.cast("decimal(38,0)")).cast("double")
+            (F.sum(q_resid.cast("decimal(38,0)")).cast("string").cast("double")
              / F.count(F.lit(1)) / F.lit(100000000.0)).alias("mean_abs_resid")
         )
     )
@@ -939,18 +939,18 @@ base AS (
 ),
 hourly AS (
   SELECT event_type, hour, COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS hour_mean
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS hour_mean
   FROM base GROUP BY event_type, hour
 ),
 overall AS (
   SELECT event_type,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_mean
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS type_mean
   FROM base GROUP BY event_type
 ),
 prof AS (SELECT h.*, o.type_mean FROM hourly h JOIN overall o USING (event_type)),
 spread AS (
   SELECT b.event_type, b.hour,
-         CAST(SUM(CAST(floor(abs(b.value - p.hour_mean) * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(floor(abs(b.value - p.hour_mean) * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
            / COUNT(*) / 100000000.0 AS mean_abs_resid
   FROM base b JOIN prof p ON b.event_type = p.event_type AND b.hour = p.hour
   GROUP BY b.event_type, b.hour
@@ -993,7 +993,7 @@ def ts_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("day_idx", F.expr("ts_sec div 86400") - F.col("d0"))
         .filter(F.col("day_idx") < _HOLT_DAYS)
         .groupBy("event_type", "day_idx")
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("y"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("string").cast("double").alias("y"))
     )
     wide = daily.groupBy("event_type").pivot(
         "day_idx", list(range(_HOLT_DAYS))
@@ -1047,7 +1047,7 @@ WITH ev AS (
 day0 AS (SELECT MIN(ts_sec) // 86400 AS d0 FROM ev),
 daily AS (
   SELECT event_type, ts_sec // 86400 - d0 AS day_idx,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS y
   FROM ev CROSS JOIN day0
   WHERE ts_sec // 86400 - d0 < {_HOLT_DAYS}
   GROUP BY event_type, ts_sec // 86400 - d0
@@ -1106,7 +1106,7 @@ def w12_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     return attributed.groupBy("attributed_type").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(
-            F.sum(F.col("gap_ns").cast("decimal(38,0)")).cast("double")
+            F.sum(F.col("gap_ns").cast("decimal(38,0)")).cast("string").cast("double")
             / F.count("gap_ns") / F.lit(1000000000.0),
             6,
         ).alias("avg_gap_sec"),
@@ -1135,7 +1135,7 @@ attr AS (
 )
 SELECT COALESCE(lt_type, 'direct') AS attributed_type,
        COUNT(*) AS n_purchases,
-       round(CAST(SUM(CAST(ts_ns - lt_ts AS DECIMAL(38,0))) AS DOUBLE)
+       round(CAST(CAST(SUM(CAST(ts_ns - lt_ts AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
              / COUNT(ts_ns - lt_ts) / 1000000000.0, 6) AS avg_gap_sec
 FROM attr WHERE is_purchase = 1
 GROUP BY COALESCE(lt_type, 'direct')

@@ -167,10 +167,28 @@ def gen(sf: float, out: str) -> None:
     }))
 
     # -- documents: vocab bag-of-words, exact dups + near-dups -------------
+    # Vocabulary realism matters at scale: a fixed 30-word vocab makes
+    # 3-gram shingles df≈N/27k — at 50k docs EVERY shingle sits just
+    # under a df-cap and shingle-blocked dedup degenerates to Σdf² ≈
+    # 10⁸ candidate pairs (measured: the first sf1.0 sweep filled 75 GB
+    # of spill).  Real corpora grow vocabulary with corpus size (Heaps'
+    # law) and are Zipf-distributed, which keeps most shingles rare.
+    # Core 30 words stay frequent (BM25 query terms, textops density);
+    # a Zipfian tail scales with sf.
     doc_len = rng.integers(8, 91, n_doc)
-    vocab = np.array(VOCAB)
+    n_tail = max(200, int(5000 * sf ** 0.5))
+    vocab = np.array(VOCAB + [f"w{i:05d}" for i in range(n_tail)])
+    weights = np.concatenate([
+        np.full(len(VOCAB), 0.6 / len(VOCAB)),          # 60% core mass
+        0.4 * (1.0 / np.arange(1, n_tail + 1) ** 1.1)    # Zipf(1.1) tail
+        / np.sum(1.0 / np.arange(1, n_tail + 1) ** 1.1),
+    ])
+    weights /= weights.sum()
+    all_toks = rng.choice(len(vocab), size=int(doc_len.sum()), p=weights)
+    bounds = np.concatenate(([0], np.cumsum(doc_len)))
     texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in doc_len
+        " ".join(vocab[all_toks[bounds[i]:bounds[i + 1]]])
+        for i in range(n_doc)
     ]
     # ~0.2% exact duplicates and ~0.5% near-duplicates (1-2 token edits)
     # of earlier docs — the dedup family needs real positives at scale
