@@ -281,33 +281,55 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, nbits: int = 32
+    df: DataFrame, id_col: str, text_col: str, nbits: int = 64
 ) -> DataFrame:
-    """Per-document SimHash: each token hashes to a 32-bit value; bit j of
+    """Per-document SimHash: each token hashes to up to 64 bits; bit j of
     the signature is the sign of Σ_tokens (±1 per token's bit j).
-    Portable md5-based token hash; one explode + one groupBy."""
+    Portable md5-based token hash (two 32-bit halves, so the 64-bit form
+    replays in any SQL engine without unsigned-long gymnastics); one
+    explode + one groupBy.
+
+    Signature width is a SCALE parameter, not a tuning knob: the chance
+    a random pair lands within hamming ≤ 6 is Σ C(nbits,i)/2^nbits —
+    ~2.4e-4 at 32 bits, which at 50k docs already yields ~10⁵
+    birthday-paradox pairs and grows quadratically with corpus size
+    (the round-6 sf1.0 sweep measured 53.6M pairs, 1000× the true
+    near-dup count).  At 64 bits the same figure is ~5e-12 — no chance
+    pairs at any realistic corpus.  Default is therefore 64."""
+    if not 1 <= nbits <= 64:
+        raise ValueError(f"nbits must be 1..64, got {nbits}")
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        "h_lo", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "h_hi", F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
     )
+
+    def _bit(j: int):
+        half, b = ("h_lo", j) if j < 32 else ("h_hi", j - 32)
+        return F.col(half).bitwiseAND(F.lit(1 << b))
+
     bit_sums = tok.groupBy("doc").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-            ).alias(f"b{j}")
+            F.sum(F.when(_bit(j) != 0, 1).otherwise(-1)).alias(f"b{j}")
             for j in range(nbits)
         ]
     )
     sig = F.lit(0).cast("long")
     for j in range(nbits):
-        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        # bit 63 is the long's sign bit: its two's-complement value is
+        # -2^63, which both engines add identically
+        weight = -(1 << 63) if j == 63 else (1 << j)
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(weight)).otherwise(
+            F.lit(0)
+        ).cast("long")
     return bit_sums.select("doc", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, nbits: int = 32
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, nbits: int = 64
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius — banded candidate
     generation, NOT all-pairs.

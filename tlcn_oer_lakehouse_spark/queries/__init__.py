@@ -116,6 +116,16 @@ _DRIVER_GREEN = frozenset({
 #     chunk_hierarchical
 #   mp4 reader hardening (count bounds, per-trak first-wins):
 #     mm_mp4_frames
+#   simhash widened 32→64 bits (sf1.0 sweep: 32 bits birthday-collides
+#   at ≥50k docs) — result-changing, both engines updated:
+#     dedup_simhash
+#   graph-family oracle SQL gained MATERIALIZED CTE hints (sf1.0 sweep:
+#   DuckDB re-inlined multi-referenced CTEs and filled the disk) —
+#   result-identical, oracle text changed:
+#     g_pagerank, g_triangle_count, g_modularity, g_jaccard_neighbors
+#   k-core round budget 8→12 (sf1.0 needs 10; fixpoint-detected, so
+#   result-identical at driver scale):
+#     g_kcore
 _REVERIFY_FIRST = (
     "q1_bm25_topk",
     "td_hard_negatives",
@@ -128,6 +138,12 @@ _REVERIFY_FIRST = (
     "ml_naive_bayes_langid",
     "chunk_hierarchical",
     "mm_mp4_frames",
+    "dedup_simhash",
+    "g_pagerank",
+    "g_triangle_count",
+    "g_modularity",
+    "g_jaccard_neighbors",
+    "g_kcore",
 )
 
 

@@ -9,7 +9,7 @@ doc_id%10==0) and near-copies with the last 3 tokens dropped
 (doc_id+200000 for doc_id%10==5).  Both engines construct the same corpus,
 so every operator exercises real duplicate/near-duplicate structure.
 
-Oracle SQL for the signature operators (16 minhash mins, 32 simhash bit
+Oracle SQL for the signature operators (16 minhash mins, 64 simhash bit
 sums) is generated programmatically to keep the two implementations
 honestly independent in structure but identical in the hash family
 (md5-prefix integers — portable across engines).
@@ -276,17 +276,24 @@ WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_duplicates(
-        augmented_corpus(spark, sf), "doc_id", "text", max_hamming=6, nbits=32
+        augmented_corpus(spark, sf), "doc_id", "text", max_hamming=6, nbits=64
     )
 
 
-def _simhash_oracle(nbits: int = 32, max_hamming: int = 6) -> str:
+def _simhash_oracle(nbits: int = 64, max_hamming: int = 6) -> str:
+    # 64-bit signature from two 32-bit md5 halves (h_lo bits 0-31, h_hi
+    # bits 32-63); bit 63 assembles as the long's sign value -2^63 —
+    # identical two's-complement arithmetic in both engines.  32 bits
+    # birthday-collide at ≥50k docs (see simhash_signatures docstring).
+    def _half(j: int) -> str:
+        return f"h_lo & {1 << j}" if j < 32 else f"h_hi & {1 << (j - 32)}"
+
     bit_sums = ",\n         ".join(
-        f"SUM(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        f"SUM(CASE WHEN ({_half(j)}) != 0 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(nbits)
     )
     assemble = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN b{j} > 0 THEN CAST({-(1 << 63) if j == 63 else (1 << j)} AS BIGINT) ELSE 0 END)"
         for j in range(nbits)
     )
     return f"""
@@ -296,7 +303,10 @@ tok AS (
          unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
   FROM corpus
 ),
-hashed AS (SELECT doc, CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h FROM tok),
+hashed AS (SELECT doc,
+                  CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS h_lo,
+                  CAST('0x' || substring(md5(t), 9, 8) AS BIGINT) AS h_hi
+           FROM tok),
 bits AS (
   SELECT doc, {bit_sums}
   FROM hashed GROUP BY doc
@@ -430,9 +440,13 @@ def g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _pagerank_oracle(n_iter: int = 2, damping: float = 0.85) -> str:
+    # MATERIALIZED matters at scale: `edges` references `pairs` twice
+    # and deg/nodes/r0 reference `edges` three more times — without the
+    # hint DuckDB re-inlines the entire MinHash replay per reference
+    # (the sf1.0 sweep measured it filling 60+ GB of spill before ENOSPC)
     parts = [
-        f"pairs AS ({_minhash_oracle().strip()})",
-        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        f"pairs AS MATERIALIZED ({_minhash_oracle().strip()})",
+        "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs "
         "UNION SELECT doc_b AS u, doc_a AS v FROM pairs)",
         "deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u)",
         "nodes AS (SELECT DISTINCT u AS node FROM edges)",
@@ -483,7 +497,7 @@ def g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _KCORE_K = 75
-_KCORE_ROUNDS = 8  # ≥ measured convergence (5 rounds at sf0.01, 4 at sf0.001)
+_KCORE_ROUNDS = 12  # ≥ measured convergence (10 rounds at sf1.0, 5 at sf0.01, 4 at sf0.001)
 
 
 def g_kcore(spark: SparkSession, sf: str) -> DataFrame:
@@ -920,11 +934,11 @@ def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
 
 
 JACCARD_NEIGHBORS_SQL = f"""
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
 centers AS (SELECT node AS w FROM deg WHERE d <= {_JACC_NBR_CAP}),
 common AS (
   SELECT e1.v AS u, e2.v AS v, COUNT(*) AS common
@@ -944,10 +958,10 @@ LIMIT {_JACC_NBR_TOPK}
 
 
 MODULARITY_SQL = """
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-pb AS (
+pb AS MATERIALIZED (
   SELECT p.u, p.v, bu.p_brand AS brand_u, bv.p_brand AS brand_v
   FROM pairs p
   JOIN part bu ON p.u = bu.p_partkey
@@ -974,12 +988,12 @@ FROM d_c LEFT JOIN e_c ON d_c.brand = e_c.brand CROSS JOIN m_total
 
 
 TRIANGLE_SQL = """
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
-ori AS (
+edges AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+ori AS MATERIALIZED (
   SELECT CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.u ELSE p.v END AS s,
          CASE WHEN (da.d, p.u) < (db.d, p.v) THEN p.v ELSE p.u END AS t,
          CASE WHEN (da.d, p.u) < (db.d, p.v) THEN db.d ELSE da.d END AS dt
@@ -1182,6 +1196,6 @@ SPECS = [
               doc="per-community modularity contributions Q_c",
               tags=("graph",)),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle(),
-              ref="scale op; 32-bit simhash, hamming<=6",
+              ref="scale op; 64-bit simhash, hamming<=6",
               doc="SimHash near-dup pairs", tags=("dedup",)),
 ]

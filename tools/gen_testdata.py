@@ -185,6 +185,17 @@ def gen(sf: float, out: str) -> None:
     ])
     weights /= weights.sum()
     all_toks = rng.choice(len(vocab), size=int(doc_len.sum()), p=weights)
+    # per-doc topical skew: rotate each doc's TAIL draws by a doc-specific
+    # offset, so unrelated docs favor different tail words (real documents
+    # have distinct content words; without this every doc shares one token
+    # distribution and distribution-similarity near-dup measures like
+    # SimHash correctly — but uselessly — flag most pairs)
+    doc_offset = np.repeat(rng.integers(0, n_tail, n_doc), doc_len)
+    is_tail = all_toks >= len(VOCAB)
+    all_toks[is_tail] = (
+        (all_toks[is_tail] - len(VOCAB) + doc_offset[is_tail]) % n_tail
+        + len(VOCAB)
+    )
     bounds = np.concatenate(([0], np.cumsum(doc_len)))
     texts = [
         " ".join(vocab[all_toks[bounds[i]:bounds[i + 1]]])
