@@ -150,9 +150,26 @@ _REVERIFY_FIRST = (
 # Round-6 rotation: td_bpe_merges_delta (the deliberate round-5
 # demotion) re-enters the window as never-sampled; with the round-6
 # additions (q3_hybrid_recency, q_tiered_search, rag_serve_e2e) that is
-# 11 re-verifies + 4 never-sampled = 15 slots, leaving ~35 for greens
-# to re-rotate and for further round-6 queries.
-_SAMPLE_LAST: frozenset[str] = frozenset()
+# 17 re-verifies + 4 never-sampled = 21 slots, leaving ~29 for greens
+# to re-rotate.  Greens sampled in ROUND 5 (CORRECTNESS_r05 keys) go to
+# the very back so those ~29 slots refresh the OLDEST driver rows
+# (r1-r4 vintage) instead of re-proving last round's.
+_SAMPLE_LAST: frozenset[str] = frozenset({
+    "a_cube", "a_kmv_distinct", "a_kmv_set_ops", "ann_kmeans_assign",
+    "ann_pq_adc", "dedup_clusters", "dedup_clusters_star",
+    "dedup_recall_eval", "dq_expectations", "embed_and_rank",
+    "embed_documents", "f_array_functions", "g_label_propagation",
+    "g_lpa_converged", "g_pointer_doubling_depth",
+    "ivm_incremental_aggregate", "j_salted_hot_key", "k1_merge_upsert",
+    "k2_merge_delete", "ml_chi2_features", "ml_confusion_metrics",
+    "ml_covariance_block", "ml_feature_scaling", "ml_kaplan_meier",
+    "ml_lift_gain", "ml_ols_regression", "ml_quantile_bucketize",
+    "ml_welch_ttest", "mm_phash_dedup", "mm_wav_quadrature",
+    "qual_boilerplate_strip", "td_contamination_check", "td_data_card",
+    "td_domain_caps_scalable", "td_unigram_segment",
+    "text_quality_langid", "ts_holt_forecast", "ts_seasonal_decompose",
+    "w12_attribution_last_touch", "w13_conversion_time_quantiles",
+})
 
 
 
@@ -174,13 +191,15 @@ def _collect() -> dict[str, QuerySpec]:
         # 0: stale-changed queries needing fresh driver rows;
         # 1: never driver-sampled (rotations + new round-6 work);
         # 2: explicitly demoted below the window cut when over-subscribed;
-        # 3: already driver-green on current-valid rows — back of the line.
+        # 3: green on older-round rows — fill spare slots to refresh;
+        # 4: green AND freshly sampled last round — very back.
         if n in pinned:
             return (0, pinned[n])
         if n not in green:
             return ((2, order.index(n)) if n in _SAMPLE_LAST
                     else (1, order.index(n)))
-        return (3, order.index(n))
+        return ((4, order.index(n)) if n in _SAMPLE_LAST
+                else (3, order.index(n)))
 
     return {n: registry[n] for n in sorted(order, key=rank)}
 
