@@ -23,6 +23,18 @@ TABLES = (
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Cap the oracle's footprint so the big-scale sweeps (sf1.0 corpus,
+    # run beside a ~30 GB Spark JVM on one 128 GB host) spill to disk
+    # instead of racing the JVM for RAM: an unlimited in-memory DuckDB
+    # defaults to 80% of physical memory and has no temp directory to
+    # spill to.  Harmless at driver scale (sf0.01 fits in MBs).
+    import os
+    import tempfile
+
+    con.execute("SET memory_limit='40GB'")
+    con.execute(
+        f"SET temp_directory='{os.path.join(tempfile.gettempdir(), 'duckdb_oracle_spill')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
