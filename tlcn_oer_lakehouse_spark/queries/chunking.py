@@ -197,8 +197,14 @@ seg_toks AS (
   FROM segs
 ),
 scored AS (
+  -- inner VARCHAR hop: Spark casts double->decimal from the SHORTEST
+  -- decimal repr (BigDecimal.valueOf), DuckDB from the full binary
+  -- expansion; for 12-digit-rounded idf doubles the two differ by up to
+  -- 5e-13 per term, enough to flip round(x, 9) at an exact half
+  -- boundary (sf1.0 doc 1642: ...4235 vs ...42349999).  Casting
+  -- via VARCHAR makes DuckDB sum the same shortest-repr decimals.
   SELECT st.doc_id, st.seg_no, st.seg_text,
-         round(CAST(CAST(SUM(CAST(coalesce(df.idf, 0.0) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS seg_score
+         round(CAST(CAST(SUM(CAST(CAST(coalesce(df.idf, 0.0) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS seg_score
   FROM seg_toks st LEFT JOIN doc_freq df ON st.tok = df.tok
   GROUP BY st.doc_id, st.seg_no, st.seg_text
 ),
