@@ -507,3 +507,42 @@ def test_dedup_recall_eval_invariants(spark, sf_dir):
         assert abs(r.recall - r.n_pred / r.n_truth) < 1e-9
     top = {r.jacc_bucket: r for r in rows}[1.0]
     assert top.recall == 1.0
+
+
+def test_exact_substring_dedup_masks_known_spans(spark, monkeypatch):
+    """Hand-verifiable ExactSubstr semantics on a constructed corpus:
+    doc 0 and doc 1 share one exact 5-token span (masked in BOTH —
+    every occurrence goes), doc 2 repeats a 5-token span within itself
+    (within-doc repeats count toward the >=2 threshold), doc 3 shares
+    nothing (untouched).  Overlapping duplicated shingles merge into
+    one contiguous masked interval, so n_masked counts tokens, not
+    shingles."""
+    import tlcn_oer_lakehouse_spark.queries.traindata as td
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta unique0 end0"),
+        (1, "pre1 alpha beta gamma delta epsilon zeta tail1"),
+        (2, "one two three four five x one two three four five y"),
+        (3, "solo tokens nothing shared here at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(td, "load", lambda _spark, _sf, _name: docs)
+    got = {
+        r.doc_id: r
+        for r in td.exact_substring_dedup(spark, "unused").collect()
+    }
+
+    # docs 0/1 share the 6-token run "alpha..zeta" = two overlapping
+    # duplicated 5-shingles -> a single 6-token masked interval in each
+    assert got[0].n_masked == 6
+    assert got[0].cleaned_text == "unique0 end0"
+    assert got[1].n_masked == 6
+    assert got[1].cleaned_text == "pre1 tail1"
+    # doc 2: "one two three four five" occurs twice WITHIN the doc
+    assert got[2].n_masked == 10
+    assert got[2].cleaned_text == "x y"
+    # doc 3 untouched
+    assert got[3].n_masked == 0
+    assert got[3].cleaned_text == rows[3][1]
+    for r in got.values():
+        assert r.mask_ratio == round(r.n_masked / r.n_tokens, 9)

@@ -415,6 +415,108 @@ ORDER BY s.doc_id
 """
 
 
+def exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): mask
+    every n-token span whose exact text occurs >= 2 times corpus-wide
+    (including within-doc repeats) — the duplication class that
+    doc-level dedup (minhash/simhash) cannot see.  This variant masks
+    ALL occurrences of a duplicated span (conservative cleanup); the
+    paper's keep-one-canonical-copy refinement is a per-span argmin
+    away and documented as out of this query's scope.
+
+    Plan shape (100 TB story):
+    - spans keyed by ``xxhash64(shingle)`` (8-byte shuffle keys; the
+      string never surfaces — same collision argument as
+      ``contamination_check``, p ≈ n²/2⁶⁵ and deterministic);
+    - one groupBy(h) occurrence count, one semi-join back (equi-joins
+      only, never all-pairs), one groupBy(doc) collecting the few
+      flagged start positions;
+    - masking itself is a MAP-ONLY higher-order array filter — token j
+      is dropped iff some flagged start s has s <= j <= s+n-1 — so the
+      data-sized pass stays in whole-stage codegen with zero extra
+      shuffle.  At 100 TB the dup-span set additionally lands as a
+      side table / bloom filter, exactly like the contamination train
+      side."""
+    n, min_count = 5, 2
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(shingles(F.col("t"), n), lambda s: F.xxhash64(s))
+        ).alias("pos0", "h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("h")
+    )
+    starts = (
+        sh.join(dup, "h", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.col("pos0") + 1).alias("starts"))
+    )
+    no_starts = F.array().cast("array<int>")
+    st = F.coalesce(F.col("starts"), no_starts)
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            st, lambda s: (s <= i + 1) & (i + 1 <= s + (n - 1))
+        ),
+    )
+    return (
+        toks.join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            (F.size("t") - F.size(kept)).alias("n_masked"),
+            F.round(
+                (F.size("t") - F.size(kept)) / F.size("t"), 9
+            ).alias("mask_ratio"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NORM_T = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+EXACT_SUBSTRING_SQL = f"""
+WITH toks AS (SELECT doc_id, {_NORM_T} AS t FROM documents),
+sh AS (
+  SELECT doc_id, i AS s, array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+starts AS (SELECT doc_id, s FROM sh JOIN dup USING (g)),
+covered AS (
+  SELECT DISTINCT doc_id, s + d AS j
+  FROM starts CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS d)
+),
+tok AS (
+  SELECT doc_id, i AS j, t[i] AS tok, len(t) AS n_tokens
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+),
+flags AS (
+  SELECT tok.doc_id, tok.j, tok.tok, tok.n_tokens,
+         c.j IS NOT NULL AS is_masked
+  FROM tok LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.j = c.j
+)
+SELECT doc_id,
+       MAX(n_tokens) AS n_tokens,
+       CAST(SUM(CASE WHEN is_masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       round(CAST(SUM(CASE WHEN is_masked THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n_tokens), 9) AS mask_ratio,
+       coalesce(string_agg(CASE WHEN NOT is_masked THEN tok END,
+                           ' ' ORDER BY j), '') AS cleaned_text
+FROM flags
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def data_card(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus data card (Datasheets-for-Datasets shape): the one-row
     dataset summary a pretraining run records next to every corpus
@@ -1102,6 +1204,13 @@ SPECS = [
               ref="new capability (train->test 5-gram contamination)",
               doc="per-test-doc contaminated-shingle rate vs train set",
               tags=("traindata", "bench")),
+    QuerySpec("td_exact_substring_dedup", exact_substring_dedup,
+              EXACT_SUBSTRING_SQL,
+              ref="scale op: ExactSubstr substring-level dedup (Lee et al. "
+                  "2022) — the duplication class doc-level dedup cannot see",
+              doc="mask every 5-token span occurring >=2 times corpus-wide; "
+                  "map-only masking via higher-order array filter",
+              tags=("traindata", "dedup")),
     QuerySpec("td_weighted_sample", td_weighted_sample, WEIGHTED_SAMPLE_SQL,
               ref="scale op: Efraimidis-Spirakis weighted sampling without "
                   "replacement — hash-uniform, map-only, resumable",
