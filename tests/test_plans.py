@@ -344,3 +344,14 @@ def test_rag_serve_e2e_exchange_budget(spark):
     assert audit.exchange_count(df) <= 4
     # three 1-row broadcast stages: bm25 stats, fusion maxes, gate
     assert audit.broadcast_join_count(df) >= 3
+
+
+def test_exact_substring_dedup_plan(spark):
+    """ExactSubstr dedup stays inside 3 exchanges (span-count groupBy,
+    semi-join shuffle, per-doc starts groupBy — the doc-keyed join back
+    broadcasts the small starts side) and prunes the documents scan to
+    (doc_id, text).  The masking pass itself is a map-only higher-order
+    filter, so no fourth data-sized exchange may appear."""
+    df = _build(spark, "td_exact_substring_dedup")
+    assert audit.exchange_count(df) <= 3
+    assert set(audit.read_schema_columns(df)) == {"doc_id", "text"}
