@@ -984,3 +984,21 @@ class TestMp4Hardening:
         moov3 = _box(b"moov", mvhd + video_trak + stub_trak)
         meta = read_mp4(top[b"ftyp"] + top[b"mdat"] + moov3)
         assert meta["n_frames"] == 2 and meta["codec"] == "jpeg"
+
+
+def test_hostile_stsc_gap_bounded():
+    """A crafted stsc whose second run declares first_chunk near 2^32
+    must not drive the per-chunk expansion: the run span is clamped to
+    stco's validated chunk count, so the hostile gap materializes at
+    most n_chunks entries instead of ~4e9 (the stsz/stts hostile-count
+    class, via the run GAP rather than a declared count)."""
+    from tlcn_oer_lakehouse_spark.functions.mp4io import _expand_stsc
+
+    hostile = [(1, 1, 1), (2**32 - 1, 1, 1)]
+    assert _expand_stsc(hostile, n_chunks=3) == [1, 1, 1]
+    # single run with a huge declared first_chunk: nothing readable
+    assert _expand_stsc([(2**31, 5, 1)], n_chunks=4) == []
+    # non-monotonic overlap cannot over-allocate either
+    assert len(_expand_stsc([(1, 2, 1), (1, 3, 1)], n_chunks=5)) == 5
+    # well-formed two-run layout still expands exactly
+    assert _expand_stsc([(1, 2, 1), (3, 1, 1)], n_chunks=4) == [2, 2, 1, 1]

@@ -57,7 +57,13 @@ def test_corpus_prep_stream_equals_batch_at_sf1(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         min_quality=0.55,
     )
-    q.awaitTermination(1200)
+    try:
+        # availableNow ingest must FINISH inside the budget — a False
+        # return means a half-written corpus, which would otherwise
+        # surface as a baffling set diff below (or a flaky pass)
+        assert q.awaitTermination(1200), "ingest still running after 1200s"
+    finally:
+        q.stop()
     elapsed = time.perf_counter() - t0
     # progress evidence: genuinely incremental, multiple triggers
     assert len(q.recentProgress) >= 5

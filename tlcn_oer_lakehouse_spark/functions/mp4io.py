@@ -187,6 +187,28 @@ def _u32s(payload: bytes, off: int, n: int) -> list[int]:
     return list(struct.unpack(f">{n}I", payload[off : off + 4 * n]))
 
 
+def _expand_stsc(runs: list[tuple[int, int, int]], n_chunks: int) -> list[int]:
+    """Expand stsc (first_chunk, samples_per_chunk, desc) runs into a
+    per-chunk sample count, clamped to the VALIDATED chunk count: the
+    gap between consecutive first_chunk values is attacker-controlled
+    32-bit data, so an unclamped ``last - first + 1`` expansion can
+    demand ~2^32 list entries from a ~120-byte payload (same
+    hostile-count class as the stsz/stts bounds in ``read_mp4``).
+    Chunks beyond stco's n_chunks can never be read, so they are never
+    materialized either."""
+    per_chunk: list[int] = []
+    for i, (first, spc, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        last = min(last, n_chunks)
+        if first > last:
+            continue
+        per_chunk.extend([spc] * (last - first + 1))
+        if len(per_chunk) >= n_chunks:
+            del per_chunk[n_chunks:]
+            break
+    return per_chunk
+
+
 def read_mp4(payload: bytes) -> dict:
     """MP4 bytes → {'width', 'height', 'codec', 'timescale',
     'duration', 'n_frames', 'samples': [{'offset', 'size', 'sync',
@@ -271,10 +293,7 @@ def read_mp4(payload: bytes) -> dict:
         raise ValueError(f"stsc declares {n_stsc} runs beyond its box")
     runs = [struct.unpack(">III", stsc[8 + 12 * i : 20 + 12 * i])
             for i in range(n_stsc)]
-    per_chunk: list[int] = []
-    for i, (first, spc, _desc) in enumerate(runs):
-        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
-        per_chunk.extend([spc] * (last - first + 1))
+    per_chunk = _expand_stsc(runs, n_chunks)
     offsets = []
     si = 0
     for ci, base in enumerate(chunk_offsets):

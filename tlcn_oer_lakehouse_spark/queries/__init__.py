@@ -149,11 +149,12 @@ _REVERIFY_FIRST = (
 
 # Round-6 rotation: td_bpe_merges_delta (the deliberate round-5
 # demotion) re-enters the window as never-sampled; with the round-6
-# additions (q3_hybrid_recency, q_tiered_search, rag_serve_e2e) that is
-# 17 re-verifies + 4 never-sampled = 21 slots, leaving ~29 for greens
-# to re-rotate.  Greens sampled in ROUND 5 (CORRECTNESS_r05 keys) go to
-# the very back so those ~29 slots refresh the OLDEST driver rows
-# (r1-r4 vintage) instead of re-proving last round's.
+# additions (q3_hybrid_recency, q_tiered_search, rag_serve_e2e,
+# td_exact_substring_dedup) that is 17 re-verifies + 5 never-sampled =
+# 22 slots, leaving ~28 for greens to re-rotate.  Greens sampled in
+# ROUND 5 (CORRECTNESS_r05 keys) go to the very back so those ~28
+# slots refresh the OLDEST driver rows (r1-r4 vintage) instead of
+# re-proving last round's.
 _SAMPLE_LAST: frozenset[str] = frozenset({
     "a_cube", "a_kmv_distinct", "a_kmv_set_ops", "ann_kmeans_assign",
     "ann_pq_adc", "dedup_clusters", "dedup_clusters_star",

@@ -286,7 +286,7 @@ fused AS (
 ),
 kept AS (
   SELECT f.doc_id, f.fused_raw,
-         len(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+         len(regexp_extract_all(d.text, '\\w+')) AS n_tokens
   FROM fused f JOIN documents d ON f.doc_id = d.doc_id
   WHERE d.n_chars >= 60
     AND len(regexp_extract_all(d.text, '[{{}};=<>]')) < 3
