@@ -54,10 +54,17 @@ def _scored_docs(
     return out
 
 
-def bm25_scores(
-    spark: SparkSession, sf: str, terms: tuple[str, ...] = QUERY_TERMS
+def bm25_score_frame(
+    frame: DataFrame,
+    id_cols: tuple[str, ...],
+    text_col: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
 ) -> DataFrame:
-    """Okapi BM25 of the fixed query against every document.
+    """Okapi BM25 of ``terms`` against ANY (ids..., text) frame — the
+    single scoring core behind both the document search
+    (:func:`bm25_scores`) and the tiered chunk search
+    (``serve.tiered_search_from_chunks``), so the k1/b/idf conventions
+    cannot drift between corpora.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))           [Robertson-Sparck-Jones]
     score  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
@@ -65,9 +72,14 @@ def bm25_scores(
     Stats (N, avgdl, df_t) are a 1-row aggregate broadcast back — the
     plan is scan → scalar agg (tiny) → broadcast nested loop join →
     per-row math. avgdl is computed as exact-int SUM(dl)/COUNT so both
-    engines divide the same two integers.
+    engines divide the same two integers.  Returns id_cols + bm25_raw.
     """
-    scored = _scored_docs(spark, sf, terms)
+    toks = tokens(F.col(text_col))
+    scored = frame.select(
+        *id_cols,
+        F.size(toks).alias("dl"),
+        *[_tf(toks, term).alias(f"tf_{i}") for i, term in enumerate(terms)],
+    )
     stats = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -85,7 +97,16 @@ def bm25_scores(
         idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
         norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * F.col("dl") / avgdl))
         score = score + idf * norm
-    return j.select("doc_id", score.alias("bm25_raw"))
+    return j.select(*id_cols, score.alias("bm25_raw"))
+
+
+def bm25_scores(
+    spark: SparkSession, sf: str, terms: tuple[str, ...] = QUERY_TERMS
+) -> DataFrame:
+    """BM25 of the fixed query against every document (the shared
+    scoring core, bound to the documents table)."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return bm25_score_frame(docs, ("doc_id",), "text", terms)
 
 
 def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -101,6 +122,19 @@ def _tf_sql(term: str) -> str:
     return f"len(list_filter(tk, t -> t = '{term}'))"
 
 
+def _bm25_score_expr_sql(n_terms: int = len(QUERY_TERMS)) -> str:
+    """The DuckDB BM25 score expression over tf_i/df_i/dl/stats columns
+    — ONE copy for the document oracle (:func:`_bm25_sql_core`) and the
+    chunk-corpus oracle (``serve._chunk_bm25_score_sql``), mirroring
+    the shared Spark core's association order term-for-term."""
+    return " + ".join(
+        f"(ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {K1 + 1.0}"
+        f" / (CAST(tf_{i} AS DOUBLE) + {K1} * (1.0 - {B} + {B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+        for i in range(n_terms)
+    )
+
+
 def _bm25_sql_core() -> str:
     """Shared DuckDB CTEs computing bm25_raw per doc_id, mirroring the
     Spark expression tree term-for-term (same association order)."""
@@ -109,12 +143,7 @@ def _bm25_sql_core() -> str:
         f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
         for i in range(len(QUERY_TERMS))
     )
-    score = " + ".join(
-        f"(ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
-        f" * (CAST(tf_{i} AS DOUBLE) * {K1 + 1.0}"
-        f" / (CAST(tf_{i} AS DOUBLE) + {K1} * (1.0 - {B} + {B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
-        for i in range(len(QUERY_TERMS))
-    )
+    score = _bm25_score_expr_sql()
     return f"""
 scored AS (
   SELECT doc_id, len(tk) AS dl,
@@ -230,7 +259,25 @@ def hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     equi-join is the only real shuffle, and at scale it co-partitions by
     the shared key (or bucket-by doc_id at write time).
     """
-    lex = bm25_scores(spark, sf)
+    return (
+        fused_scores(spark, sf)
+        .select("doc_id", F.round(F.col("fused_raw"), 9).alias("hybrid_score"))
+        .orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def fused_scores(
+    spark: SparkSession, sf: str, terms: tuple[str, ...] = QUERY_TERMS
+) -> DataFrame:
+    """The shared hybrid-fusion core (one copy for q3_hybrid_fusion,
+    q3_hybrid_recency, and serve.rag_serve — previously triplicated):
+    (doc_id, fused_raw) with fused_raw = 0.5·bm25/max_lex +
+    0.5·(cos+1)/max_vec, UNROUNDED so downstream folds (recency decay,
+    serve gating) compose before the single presentation round.
+    ``terms`` parameterizes the lexical branch (the serve path feeds it
+    from Q4 query preprocessing)."""
+    lex = bm25_scores(spark, sf, terms)
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     vec = (
@@ -244,15 +291,13 @@ def hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     maxes = joined.agg(
         F.max("bm25_raw").alias("max_lex"), F.max("vec_raw").alias("max_vec")
     )
-    fused = joined.crossJoin(F.broadcast(maxes)).select(
+    return joined.crossJoin(F.broadcast(maxes)).select(
         "doc_id",
-        F.round(
+        (
             F.lit(0.5) * (F.col("bm25_raw") / F.col("max_lex"))
-            + F.lit(0.5) * (F.col("vec_raw") / F.col("max_vec")),
-            9,
-        ).alias("hybrid_score"),
+            + F.lit(0.5) * (F.col("vec_raw") / F.col("max_vec"))
+        ).alias("fused_raw"),
     )
-    return fused.orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc()).limit(10)
 
 
 _COS_DOT = (
@@ -262,8 +307,11 @@ _COS_DOT = (
 _COS_NORM_A = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 _COS_NORM_Q = "sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-HYBRID_SQL = f"""
-WITH {_bm25_sql_core().strip()},
+def _fused_sql_core() -> str:
+    """Shared SQL replica of :func:`fused_scores` — ends in a ``fused``
+    CTE exposing (doc_id, fused_raw); one copy for the three hybrid
+    oracles, mirroring the Python-side dedup."""
+    return f"""{_bm25_sql_core().strip()},
 q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
 vec AS (
   SELECT vec_id AS doc_id,
@@ -274,10 +322,18 @@ joined AS (
   SELECT b.doc_id, b.bm25_raw, v.vec_raw
   FROM bm25 b JOIN vec v ON b.doc_id = v.doc_id
 ),
-maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined)
-SELECT doc_id,
-       round(0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec), 9) AS hybrid_score
-FROM joined, maxes
+maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined),
+fused AS (
+  SELECT doc_id,
+         0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec) AS fused_raw
+  FROM joined, maxes
+)"""
+
+
+HYBRID_SQL = f"""
+WITH {_fused_sql_core()}
+SELECT doc_id, round(fused_raw, 9) AS hybrid_score
+FROM fused
 ORDER BY hybrid_score DESC, doc_id ASC
 LIMIT 10
 """
@@ -299,57 +355,30 @@ _RECENCY_AGE_MOD = 1461  # ~4 years of synthetic ages
 def hybrid_recency(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid fusion × Gaussian recency decay: the ES function_score
     shape (query score multiplied by the decay function's value)."""
-    lex = bm25_scores(spark, sf)
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    vec = emb.crossJoin(F.broadcast(q)).select(
-        F.col("vec_id").alias("doc_id"),
-        (cosine(F.col("embedding"), F.col("q_emb")) + F.lit(1.0)).alias("vec_raw"),
-    )
-    joined = lex.join(vec, "doc_id")
-    maxes = joined.agg(
-        F.max("bm25_raw").alias("max_lex"), F.max("vec_raw").alias("max_vec")
-    )
     age_days = (F.col("doc_id") * F.lit(37) % F.lit(_RECENCY_AGE_MOD)).cast("double")
     gauss = F.exp(
         -F.pow(age_days / F.lit(_RECENCY_SCALE_DAYS), F.lit(2.0))
         * F.lit(0.6931471805599453)  # ln 2 → decay=0.5 at scale
     )
-    fused = joined.crossJoin(F.broadcast(maxes)).select(
-        "doc_id",
-        F.round(
-            (
-                F.lit(0.5) * (F.col("bm25_raw") / F.col("max_lex"))
-                + F.lit(0.5) * (F.col("vec_raw") / F.col("max_vec"))
-            )
-            * gauss,
-            9,
-        ).alias("recency_score"),
+    return (
+        fused_scores(spark, sf)
+        .select(
+            "doc_id",
+            F.round(F.col("fused_raw") * gauss, 9).alias("recency_score"),
+        )
+        .orderBy(F.col("recency_score").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
-    return fused.orderBy(
-        F.col("recency_score").desc(), F.col("doc_id").asc()
-    ).limit(10)
 
 
 HYBRID_RECENCY_SQL = f"""
-WITH {_bm25_sql_core().strip()},
-q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-vec AS (
-  SELECT vec_id AS doc_id,
-         ({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q})) + 1.0 AS vec_raw
-  FROM embeddings, q
-),
-joined AS (
-  SELECT b.doc_id, b.bm25_raw, v.vec_raw
-  FROM bm25 b JOIN vec v ON b.doc_id = v.doc_id
-),
-maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined)
+WITH {_fused_sql_core()}
 SELECT doc_id,
-       round((0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec))
+       round(fused_raw
              * exp(-pow(CAST(doc_id * 37 % {_RECENCY_AGE_MOD} AS DOUBLE)
                         / {_RECENCY_SCALE_DAYS}, 2.0)
                    * 0.6931471805599453), 9) AS recency_score
-FROM joined, maxes
+FROM fused
 ORDER BY recency_score DESC, doc_id ASC
 LIMIT 10
 """

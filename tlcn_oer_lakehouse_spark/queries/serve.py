@@ -32,22 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tlcn_oer_lakehouse_spark.functions.text import EN_STOPWORDS, token_count, tokens
-from tlcn_oer_lakehouse_spark.functions.vectors import cosine
+from tlcn_oer_lakehouse_spark.functions.text import EN_STOPWORDS, token_count
 from tlcn_oer_lakehouse_spark.operators.chunking import hierarchical_chunks
 from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
 from tlcn_oer_lakehouse_spark.queries.chunking import HIER_CHUNKS_SQL_CORE
 from tlcn_oer_lakehouse_spark.queries.retrieval import (
-    B,
     CONTEXT_BUDGET_TOKENS,
-    K1,
     QUERY_TERMS,
-    _COS_DOT,
-    _COS_NORM_A,
-    _COS_NORM_Q,
-    _bm25_sql_core,
-    _tf,
-    bm25_scores,
+    _bm25_score_expr_sql,
+    _fused_sql_core,
+    bm25_score_frame,
+    fused_scores,
 )
 
 # ---------------------------------------------------------------------------
@@ -87,37 +82,17 @@ def tiered_search_from_chunks(chunks: DataFrame) -> DataFrame:
     scoring stage (the design's index-reduction claim, plan-pinned in
     tests/test_plans.py)."""
     # stage 1: score ONLY the summary tiers — the tier filter sits below
-    # every scoring expression so tier-3 rows never reach the stats agg
+    # every scoring expression so tier-3 rows never reach the stats agg;
+    # the scoring itself is the SHARED BM25 core (retrieval.
+    # bm25_score_frame), bound here to the chunk corpus
     t12 = chunks.filter(F.col("chunk_tier") <= 2)
-    toks = tokens(F.col("chunk_text"))
-    scored = t12.select(
-        "chunk_id",
-        "chunk_tier",
-        F.size(toks).alias("dl"),
-        *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(QUERY_TERMS)],
-    )
-    stats = scored.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
-            for i in range(len(QUERY_TERMS))
-        ],
-    )
-    j = scored.crossJoin(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    score = F.lit(0.0)
-    for i in range(len(QUERY_TERMS)):
-        tf = F.col(f"tf_{i}").cast("double")
-        df = F.col(f"df_{i}").cast("double")
-        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
-        norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * F.col("dl") / avgdl))
-        score = score + idf * norm
+    j = bm25_score_frame(t12, ("chunk_id", "chunk_tier"), "chunk_text")
 
     # stage 2: top chapters among the tier-2 hits (tier-1 doc summaries
     # participate in the corpus stats, chapters are what expand)
     chap = j.filter(F.col("chunk_tier") == 2).select(
-        F.col("chunk_id").alias("chapter_chunk_id"), score.alias("chap_score")
+        F.col("chunk_id").alias("chapter_chunk_id"),
+        F.col("bm25_raw").alias("chap_score"),
     )
     top_chap = chap.orderBy(
         F.col("chap_score").desc(), F.col("chapter_chunk_id").asc()
@@ -155,14 +130,10 @@ def tiered_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _chunk_bm25_score_sql() -> str:
-    """DuckDB replica of the per-chunk BM25 expression, same term order
-    and association as the Spark loop."""
-    return " + ".join(
-        f"(ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
-        f" * (CAST(tf_{i} AS DOUBLE) * {K1 + 1.0}"
-        f" / (CAST(tf_{i} AS DOUBLE) + {K1} * (1.0 - {B} + {B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
-        for i in range(len(QUERY_TERMS))
-    )
+    """DuckDB replica of the per-chunk BM25 expression — the shared
+    score expression from retrieval, same term order and association
+    as the shared Spark core."""
+    return _bm25_score_expr_sql()
 
 
 def _tiered_sql() -> str:
@@ -217,24 +188,7 @@ def rag_serve(spark: SparkSession, sf: str) -> DataFrame:
     relevance gate (mean top-10 fused score ≥ 0.15), then greedily pack
     the survivors into the token budget."""
     terms = preprocess_query(RAW_QUERY)  # Q4
-    lex = bm25_scores(spark, sf, terms)  # Q1 branch
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    vec = emb.crossJoin(F.broadcast(q)).select(  # Q2 branch
-        F.col("vec_id").alias("doc_id"),
-        (cosine(F.col("embedding"), F.col("q_emb")) + F.lit(1.0)).alias("vec_raw"),
-    )
-    joined = lex.join(vec, "doc_id")
-    maxes = joined.agg(
-        F.max("bm25_raw").alias("max_lex"), F.max("vec_raw").alias("max_vec")
-    )
-    fused = joined.crossJoin(F.broadcast(maxes)).select(  # Q3
-        "doc_id",
-        (
-            F.lit(0.5) * (F.col("bm25_raw") / F.col("max_lex"))
-            + F.lit(0.5) * (F.col("vec_raw") / F.col("max_vec"))
-        ).alias("fused_raw"),
-    )
+    fused = fused_scores(spark, sf, terms)  # Q1 ∥ Q2 → Q3 (shared core)
     docs = load(spark, sf, "documents").select("doc_id", "text", "n_chars")
     code_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[{};=<>]"), 0))
     kept = (  # Q5 context filters
@@ -267,23 +221,7 @@ def rag_serve(spark: SparkSession, sf: str) -> DataFrame:
 
 
 RAG_SERVE_SQL = f"""
-WITH {_bm25_sql_core().strip()},
-q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-vec AS (
-  SELECT vec_id AS doc_id,
-         ({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q})) + 1.0 AS vec_raw
-  FROM embeddings, q
-),
-joined AS (
-  SELECT b.doc_id, b.bm25_raw, v.vec_raw
-  FROM bm25 b JOIN vec v ON b.doc_id = v.doc_id
-),
-maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined),
-fused AS (
-  SELECT doc_id,
-         0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec) AS fused_raw
-  FROM joined, maxes
-),
+WITH {_fused_sql_core()},
 kept AS (
   SELECT f.doc_id, f.fused_raw,
          len(regexp_extract_all(d.text, '\\w+')) AS n_tokens
