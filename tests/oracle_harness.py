@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import os
 
 import duckdb
 
@@ -28,12 +29,20 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # instead of racing the JVM for RAM: an unlimited in-memory DuckDB
     # defaults to 80% of physical memory and has no temp directory to
     # spill to.  Harmless at driver scale (sf0.01 fits in MBs).
-    import os
+    # The cap itself is host-relative: a flat 40GB OVER-commits on a
+    # small box (above DuckDB's own 80%-of-RAM heuristic), so take the
+    # min.  The spill dir is per-connection (mkdtemp), not a shared
+    # fixed path — concurrent harness processes must not collide.
     import tempfile
 
-    con.execute("SET memory_limit='40GB'")
+    try:
+        phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        phys = 0
+    cap_gb = min(40, max(1, int(phys * 0.5 / 2**30))) if phys else 40
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
     con.execute(
-        f"SET temp_directory='{os.path.join(tempfile.gettempdir(), 'duckdb_oracle_spill')}'"
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_oracle_spill_')}'"
     )
     for t in TABLES:
         con.execute(

@@ -994,10 +994,19 @@ def test_hostile_stsc_gap_bounded():
     class, via the run GAP rather than a declared count)."""
     from tlcn_oer_lakehouse_spark.functions.mp4io import _expand_stsc
 
+    import pytest
+
     hostile = [(1, 1, 1), (2**32 - 1, 1, 1)]
     assert _expand_stsc(hostile, n_chunks=3) == [1, 1, 1]
-    # single run with a huge declared first_chunk: nothing readable
-    assert _expand_stsc([(2**31, 5, 1)], n_chunks=4) == []
+    # a run table that does not start at chunk 1 (or leaves a gap) would
+    # previously be applied POSITIONALLY from chunk 1 — wrong-but-plausible
+    # sample offsets, the silent-misparse class — so it must raise instead
+    with pytest.raises(ValueError, match="contiguous"):
+        _expand_stsc([(2**31, 5, 1)], n_chunks=4)
+    with pytest.raises(ValueError, match="contiguous"):
+        _expand_stsc([(3, 5, 1)], n_chunks=3)
+    # a LATER first_chunk is not a gap — the previous run spans up to it
+    assert _expand_stsc([(1, 2, 1), (4, 1, 1)], n_chunks=5) == [2, 2, 2, 1, 1]
     # non-monotonic overlap cannot over-allocate either
     assert len(_expand_stsc([(1, 2, 1), (1, 3, 1)], n_chunks=5)) == 5
     # well-formed two-run layout still expands exactly

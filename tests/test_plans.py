@@ -214,6 +214,15 @@ def test_priority_queries_inside_driver_window():
 
     order = list(REGISTRY)
     window = set(order[:50])
+    # _SAMPLE_LAST may only demote queries that are ALREADY driver-proven
+    # (rank 4) — a non-green name there would rank 2, sort past the window
+    # cut, and silently go driver-unverified while the subtraction below
+    # hides it from `never_sampled`.
+    not_green_demotions = _SAMPLE_LAST - _DRIVER_GREEN
+    assert not not_green_demotions, (
+        f"_SAMPLE_LAST must be a subset of _DRIVER_GREEN; "
+        f"non-green: {sorted(not_green_demotions)}"
+    )
     never_sampled = (
         set(order) - _DRIVER_GREEN - set(_REVERIFY_FIRST) - _SAMPLE_LAST
     )
@@ -226,6 +235,19 @@ def test_priority_queries_inside_driver_window():
         f"window over-subscribed by {len(needs_row) - 50}: demote "
         "deliberately via _SAMPLE_LAST or stop adding queries"
     )
+
+
+def test_medallion_e2e_exchange_budget(spark):
+    """The composed medallion lifecycle's static plan budget.  The plan
+    references the persisted silver frames (existing state, deduped
+    batch) from five consumers, so the STATIC census counts each
+    reference's derivation — at runtime the persist collapses them to
+    one materialization each.  The budget pins the composition's shape:
+    a regression that adds a data-sized extra pass (e.g. a string-keyed
+    re-aggregation or a lost co-partitioning) pushes the census past the
+    bound."""
+    df = _build(spark, "medallion_e2e")
+    assert audit.exchange_count(df) <= 34
 
 
 def test_contamination_two_wide_shuffles(spark):

@@ -195,9 +195,21 @@ def _expand_stsc(runs: list[tuple[int, int, int]], n_chunks: int) -> list[int]:
     demand ~2^32 list entries from a ~120-byte payload (same
     hostile-count class as the stsz/stts bounds in ``read_mp4``).
     Chunks beyond stco's n_chunks can never be read, so they are never
-    materialized either."""
+    materialized either.
+
+    A valid stsc run table is 1-based and contiguous (first run covers
+    chunk 1; each later run starts where the previous ended).  A run
+    whose first_chunk skips ahead (e.g. a single run starting at chunk
+    3) used to be applied positionally from chunk 1, silently shifting
+    every sample offset — the same silent-misparse class as the
+    hostile-count bounds above, so it raises instead."""
     per_chunk: list[int] = []
     for i, (first, spc, _desc) in enumerate(runs):
+        if first != len(per_chunk) + 1:
+            raise ValueError(
+                f"malformed stsc: run {i} first_chunk={first}, expected "
+                f"{len(per_chunk) + 1} (run table must be 1-based and contiguous)"
+            )
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
         last = min(last, n_chunks)
         if first > last:

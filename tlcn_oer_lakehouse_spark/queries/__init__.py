@@ -23,155 +23,138 @@ _MODULES = (
     "bpe",
     "mlstats",
     "serve",
+    "medallion",
 )
 
 
-# Driver-verified-green union across CORRECTNESS_r01..r05 (all
-# hash_match=true rows; CORRECTNESS_r05 was 50/50 green, completing the
-# rotation — 189/190 registry queries have driver-proven rows; the one
-# holdout, td_bpe_merges_delta, rotates into this round's window below).
-# Queries whose builder code changed materially in round 5/6 AFTER their
-# green row re-enter the window via _REVERIFY_FIRST (green-set policy).
-_DRIVER_GREEN = frozenset({
-    "a1_grouped_multi_agg", "a5_distinct_dedup", "a6_collect_list_struct",
-    "a_approx_count_distinct", "a_approx_percentile", "a_column_profile",
-    "a_countmin_sketch", "a_cube", "a_exact_percentile", "a_grouping_sets",
-    "a_hll_sketch", "a_kmv_distinct", "a_kmv_set_ops", "a_pivot",
-    "a_rollup", "ann_ivf_topk", "ann_kmeans_assign", "ann_knn_join",
-    "ann_pq_adc", "ann_recall_eval", "ann_sign_bucket",
-    "chunk_char_budget", "chunk_hierarchical", "chunk_token_windows",
-    "chunk_udtf", "dedup_clusters", "dedup_clusters_star",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_recall_eval", "dedup_simhash",
-    "dedup_soft_sample", "dq_expectations", "embed_and_rank",
-    "embed_documents", "f_array_functions", "f_datetime_dim",
-    "f_hash_identities", "f_null_handling", "f_url_extract",
-    "g_jaccard_neighbors", "g_kcore", "g_label_propagation",
-    "g_lpa_converged", "g_modularity", "g_pagerank",
-    "g_pointer_doubling_depth", "g_triangle_count", "gold_bridge_weighted",
-    "gold_dim_customer", "gold_fact_coverage", "ivm_incremental_aggregate",
-    "j4_left_anti", "j5_broadcast_dim", "j8_fk_validation",
-    "j_asof_event_order", "j_full_outer_reconcile", "j_fuzzy_deletion",
-    "j_range_interval", "j_salted_hot_key", "j_semi_exists",
-    "k1_merge_upsert", "k2_merge_delete", "knn_bruteforce",
-    "match_subjects", "ml_auc_roc", "ml_chi2_features",
-    "ml_confusion_metrics", "ml_covariance_block", "ml_feature_scaling",
-    "ml_kaplan_meier", "ml_lift_gain", "ml_naive_bayes_langid",
-    "ml_ols_regression", "ml_quantile_bucketize", "ml_welch_ttest",
-    "mm_binary_metadata", "mm_frame_sample", "mm_gif_decode",
-    "mm_image_decode", "mm_image_features", "mm_jpeg_decode",
-    "mm_mp4_frames", "mm_pdf_hierarchical", "mm_pdf_pages", "mm_pdf_toc",
-    "mm_phash_dedup", "mm_png_decode", "mm_video_frames", "mm_wav_decode",
-    "mm_wav_quadrature", "mm_wav_windows", "o2_top1_limit",
-    "o5_union_by_name", "o6_posexplode", "o7_intersect_except",
-    "p2_derived_columns", "p3_nullsafe_incremental_filter",
-    "p6_conditional_ladder", "pii_scrub", "q10_returned_items",
-    "q11_important_parts", "q12_ship_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity_revenue", "q18_big_orders",
-    "q19_disjunctive_filter", "q1_bm25_topk", "q1_inverted_index",
-    "q1_pricing_summary", "q20_heavy_shippers", "q21_waiting_suppliers",
-    "q22_idle_customers", "q2_min_cost_supplier", "q3_hybrid_fusion",
-    "q3_hybrid_lang_weighted", "q3_shipping_priority",
-    "q4_keyword_extract", "q4_order_priority", "q5_context_rerank",
-    "q5_local_supplier_volume", "q6_context_pack", "q6_forecast_revenue",
-    "q7_index_diff", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "qual_boilerplate_strip", "qual_gopher_rules",
-    "rec_item_item_cf", "s1_json_extraction", "s4_local_collection",
-    "s6_range_source", "s8_inferred_reference", "semantic_match_subjects",
-    "silver_normalize", "st_session_window", "st_sliding_window",
-    "st_tumbling_window", "summarize_extractive", "td_bigram_surprisal",
-    "td_bloom_contamination", "td_bpe_merges", "td_bpe_tokenize",
-    "td_contamination_check", "td_corpus_mixing", "td_curriculum_order",
-    "td_data_card", "td_domain_caps", "td_domain_caps_scalable",
-    "td_hard_negatives", "td_pack_sequences", "td_pipeline_e2e",
-    "td_repetition_quality", "td_stratified_sample",
-    "td_temperature_mixing", "td_token_budget_shards",
-    "td_token_budget_shards_scalable", "td_train_test_split",
-    "td_unigram_segment", "td_unigram_surprisal", "td_vocab_coverage",
-    "td_weighted_sample", "td_wordpiece_merges", "text_cdc_fingerprint",
-    "text_quality_langid", "text_stats", "ts_holt_forecast",
-    "ts_mad_anomalies", "ts_seasonal_decompose", "ts_subsequence_search",
-    "w10_cooccurrence_pairs", "w11_rfm_segmentation",
-    "w12_attribution_last_touch", "w13_conversion_time_quantiles",
-    "w1_latest_record_dedup", "w2_topk_per_group", "w3_running_and_lag",
-    "w4_distribution_ranks", "w5_funnel", "w6_cohort_retention",
-    "w7_event_transitions", "w8_activity_streaks", "w9_max_concurrency",
-})
+# Driver-verified-green union across CORRECTNESS_r01..r06, keyed by the
+# LATEST round each query's newest green row was produced in (its
+# "vintage").  CORRECTNESS_r06 was 50/50 green, completing the union:
+# all 194 round-6 registry queries have driver-proven rows.  The
+# vintage drives the rank-3 ordering below so each round's spare window
+# slots refresh the OLDEST driver rows first (round-7 goal: no r1-r3
+# vintage rows remain after this window).  Queries whose builder code
+# changed materially in round 7 AFTER their green row re-enter the
+# window via _REVERIFY_FIRST (green-set policy).
+_GREEN_VINTAGE: dict[int, frozenset[str]] = {
+    1: frozenset({
+        "a5_distinct_dedup", "a_column_profile", "a_exact_percentile",
+        "a_pivot", "a_rollup", "f_datetime_dim", "f_hash_identities",
+        "o2_top1_limit", "o5_union_by_name", "o6_posexplode",
+        "w1_latest_record_dedup", "w2_topk_per_group",
+        "w3_running_and_lag"
+    }),
+    2: frozenset({
+        "a6_collect_list_struct", "ann_ivf_topk", "ann_sign_bucket",
+        "chunk_char_budget", "chunk_token_windows",
+        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "gold_bridge_weighted",
+        "gold_dim_customer", "gold_fact_coverage", "knn_bruteforce",
+        "match_subjects", "mm_binary_metadata", "mm_frame_sample",
+        "mm_image_features", "mm_pdf_pages", "mm_pdf_toc",
+        "q1_inverted_index", "q4_keyword_extract", "q7_index_diff",
+        "summarize_extractive", "td_corpus_mixing",
+        "td_stratified_sample", "td_train_test_split",
+        "td_vocab_coverage", "text_cdc_fingerprint", "text_stats"
+    }),
+    3: frozenset({
+        "a1_grouped_multi_agg", "a_approx_percentile", "j4_left_anti",
+        "j5_broadcast_dim", "j8_fk_validation", "j_semi_exists",
+        "mm_pdf_hierarchical", "o7_intersect_except",
+        "p2_derived_columns", "p3_nullsafe_incremental_filter",
+        "p6_conditional_ladder", "pii_scrub", "semantic_match_subjects",
+        "td_pack_sequences", "td_repetition_quality",
+        "td_token_budget_shards", "td_unigram_surprisal",
+        "w4_distribution_ranks"
+    }),
+    4: frozenset({
+        "a_countmin_sketch", "a_hll_sketch", "ann_knn_join",
+        "ann_recall_eval", "chunk_udtf", "dedup_soft_sample",
+        "f_null_handling", "f_url_extract", "j_full_outer_reconcile",
+        "j_fuzzy_deletion", "j_range_interval", "mm_gif_decode",
+        "mm_image_decode", "mm_jpeg_decode", "mm_png_decode",
+        "mm_video_frames", "mm_wav_decode", "mm_wav_windows",
+        "qual_gopher_rules", "rec_item_item_cf",
+        "s8_inferred_reference", "silver_normalize",
+        "st_session_window", "st_sliding_window", "st_tumbling_window",
+        "td_bigram_surprisal", "td_bloom_contamination",
+        "td_bpe_merges", "td_bpe_tokenize", "td_curriculum_order",
+        "td_domain_caps", "td_pipeline_e2e", "td_temperature_mixing",
+        "td_weighted_sample", "td_wordpiece_merges", "ts_mad_anomalies",
+        "ts_subsequence_search", "w10_cooccurrence_pairs",
+        "w11_rfm_segmentation", "w5_funnel", "w6_cohort_retention",
+        "w7_event_transitions", "w8_activity_streaks",
+        "w9_max_concurrency"
+    }),
+    5: frozenset({
+        "a_cube", "a_kmv_distinct", "a_kmv_set_ops",
+        "ann_kmeans_assign", "ann_pq_adc", "dedup_clusters",
+        "dedup_clusters_star", "dedup_recall_eval", "dq_expectations",
+        "embed_and_rank", "embed_documents", "f_array_functions",
+        "g_label_propagation", "g_lpa_converged",
+        "g_pointer_doubling_depth", "ivm_incremental_aggregate",
+        "j_salted_hot_key", "k1_merge_upsert", "k2_merge_delete",
+        "ml_chi2_features", "ml_confusion_metrics",
+        "ml_covariance_block", "ml_feature_scaling", "ml_kaplan_meier",
+        "ml_lift_gain", "ml_ols_regression", "ml_quantile_bucketize",
+        "ml_welch_ttest", "mm_phash_dedup", "mm_wav_quadrature",
+        "qual_boilerplate_strip", "td_contamination_check",
+        "td_data_card", "td_domain_caps_scalable", "td_unigram_segment",
+        "text_quality_langid", "ts_holt_forecast",
+        "ts_seasonal_decompose", "w12_attribution_last_touch",
+        "w13_conversion_time_quantiles"
+    }),
+    6: frozenset({
+        "a_approx_count_distinct", "a_grouping_sets",
+        "chunk_hierarchical", "dedup_simhash", "g_jaccard_neighbors",
+        "g_kcore", "g_modularity", "g_pagerank", "g_triangle_count",
+        "j_asof_event_order", "ml_auc_roc", "ml_naive_bayes_langid",
+        "mm_mp4_frames", "q10_returned_items", "q11_important_parts",
+        "q12_ship_priority", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_quantity_revenue", "q18_big_orders",
+        "q19_disjunctive_filter", "q1_bm25_topk", "q1_pricing_summary",
+        "q20_heavy_shippers", "q21_waiting_suppliers",
+        "q22_idle_customers", "q2_min_cost_supplier",
+        "q3_hybrid_fusion", "q3_hybrid_lang_weighted",
+        "q3_hybrid_recency", "q3_shipping_priority",
+        "q4_order_priority", "q5_context_rerank",
+        "q5_local_supplier_volume", "q6_context_pack",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q_tiered_search", "rag_serve_e2e",
+        "s1_json_extraction", "s4_local_collection", "s6_range_source",
+        "td_bpe_merges_delta", "td_exact_substring_dedup",
+        "td_hard_negatives", "td_token_budget_shards_scalable"
+    }),
+}
+
+_DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
+
+_VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 
 
-# Queries whose green driver row predates a material round-6 code change
-# — pinned to the very front of the window so round 6 produces a fresh
+# Queries whose green driver row predates a material round-7 code change
+# — pinned to the very front of the window so round 7 produces a fresh
 # row for each:
 #
-#   bm25_scores/_scored_docs gained a `terms` parameter (default
-#   QUERY_TERMS, result-identical) — every BM25 consumer re-verifies:
-#     q1_bm25_topk, td_hard_negatives, q3_hybrid_fusion,
-#     q3_hybrid_lang_weighted, q5_context_rerank, q6_context_pack
-#   prefix-sum width now reads spark.sql.shuffle.partitions:
-#     td_token_budget_shards_scalable, ml_auc_roc
-#   explicit F.broadcast on the NB class-totals grid:
-#     ml_naive_bayes_langid
-#   HIERARCHICAL_SQL refactored into a shared `chunks` CTE core:
-#     chunk_hierarchical
-#   mp4 reader hardening (count bounds, per-trak first-wins):
+#   explicit F.broadcast on the 1-row estimate-vs-exact crossJoins
+#   (fleet convention, VERDICT r6 nit #1) — result-identical:
+#     a_hll_sketch, a_kmv_set_ops
+#   mp4 stsc run-table contiguity validation (_expand_stsc now raises
+#   on non-1-based/non-contiguous run tables instead of positionally
+#   misplacing sample counts; well-formed files unchanged):
 #     mm_mp4_frames
-#   simhash widened 32→64 bits (sf1.0 sweep: 32 bits birthday-collides
-#   at ≥50k docs) — result-changing, both engines updated:
-#     dedup_simhash
-#   graph-family oracle SQL gained MATERIALIZED CTE hints (sf1.0 sweep:
-#   DuckDB re-inlined multi-referenced CTEs and filled the disk) —
-#   result-identical, oracle text changed:
-#     g_pagerank, g_triangle_count, g_modularity, g_jaccard_neighbors
-#   k-core round budget 8→12 (sf1.0 needs 10; fixpoint-detected, so
-#   result-identical at driver scale):
-#     g_kcore
 _REVERIFY_FIRST = (
-    "q1_bm25_topk",
-    "td_hard_negatives",
-    "q3_hybrid_fusion",
-    "q3_hybrid_lang_weighted",
-    "q5_context_rerank",
-    "q6_context_pack",
-    "td_token_budget_shards_scalable",
-    "ml_auc_roc",
-    "ml_naive_bayes_langid",
-    "chunk_hierarchical",
+    "a_hll_sketch",
+    "a_kmv_set_ops",
     "mm_mp4_frames",
-    "dedup_simhash",
-    "g_pagerank",
-    "g_triangle_count",
-    "g_modularity",
-    "g_jaccard_neighbors",
-    "g_kcore",
 )
 
 
-# Round-6 rotation: td_bpe_merges_delta (the deliberate round-5
-# demotion) re-enters the window as never-sampled; with the round-6
-# additions (q3_hybrid_recency, q_tiered_search, rag_serve_e2e,
-# td_exact_substring_dedup) that is 17 re-verifies + 5 never-sampled =
-# 22 slots, leaving ~28 for greens to re-rotate.  Greens sampled in
-# ROUND 5 (CORRECTNESS_r05 keys) go to the very back so those ~28
-# slots refresh the OLDEST driver rows (r1-r4 vintage) instead of
-# re-proving last round's.
-_SAMPLE_LAST: frozenset[str] = frozenset({
-    "a_cube", "a_kmv_distinct", "a_kmv_set_ops", "ann_kmeans_assign",
-    "ann_pq_adc", "dedup_clusters", "dedup_clusters_star",
-    "dedup_recall_eval", "dq_expectations", "embed_and_rank",
-    "embed_documents", "f_array_functions", "g_label_propagation",
-    "g_lpa_converged", "g_pointer_doubling_depth",
-    "ivm_incremental_aggregate", "j_salted_hot_key", "k1_merge_upsert",
-    "k2_merge_delete", "ml_chi2_features", "ml_confusion_metrics",
-    "ml_covariance_block", "ml_feature_scaling", "ml_kaplan_meier",
-    "ml_lift_gain", "ml_ols_regression", "ml_quantile_bucketize",
-    "ml_welch_ttest", "mm_phash_dedup", "mm_wav_quadrature",
-    "qual_boilerplate_strip", "td_contamination_check", "td_data_card",
-    "td_domain_caps_scalable", "td_unigram_segment",
-    "text_quality_langid", "ts_holt_forecast", "ts_seasonal_decompose",
-    "w12_attribution_last_touch", "w13_conversion_time_quantiles",
-})
-
+# Round-7 rotation: greens freshly sampled in ROUND 6 (CORRECTNESS_r06
+# keys) go to the very back; never-sampled round-7 additions rank 1;
+# the remaining slots refresh the oldest-vintage greens (r1 first).
+_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[6]
 
 
 def _collect() -> dict[str, QuerySpec]:
@@ -199,8 +182,10 @@ def _collect() -> dict[str, QuerySpec]:
         if n not in green:
             return ((2, order.index(n)) if n in _SAMPLE_LAST
                     else (1, order.index(n)))
-        return ((4, order.index(n)) if n in _SAMPLE_LAST
-                else (3, order.index(n)))
+        if n in _SAMPLE_LAST:
+            return (4, order.index(n))
+        # oldest driver rows first: vintage round, then registry order
+        return (3, _VINTAGE_OF[n] * 10000 + order.index(n))
 
     return {n: registry[n] for n in sorted(order, key=rank)}
 

@@ -510,7 +510,7 @@ def a_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     )
     jac = F.col("rho").cast("double") / F.col("k_used")
     return (
-        sketch.crossJoin(exact)
+        sketch.crossJoin(F.broadcast(exact))
         .select(
             F.col("k_used"),
             est_union.alias("est_union"),

@@ -60,9 +60,15 @@ def preprocess_query(raw: str) -> tuple[str, ...]:
     return tuple(t for t in toks if t and t not in EN_STOPWORDS)
 
 
-# The preprocessed request is exactly the fleet's fixed query-term set —
-# asserted so the shared _bm25_sql_core() oracle stays honest.
-assert preprocess_query(RAW_QUERY) == QUERY_TERMS
+# The preprocessed request must be exactly the fleet's fixed query-term
+# set so the shared _bm25_sql_core() oracle stays honest.  An explicit
+# raise, not an assert: `python -O` strips asserts and would silently
+# void the invariant.
+if preprocess_query(RAW_QUERY) != QUERY_TERMS:
+    raise RuntimeError(
+        f"serve-path query drifted from the fleet term set: "
+        f"{preprocess_query(RAW_QUERY)!r} != {QUERY_TERMS!r}"
+    )
 
 
 # ---------------------------------------------------------------------------

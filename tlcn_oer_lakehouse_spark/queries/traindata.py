@@ -901,7 +901,7 @@ def hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         .alias("est"),
     )
     exact = terms.agg(F.countDistinct("item").alias("n_exact"))
-    return est.crossJoin(exact).select(
+    return est.crossJoin(F.broadcast(exact)).select(
         F.col("n_exact"),
         F.round("est", 6).alias("hll_estimate"),
         (F.lit(m) - F.col("zeros")).cast("long").alias("n_registers_used"),

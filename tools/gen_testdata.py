@@ -214,7 +214,15 @@ def gen(sf: float, out: str) -> None:
     for s_i, t_i in zip(near_src, near_dst):
         tk = texts[s_i].split()
         for _ in range(rng.integers(1, 3)):
-            tk[rng.integers(0, len(tk))] = vocab[rng.integers(0, len(vocab))]
+            # resample until the replacement actually differs — drawing
+            # from the full vocab can pick the identical token (likely
+            # for the 30-word core), silently degenerating an intended
+            # 1-2-edit near-dup into a 0-edit exact duplicate
+            j = rng.integers(0, len(tk))
+            repl = vocab[rng.integers(0, len(vocab))]
+            while repl == tk[j]:
+                repl = vocab[rng.integers(0, len(vocab))]
+            tk[j] = repl
         texts[t_i] = " ".join(tk)
     w("documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
