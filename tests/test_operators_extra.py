@@ -546,3 +546,24 @@ def test_exact_substring_dedup_masks_known_spans(spark, monkeypatch):
     assert got[3].cleaned_text == rows[3][1]
     for r in got.values():
         assert r.mask_ratio == round(r.n_masked / r.n_tokens, 9)
+
+    # keep-one-canonical refinement (Lee et al. §4): the FIRST occurrence
+    # of each duplicated span in (doc_id, pos) order survives
+    k1 = {
+        r.doc_id: r
+        for r in td.exact_substring_keepone(spark, "unused").collect()
+    }
+    # docs 0/1: doc 0 holds the canonical copies of both overlapping
+    # shingles -> doc 0 fully unmasked, doc 1 masks the whole 6-token run
+    assert k1[0].n_masked == 0
+    assert k1[0].cleaned_text == rows[0][1]
+    assert k1[1].n_masked == 6
+    assert k1[1].cleaned_text == "pre1 tail1"
+    # doc 2 within-doc repeat: the pos-0 occurrence is canonical, only
+    # the second (pos 6) 5-token span is masked
+    assert k1[2].n_masked == 5
+    assert k1[2].cleaned_text == "one two three four five x y"
+    assert k1[3].n_masked == 0
+    # keep-one masks a SUBSET of the conservative variant, per doc
+    for did in k1:
+        assert k1[did].n_masked <= got[did].n_masked

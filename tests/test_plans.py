@@ -179,6 +179,7 @@ _BNLJ_ALLOWED = {
     "q3_hybrid_recency",      # 1-row max-score normalizers (fusion shape)
     "q_tiered_search",        # 1-row summary-tier BM25 stats broadcast
     "rag_serve_e2e",          # 1-row stats/maxes/gate broadcasts (composed)
+    "rag_serve_ann",          # same 1-row broadcasts + 1-row query vector
 }
 
 

@@ -157,3 +157,30 @@ def test_batch_bm25_matches_per_query(spark, sf_dir):
     per_q = {r.query_id for r in topk.collect()}
     assert per_q == {1, 2, 3}
     assert topk.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 5
+
+
+def test_rag_serve_ann_recall_vs_dense(spark):
+    """Serve-level recall of the ANN-backed plan vs the dense plan (the
+    ann_recall_eval pattern applied to the composed serve path): the
+    packed top-10 of rag_serve_ann must overlap the dense rag_serve
+    top-10 at >= 0.8 at sf0.1 (measured 0.9 when the candidate width
+    ANN_CAND_K=100 was chosen).  Absolute serve_scores legitimately
+    differ between the two plans — max-normalization runs over the
+    retrieved set (ES convention), which is the candidate union under
+    ANN — so MEMBERSHIP is what's asserted.  (The BM25 argmax is NOT
+    guaranteed to appear: documents without an embedding row never
+    enter the fused join, in either plan.)"""
+    from tlcn_oer_lakehouse_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.1"
+    dense = {
+        r.doc_id: r.serve_score
+        for r in REGISTRY["rag_serve_e2e"].builder(spark, sf).collect()
+    }
+    ann = {
+        r.doc_id: r.serve_score
+        for r in REGISTRY["rag_serve_ann"].builder(spark, sf).collect()
+    }
+    assert len(dense) == 10 and len(ann) == 10
+    shared = set(dense) & set(ann)
+    assert len(shared) / len(dense) >= 0.8, (sorted(dense), sorted(ann))

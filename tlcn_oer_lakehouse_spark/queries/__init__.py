@@ -144,10 +144,18 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   on non-1-based/non-contiguous run tables instead of positionally
 #   misplacing sample counts; well-formed files unchanged):
 #     mm_mp4_frames
+#   exact_substring_dedup refactored into the shared
+#   _exact_substring_core (keep_one=False path, result-identical):
+#     td_exact_substring_dedup
+#   rag_serve Q5/Q6 tail extracted into the shared _pack_context
+#   (result-identical; the ANN variant reuses it):
+#     rag_serve_e2e
 _REVERIFY_FIRST = (
     "a_hll_sketch",
     "a_kmv_set_ops",
     "mm_mp4_frames",
+    "td_exact_substring_dedup",
+    "rag_serve_e2e",
 )
 
 

@@ -184,17 +184,11 @@ ORDER BY tc.chapter_rank, c.chunk_order, c.chunk_id
 # end-to-end RAG serve plan
 
 
-def rag_serve(spark: SparkSession, sf: str) -> DataFrame:
-    """Q4 → (Q1 ∥ Q2) → Q3 → Q5 → Q6 in one plan (chatbot_api.py:460-502).
-
-    Preprocess the request string, score the corpus lexically (BM25) and
-    semantically (cosine vs the request embedding, vec_id=0) in two
-    branches, max-normalize and fuse 0.5/0.5, apply the context filters
-    (length ≥60 chars, <3 code-indicator chars) and the all-or-nothing
-    relevance gate (mean top-10 fused score ≥ 0.15), then greedily pack
-    the survivors into the token budget."""
-    terms = preprocess_query(RAW_QUERY)  # Q4
-    fused = fused_scores(spark, sf, terms)  # Q1 ∥ Q2 → Q3 (shared core)
+def _pack_context(spark: SparkSession, sf: str, fused: DataFrame) -> DataFrame:
+    """The shared Q5 → Q6 serve tail: context filters (length ≥60 chars,
+    <3 code-indicator chars), all-or-nothing relevance gate (mean top-10
+    fused score ≥ 0.15), greedy token-budget pack.  One copy for the
+    dense (``rag_serve``) and ANN (``rag_serve_ann``) front halves."""
     docs = load(spark, sf, "documents").select("doc_id", "text", "n_chars")
     code_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[{};=<>]"), 0))
     kept = (  # Q5 context filters
@@ -226,8 +220,183 @@ def rag_serve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rag_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 → (Q1 ∥ Q2) → Q3 → Q5 → Q6 in one plan (chatbot_api.py:460-502).
+
+    Preprocess the request string, score the corpus lexically (BM25) and
+    semantically (cosine vs the request embedding, vec_id=0) in two
+    branches, max-normalize and fuse 0.5/0.5, then the shared Q5/Q6
+    tail (:func:`_pack_context`)."""
+    terms = preprocess_query(RAW_QUERY)  # Q4
+    fused = fused_scores(spark, sf, terms)  # Q1 ∥ Q2 → Q3 (shared core)
+    return _pack_context(spark, sf, fused)
+
+
+# ---------------------------------------------------------------------------
+# ANN-backed serve: candidate generation → exact re-rank → shared tail.
+#
+# At 100 TB the dense plan's vector branch (exact cosine over EVERY
+# embedding) is the one scan that cannot stay: this variant replaces it
+# with the production retrieve-then-rerank shape — candidates = BM25
+# top-K ∪ IVF-probed vector top-K, then BOTH branch scores computed
+# exactly on the O(K) union only.  The IVF probe touches n_probe/8 of
+# a cluster-partitioned store (ann_ivf_topk's pruning story); the union
+# re-rank is a semi-join against an O(K) broadcast.
+#
+# Measured at sf0.1 (2000 vectors, noise-dominated synthetic
+# embeddings — query's true neighbours share no cluster): serve-level
+# recall = 0.9 overlap@10 vs the dense rag_serve top-10 (target ≥0.8);
+# the vector branch alone recalls 0.56@100 with candidates = 52% of
+# the corpus at n_probe=4/8 — the union + exact re-rank is what lifts
+# the end-to-end number, because the lexical branch (unchanged) anchors
+# the fused ranking.
+ANN_CAND_K = 100
+ANN_NPROBE = 4
+
+
+def rag_serve_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN-backed RAG serve: Q4 → (Q1 top-K ∥ IVF-ANN top-K) → exact
+    union re-rank → Q3 fuse → shared Q5/Q6 tail."""
+    from tlcn_oer_lakehouse_spark.functions.vectors import cosine
+    from tlcn_oer_lakehouse_spark.operators.similarity import ivf_topk
+    from tlcn_oer_lakehouse_spark.queries.retrieval import bm25_scores
+
+    terms = preprocess_query(RAW_QUERY)  # Q4
+    lex = bm25_scores(spark, sf, terms)
+    emb = load(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    centroids = emb.filter(F.col("vec_id").between(100, 107)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    lex_k = (
+        lex.orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+        .limit(ANN_CAND_K)
+        .select("doc_id")
+    )
+    vec_k = ivf_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        centroids, query, k=ANN_CAND_K, n_probe=ANN_NPROBE,
+    ).select(F.col("vec_id").alias("doc_id"))
+    cand = lex_k.unionByName(vec_k).distinct()
+
+    # exact re-rank on the O(K) union: both branches scored exactly
+    vec_scores = (
+        emb.join(F.broadcast(cand), emb["vec_id"] == cand["doc_id"], "leftsemi")
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (cosine(F.col("embedding"), F.col("q_emb")) + F.lit(1.0)).alias("vec_raw"),
+        )
+    )
+    joined = lex.join(vec_scores, "doc_id")
+    maxes = joined.agg(
+        F.max("bm25_raw").alias("max_lex"), F.max("vec_raw").alias("max_vec")
+    )
+    fused = joined.crossJoin(F.broadcast(maxes)).select(
+        "doc_id",
+        (
+            F.lit(0.5) * (F.col("bm25_raw") / F.col("max_lex"))
+            + F.lit(0.5) * (F.col("vec_raw") / F.col("max_vec"))
+        ).alias("fused_raw"),
+    )
+    return _pack_context(spark, sf, fused)
+
+
 RAG_SERVE_SQL = f"""
 WITH {_fused_sql_core()},
+kept AS (
+  SELECT f.doc_id, f.fused_raw,
+         len(regexp_extract_all(d.text, '\\w+')) AS n_tokens
+  FROM fused f JOIN documents d ON f.doc_id = d.doc_id
+  WHERE d.n_chars >= 60
+    AND len(regexp_extract_all(d.text, '[{{}};=<>]')) < 3
+),
+top AS (
+  SELECT doc_id, fused_raw, n_tokens
+  FROM kept ORDER BY fused_raw DESC, doc_id ASC LIMIT 10
+),
+gate AS (SELECT AVG(fused_raw) AS avg_score FROM top)
+SELECT doc_id, round(fused_raw, 9) AS serve_score, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY fused_raw DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       SUM(n_tokens) OVER (ORDER BY fused_raw DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= {CONTEXT_BUDGET_TOKENS} AS packed
+FROM top, gate
+WHERE avg_score >= 0.15
+ORDER BY serve_score DESC, doc_id ASC
+"""
+
+
+def _rag_serve_ann_sql() -> str:
+    """DuckDB replica of the ANN serve plan: bm25 core → IVF candidate
+    generation (same assignment/probe SQL as the green ann_ivf_topk) →
+    exact union re-rank → the RAG_SERVE tail."""
+    from tlcn_oer_lakehouse_spark.queries.retrieval import (
+        _bm25_sql_core,
+        _COS_DOT,
+        _COS_NORM_A,
+        _COS_NORM_Q,
+    )
+    from tlcn_oer_lakehouse_spark.queries.vectorops import _cos_sql
+
+    cos_q = f"({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q}))"
+    return f"""
+WITH {_bm25_sql_core().strip()},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+),
+lex_k AS (
+  SELECT doc_id FROM bm25 ORDER BY bm25_raw DESC, doc_id ASC LIMIT {ANN_CAND_K}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql('e.embedding', 'c.centroid_vec')}, 9) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+    WHERE e.vec_id != 0
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT centroid_id AS cluster_id
+  FROM centroids, q
+  ORDER BY round({_cos_sql('centroid_vec', 'q_emb')}, 9) DESC, centroid_id ASC
+  LIMIT {ANN_NPROBE}
+),
+vec_k AS (
+  SELECT vec_id AS doc_id
+  FROM (
+    SELECT a.vec_id, round({_cos_sql('a.embedding', 'q_emb')}, 9) AS cos_sim
+    FROM assigned a JOIN probe p ON a.cluster_id = p.cluster_id, q
+  ) ORDER BY cos_sim DESC, vec_id ASC
+  LIMIT {ANN_CAND_K}
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM lex_k UNION ALL SELECT doc_id FROM vec_k)
+),
+vecs AS (
+  SELECT vec_id AS doc_id, {cos_q} + 1.0 AS vec_raw
+  FROM embeddings JOIN cand ON vec_id = cand.doc_id, q
+),
+joined AS (
+  SELECT b.doc_id, b.bm25_raw, v.vec_raw
+  FROM bm25 b JOIN vecs v ON b.doc_id = v.doc_id
+),
+maxes AS (SELECT MAX(bm25_raw) AS max_lex, MAX(vec_raw) AS max_vec FROM joined),
+fused AS (
+  SELECT doc_id,
+         0.5 * (bm25_raw / max_lex) + 0.5 * (vec_raw / max_vec) AS fused_raw
+  FROM joined, maxes
+),
 kept AS (
   SELECT f.doc_id, f.fused_raw,
          len(regexp_extract_all(d.text, '\\w+')) AS n_tokens
@@ -265,4 +434,11 @@ SPECS = [
                   "→ filter/gate → context pack) as ONE plan",
               doc="the chatbot request pipeline end-to-end",
               tags=("serve", "retrieval", "bench")),
+    QuerySpec("rag_serve_ann", rag_serve_ann, _rag_serve_ann_sql(),
+              ref="chatbot_api.py:460-502 with the vector branch as "
+                  "production retrieve-then-rerank: BM25 top-K ∪ IVF-ANN "
+                  "top-K candidates, exact re-rank on the O(K) union; "
+                  "measured 0.9 overlap@10 vs the dense plan at sf0.1",
+              doc="ANN-backed RAG serve (candidates → exact union re-rank)",
+              tags=("serve", "retrieval")),
 ]

@@ -415,15 +415,126 @@ ORDER BY s.doc_id
 """
 
 
-def exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def contamination_check_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """``contamination_check`` with its designed 100 TB first stage
+    COMPOSED IN: a real broadcast Bloom bitset gates the test-side
+    shingle stream map-side, and only bloom-positive shingles reach the
+    exact equi-join confirm.  Output is bit-identical to
+    ``contamination_check`` (a Bloom filter has no false negatives, and
+    every positive is confirmed exactly) — the oracle IS the plain
+    exact computation, so a driver green proves the gate is semantically
+    transparent.
+
+    Plan shape vs the ungated query:
+    - the df-capped train aggregate is unchanged (and persisted: it
+      feeds the Bloom build AND the confirm join);
+    - the Bloom is a true bitset — k=3 xxhash64 positions per train
+      shingle OR'd into 64-bit words (``bit_or`` over ``pos div 64``),
+      sized from the measured train cardinality at ~4.8 bits/key
+      (p≈10%) so it neither saturates at scale nor wastes broadcast
+      bytes: the word table is ~m/64 rows ≈ 2% of train-side count,
+      broadcast once;
+    - the probe is THREE map-side broadcast hash joins (one per hash) —
+      zero extra shuffle on the data-sized test stream; per-doc
+      ``n_shingles`` comes from a map-combined doc-keyed count;
+    - only survivors (true hits + ~10% false positives) shuffle into
+      the exact confirm join, which at 100 TB is the difference between
+      shuffling every test shingle and shuffling the contaminated tail.
+    """
+    max_df = 1000
+    depth = 3
+    docs = load(spark, sf, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    with_split = docs.filter((b < 80) | (b >= 90)).select(
+        "doc_id",
+        (b < 80).alias("is_train"),
+        F.explode(
+            F.transform(
+                F.array_distinct(shingles(tokens(F.col("text")), 5)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("shingle"),
+    )
+    train = (
+        with_split.filter(F.col("is_train"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_train"))
+        .filter(F.col("df_train") <= max_df)
+        .select("shingle")
+        .persist()
+    )
+    # size the bitset to the data: ~4.8 bits/key ≈ 10% fp at k=3.  The
+    # count is one scalar job over the persisted (bounded) train set —
+    # the same pattern as the k-means/k-core loop guards.
+    n_train = train.count()
+    mbits = 1 << max(18, (int(4.8 * max(n_train, 1)) - 1).bit_length())
+
+    def _pos(i: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(mbits))
+
+    words = (
+        train.select(F.explode(F.array(*[_pos(i) for i in range(depth)])).alias("pos"))
+        .groupBy(F.expr("pos div 64").alias("word_idx"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("bits"))
+    )
+
+    test = with_split.filter(~F.col("is_train")).select("doc_id", "shingle")
+    sizes = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    probe = test
+    cond = F.lit(True)
+    for i in range(depth):
+        # one _pos(i) column, word/bit derived from IT — the probe must
+        # hash exactly as the build side did
+        probe = (
+            probe.withColumn(f"__p{i}", _pos(i))
+            .withColumn(f"__w{i}", F.expr(f"__p{i} div 64"))
+            .withColumn(f"__b{i}", F.expr(f"shiftleft(1L, cast(__p{i} % 64 as int))"))
+        )
+        w = words.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        probe = probe.join(
+            F.broadcast(w), probe[f"__w{i}"] == w[f"__wi{i}"], "left"
+        )
+        cond = cond & (
+            F.coalesce(F.col(f"__bits{i}"), F.lit(0)).bitwiseAND(F.col(f"__b{i}")) != 0
+        )
+    survivors = probe.filter(cond).select("doc_id", "shingle")
+
+    hits = (
+        survivors.join(train, "shingle", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"), 9
+            ).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _exact_substring_core(
+    spark: SparkSession, sf: str, keep_one: bool
+) -> DataFrame:
     """ExactSubstr-style substring-level dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): mask
     every n-token span whose exact text occurs >= 2 times corpus-wide
     (including within-doc repeats) — the duplication class that
-    doc-level dedup (minhash/simhash) cannot see.  This variant masks
-    ALL occurrences of a duplicated span (conservative cleanup); the
-    paper's keep-one-canonical-copy refinement is a per-span argmin
-    away and documented as out of this query's scope.
+    doc-level dedup (minhash/simhash) cannot see.
+
+    ``keep_one=False`` masks ALL occurrences of a duplicated span
+    (conservative cleanup).  ``keep_one=True`` is the paper's §4
+    retain-one-canonical refinement: per duplicated span, the first
+    occurrence in (doc_id, pos) order survives and only the REST are
+    masked — the canonical copy stays in the corpus.
 
     Plan shape (100 TB story):
     - spans keyed by ``xxhash64(shingle)`` (8-byte shuffle keys; the
@@ -431,13 +542,19 @@ def exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
       ``contamination_check``, p ≈ n²/2⁶⁵ and deterministic);
     - one groupBy(h) occurrence count, one semi-join back (equi-joins
       only, never all-pairs), one groupBy(doc) collecting the few
-      flagged start positions;
+      flagged start positions; the keep-one variant replaces the
+      occurrence count with ONE window pass over the same h-partitioned
+      shuffle (row_number per h — canonical = rank 1; a span is
+      duplicated iff the h-group has max rank >= 2), so it costs the
+      same single wide exchange;
     - masking itself is a MAP-ONLY higher-order array filter — token j
       is dropped iff some flagged start s has s <= j <= s+n-1 — so the
       data-sized pass stays in whole-stage codegen with zero extra
       shuffle.  At 100 TB the dup-span set additionally lands as a
       side table / bloom filter, exactly like the contamination train
       side."""
+    from pyspark.sql import Window
+
     n, min_count = 5, 2
     docs = load(spark, sf, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -447,16 +564,26 @@ def exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(shingles(F.col("t"), n), lambda s: F.xxhash64(s))
         ).alias("pos0", "h"),
     )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= min_count)
-        .select("h")
-    )
-    starts = (
-        sh.join(dup, "h", "leftsemi")
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.col("pos0") + 1).alias("starts"))
+    if keep_one:
+        w = Window.partitionBy("h").orderBy("doc_id", "pos0")
+        ranked = sh.select(
+            "doc_id", "pos0",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("occ"),
+        )
+        flagged = ranked.filter(
+            (F.col("occ") >= min_count) & (F.col("rn") >= 2)
+        )
+    else:
+        dup = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") >= min_count)
+            .select("h")
+        )
+        flagged = sh.join(dup, "h", "leftsemi")
+    starts = flagged.groupBy("doc_id").agg(
+        F.collect_set(F.col("pos0") + 1).alias("starts")
     )
     no_starts = F.array().cast("array<int>")
     st = F.coalesce(F.col("starts"), no_starts)
@@ -481,6 +608,19 @@ def exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Conservative ExactSubstr: mask ALL occurrences of duplicated
+    spans (see :func:`_exact_substring_core`)."""
+    return _exact_substring_core(spark, sf, keep_one=False)
+
+
+def exact_substring_keepone(spark: SparkSession, sf: str) -> DataFrame:
+    """Retain-one-canonical ExactSubstr (Lee et al. 2022 §4): the first
+    occurrence per duplicated span in (doc_id, pos) order survives (see
+    :func:`_exact_substring_core`)."""
+    return _exact_substring_core(spark, sf, keep_one=True)
+
+
 _NORM_T = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
 EXACT_SUBSTRING_SQL = f"""
@@ -491,6 +631,46 @@ sh AS (
 ),
 dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
 starts AS (SELECT doc_id, s FROM sh JOIN dup USING (g)),
+covered AS (
+  SELECT DISTINCT doc_id, s + d AS j
+  FROM starts CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS d)
+),
+tok AS (
+  SELECT doc_id, i AS j, t[i] AS tok, len(t) AS n_tokens
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+),
+flags AS (
+  SELECT tok.doc_id, tok.j, tok.tok, tok.n_tokens,
+         c.j IS NOT NULL AS is_masked
+  FROM tok LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.j = c.j
+)
+SELECT doc_id,
+       MAX(n_tokens) AS n_tokens,
+       CAST(SUM(CASE WHEN is_masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       round(CAST(SUM(CASE WHEN is_masked THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n_tokens), 9) AS mask_ratio,
+       coalesce(string_agg(CASE WHEN NOT is_masked THEN tok END,
+                           ' ' ORDER BY j), '') AS cleaned_text
+FROM flags
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# keep-one: identical pipeline, but the flagged-starts set excludes the
+# canonical (first in (doc_id, s) order) occurrence of each dup span
+EXACT_SUBSTRING_KEEPONE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_NORM_T} AS t FROM documents),
+sh AS (
+  SELECT doc_id, i AS s, array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS occ
+  FROM sh
+),
+starts AS (SELECT doc_id, s FROM ranked WHERE occ >= 2 AND rn >= 2),
 covered AS (
   SELECT DISTINCT doc_id, s + d AS j
   FROM starts CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS d)
@@ -1204,12 +1384,28 @@ SPECS = [
               ref="new capability (train->test 5-gram contamination)",
               doc="per-test-doc contaminated-shingle rate vs train set",
               tags=("traindata", "bench")),
+    QuerySpec("td_contamination_scalable", contamination_check_scalable,
+              CONTAMINATION_SQL,
+              ref="scale op; the contamination check's 100 TB plan with the "
+                  "Bloom gate composed in (bitset broadcast + map-side probe "
+                  "→ exact confirm); oracle = the ungated exact computation, "
+                  "proving the gate is semantically transparent",
+              doc="Bloom-gated train→test contamination (output ≡ "
+                  "td_contamination_check)",
+              tags=("traindata", "dedup")),
     QuerySpec("td_exact_substring_dedup", exact_substring_dedup,
               EXACT_SUBSTRING_SQL,
               ref="scale op: ExactSubstr substring-level dedup (Lee et al. "
                   "2022) — the duplication class doc-level dedup cannot see",
               doc="mask every 5-token span occurring >=2 times corpus-wide; "
                   "map-only masking via higher-order array filter",
+              tags=("traindata", "dedup")),
+    QuerySpec("td_exact_substring_keepone", exact_substring_keepone,
+              EXACT_SUBSTRING_KEEPONE_SQL,
+              ref="scale op; Lee et al. 2022 §4 retain-one refinement of "
+                  "ExactSubstr — canonical occurrence survives, duplicates "
+                  "masked; one window pass over the same h-keyed shuffle",
+              doc="substring dedup keeping one canonical copy per dup span",
               tags=("traindata", "dedup")),
     QuerySpec("td_weighted_sample", td_weighted_sample, WEIGHTED_SAMPLE_SQL,
               ref="scale op: Efraimidis-Spirakis weighted sampling without "
