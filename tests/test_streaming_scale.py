@@ -96,3 +96,65 @@ def test_corpus_prep_stream_equals_batch_at_sf1(spark, tmp_path):
     # chunks exist for every admitted doc (content-addressed; replay-safe)
     chunks = spark.read.parquet(str(tmp_path / "chunks"))
     assert chunks.select("doc_id").distinct().count() == len(got_fps)
+
+
+def test_near_dup_ingest_stream_equals_batch_at_sf1(spark, tmp_path):
+    """The near-dup ingest flow at the 50k-doc sf1.0 corpus (VERDICT r6
+    #5, the half of the r5 stretch that hadn't run at scale): streaming
+    the corpus in 5 parquet micro-batches through ``near_dup_ingest``
+    must produce EXACTLY the pair set of the one-shot batch pipeline
+    (``minhash_near_duplicates``) — every unordered pair is emitted
+    once, in the micro-batch where its later-arriving member lands, so
+    the union over triggers equals the batch result."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import minhash_near_duplicates
+    from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        near_dup_ingest,
+        read_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text")
+    n_docs = docs.count()
+    assert n_docs == 50_000
+
+    landing = str(tmp_path / "landing")
+    docs.repartition(5).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "corpus"), key="doc_id", fingerprint_col="text"
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    t0 = time.perf_counter()
+    q = near_dup_ingest(
+        stream, table, pairs_dir, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    try:
+        assert q.awaitTermination(1800), "ingest still running after 1800s"
+    finally:
+        q.stop()
+    elapsed = time.perf_counter() - t0
+    assert len(q.recentProgress) >= 5  # genuinely incremental
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in read_pairs(spark, pairs_dir).select("doc_a", "doc_b").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert got == want, (
+        f"stream-only: {sorted(got - want)[:5]} "
+        f"batch-only: {sorted(want - got)[:5]}"
+    )
+    assert table.read().count() == n_docs
+    print(
+        f"sf1.0 near_dup_ingest: {n_docs} docs, {len(got)} pairs, "
+        f"{elapsed:.1f}s over {len(q.recentProgress)} triggers"
+    )

@@ -65,6 +65,14 @@ def get_spark(
         # parquet scan sizing for the local profile; a cluster deployment
         # overrides via spark-defaults
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # split-size floor: the 4 MB default collapses a compressed
+        # single-file text table (sf1.0 documents = 7.4 MB) to 2 splits,
+        # serializing every scan-heavy plan over it on a 32-core host —
+        # and text compresses ~10x, so bytes-on-disk badly understates
+        # per-split work.  512 KB is still far above local-NVMe open
+        # cost; at cluster scale files dwarf maxPartitionBytes and this
+        # floor never binds.
+        "spark.sql.files.openCostInBytes": str(512 * 1024),
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
     }

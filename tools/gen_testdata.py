@@ -69,7 +69,16 @@ def gen(sf: float, out: str) -> None:
     os.makedirs(out, exist_ok=True)
 
     def w(name: str, table: pa.Table) -> None:
-        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+        # Bounded row groups: pyarrow's default writes one row group per
+        # call (sf1.0 documents = ONE 50k-row group), and Spark cannot
+        # split a row group — every scan-heavy plan over such a file
+        # runs single-threaded regardless of maxPartitionBytes, which is
+        # both a throughput floor and a variance amplifier (one straggler
+        # task IS the stage).  4096 rows/group lets the scan fan out the
+        # way a real multi-file 100 TB table would.
+        pq.write_table(
+            table, os.path.join(out, f"{name}.parquet"), row_group_size=4096
+        )
         print(f"  {name}: {table.num_rows} rows")
 
     # -- region / nation ---------------------------------------------------
