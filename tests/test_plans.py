@@ -251,6 +251,18 @@ def test_medallion_e2e_exchange_budget(spark):
     assert audit.exchange_count(df) <= 34
 
 
+def test_exact_substring_keepone_is_combinable_aggregate(spark):
+    """keep-one's canonical selection must stay a map-side-combinable
+    aggregate (count + min(struct(doc_id,pos0)) per span hash).  The
+    row_number-per-h window formulation wedged on hot-shingle skew at
+    the sf10 probe (stop-phrase 5-grams occur 100k+ times; a window
+    sort cannot partial-aggregate, so the hot groups pile into straggler
+    partitions).  No Window node may appear in the plan."""
+    df = _build(spark, "td_exact_substring_keepone")
+    plan = audit.simple_plan(df)
+    assert "Window" not in plan, plan
+
+
 def test_contamination_two_wide_shuffles(spark):
     """contamination_check's plan budget: the shingle-keyed aggregation
     and the final doc-keyed aggregation are the only wide exchanges

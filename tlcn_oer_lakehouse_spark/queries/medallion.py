@@ -358,6 +358,6 @@ SPECS = [
             "gold_analytics.py:123-186 (coverage fact), composed as ONE plan "
             "over pipelines/medallion.py + operators/incremental.py stages",
         doc="the medallion bronze→silver→gold lifecycle end-to-end",
-        tags=("lakehouse", "pipeline"),
+        tags=("lakehouse", "pipeline", "bench"),
     ),
 ]

@@ -542,19 +542,21 @@ def _exact_substring_core(
       ``contamination_check``, p ≈ n²/2⁶⁵ and deterministic);
     - one groupBy(h) occurrence count, one semi-join back (equi-joins
       only, never all-pairs), one groupBy(doc) collecting the few
-      flagged start positions; the keep-one variant replaces the
-      occurrence count with ONE window pass over the same h-partitioned
-      shuffle (row_number per h — canonical = rank 1; a span is
-      duplicated iff the h-group has max rank >= 2), so it costs the
-      same single wide exchange;
+      flagged start positions; the keep-one variant extends the SAME
+      combinable aggregate with ``min(struct(doc_id, pos0))`` — the
+      canonical occurrence as an argmin that partial-aggregates
+      map-side — then drops it from the flagged set after the
+      semi-equivalent join.  NOT a ``row_number`` window per h: hot
+      shingles (stop-phrase 5-grams occur 100k+ times at 500k docs)
+      make a per-h window sort skew-bound — the sf10 probe measured it
+      wedging on 11 straggler partitions, while count/min combine
+      map-side and AQE splits the skewed join;
     - masking itself is a MAP-ONLY higher-order array filter — token j
       is dropped iff some flagged start s has s <= j <= s+n-1 — so the
       data-sized pass stays in whole-stage codegen with zero extra
       shuffle.  At 100 TB the dup-span set additionally lands as a
       side table / bloom filter, exactly like the contamination train
       side."""
-    from pyspark.sql import Window
-
     n, min_count = 5, 2
     docs = load(spark, sf, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -565,14 +567,20 @@ def _exact_substring_core(
         ).alias("pos0", "h"),
     )
     if keep_one:
-        w = Window.partitionBy("h").orderBy("doc_id", "pos0")
-        ranked = sh.select(
-            "doc_id", "pos0",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("occ"),
+        dup = (
+            sh.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("occ"),
+                F.min(F.struct("doc_id", "pos0")).alias("canon"),
+            )
+            .filter(F.col("occ") >= min_count)
+            .select("h", "canon")
         )
-        flagged = ranked.filter(
-            (F.col("occ") >= min_count) & (F.col("rn") >= 2)
+        flagged = sh.join(dup, "h").filter(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("pos0") == F.col("canon.pos0"))
+            )
         )
     else:
         dup = (
@@ -1392,7 +1400,7 @@ SPECS = [
                   "proving the gate is semantically transparent",
               doc="Bloom-gated train→test contamination (output ≡ "
                   "td_contamination_check)",
-              tags=("traindata", "dedup")),
+              tags=("traindata", "dedup", "bench")),
     QuerySpec("td_exact_substring_dedup", exact_substring_dedup,
               EXACT_SUBSTRING_SQL,
               ref="scale op: ExactSubstr substring-level dedup (Lee et al. "
