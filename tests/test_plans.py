@@ -361,6 +361,51 @@ def test_tiered_search_prunes_tier3_partitions(spark, tmp_path):
     assert sorted(map(str, df.collect())) == sorted(map(str, direct.collect()))
 
 
+def test_ivf_probe_prunes_cluster_partitions(spark, tmp_path):
+    """The inverted-file serving claim (ann_ivf_topk's docstring: "at
+    scale the assigned cluster id becomes the table's partition key so
+    probes prune scans"): over a cluster_id-partitioned store, the probe
+    scan's partition filters must keep only the n_probe probed clusters
+    — the other cluster directories are never opened.  Result parity
+    with the in-plan ivf_topk (same probe list, same candidates) is
+    asserted on the same data."""
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_clusters,
+        ivf_topk,
+        ivf_topk_from_assigned,
+    )
+    from tlcn_oer_lakehouse_spark.queries.base import load
+
+    emb = load(spark, SF, "embeddings")
+    centroids = emb.filter(F.col("vec_id").between(100, 107)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    store = str(tmp_path / "ivf_store")
+    ivf_assign(corpus, "vec_id", "embedding", centroids).write.partitionBy(
+        "cluster_id"
+    ).parquet(store)
+    stored = spark.read.parquet(store)
+    probes = ivf_probe_clusters(centroids, query, n_probe=2)
+    assert len(probes) == 2
+
+    df = ivf_topk_from_assigned(stored, "vec_id", "embedding", query, probes, k=10)
+    plan = audit.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "cluster_id#" in plan and "IN (" in plan
+
+    direct = ivf_topk(corpus, "vec_id", "embedding", centroids, query, k=10, n_probe=2)
+    assert sorted(map(str, df.collect())) == sorted(map(str, direct.collect()))
+
+
 def test_tiered_search_drilldown_broadcasts_chapters(spark):
     """Drill-down joins tier-3 rows against the O(k) selected chapters —
     a broadcast equi-join, never a shuffle of the detail tier."""

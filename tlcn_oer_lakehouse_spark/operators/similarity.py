@@ -105,6 +105,51 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_probe_clusters(
+    centroids: DataFrame, query: DataFrame, n_probe: int = 2
+) -> list:
+    """The query's ``n_probe`` nearest cluster ids, as driver-side
+    values.  This is an O(#centroids) collect (the centroid table is
+    tiny by construction — it IS the coarse quantizer), mirroring how a
+    serving node picks probe lists at request-build time; the resulting
+    ids parameterize a STATIC partition filter over the cluster-
+    partitioned store (see :func:`ivf_topk_from_assigned`)."""
+    rows = (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            F.round(cosine(F.col("q_emb"), F.col("centroid_vec")), 9).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("cluster_id").asc())
+        .limit(n_probe)
+        .collect()
+    )
+    return [r.cluster_id for r in rows]
+
+
+def ivf_topk_from_assigned(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: DataFrame,
+    probe_clusters: list,
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe over an ALREADY-ASSIGNED (and, in production, written
+    ``partitionBy(cluster_id)``) store: the probe-cluster filter is a
+    static ``isin`` on the partition column, so over a partitioned
+    layout the scan opens only ``n_probe`` of the cluster directories —
+    the inverted-file pruning claim made plan-checkable
+    (tests/test_plans.py pins the PartitionFilters)."""
+    cands = assigned.filter(F.col("cluster_id").isin(*probe_clusters))
+    scored = cands.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.round(cosine(F.col(vec_col), F.col("q_emb")), 9).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def bucketed_ann_topk(
     df: DataFrame,
     id_col: str,
