@@ -617,3 +617,80 @@ def test_expectations_ingest_streams_dq_gates(spark, tmp_path):
     assert roll2["price_positive"] == 2
     assert roll2["status_known"] == 2
     assert roll2["_rows_in"] == 5 and roll2["_rows_clean"] == 2
+
+
+def test_silver_ingest_stream_equals_batch(spark, tmp_path):
+    """The medallion silver lifecycle as streaming ingest: two bronze
+    micro-batches (initial scrape, then a rescrape with an update, an
+    insert, a content-identical re-send, and a shrunk asset set) must
+    land the SAME silver content as a one-shot batch run over the union
+    — the only permitted divergence is the re-send row's bookkeeping
+    scraped_at (change detection deliberately skips fingerprint-equal
+    rows, so the stream keeps the first admitted copy's timestamp)."""
+    import shutil
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from tlcn_oer_lakehouse_spark.pipelines.medallion import run_silver
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        landing_stream,
+        silver_ingest,
+    )
+
+    schema_str = (
+        "id string, title string, url string, description string, "
+        "language string, scraped_at string, pdf_paths array<string>"
+    )
+    b1 = [
+        ("r1", "Alpha v0", "https://ocw.mit.edu/c/1", "d" * 100, "en",
+         "2024-01-01 00:00:00", ["f/1_0.pdf", "f/1_1.pdf"]),
+        ("r2", "Beta v0", "https://openstax.org/b/2", None, "vi",
+         "2024-01-02 00:00:00", ["f/2_0.pdf"]),
+    ]
+    b2 = [
+        # update: new title, one asset dropped (stale-asset delete)
+        ("r1", "Alpha v1", "https://ocw.mit.edu/c/1", "d" * 100, "en",
+         "2024-06-01 00:00:00", ["f/1_0.pdf"]),
+        # re-send: content-identical to b1, newer scrape timestamp
+        ("r2", "Beta v0", "https://openstax.org/b/2", None, "vi",
+         "2024-06-02 00:00:00", ["f/2_0.pdf"]),
+        # insert
+        ("r3", "Gamma v0", "https://open.umn.edu/t/3", None, "en",
+         "2024-06-03 00:00:00", []),
+    ]
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(b1, schema_str).coalesce(1).write.parquet(f"{landing}/b1")
+    q = silver_ingest(
+        landing_stream(spark, f"{landing}/*", _parse_datatype_string(schema_str)),
+        str(tmp_path / "wh_stream"),
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+    spark.createDataFrame(b2, schema_str).coalesce(1).write.parquet(f"{landing}/b2")
+    q2 = silver_ingest(
+        landing_stream(spark, f"{landing}/*", _parse_datatype_string(schema_str)),
+        str(tmp_path / "wh_stream"),
+        str(tmp_path / "ckpt"),
+    )
+    assert q2.awaitTermination(300)
+
+    # one-shot batch over the union
+    union = spark.createDataFrame(b1 + b2, schema_str)
+    run_silver(spark, union, str(tmp_path / "wh_batch"))
+
+    def silver_state(root, table):
+        df = spark.read.parquet(f"{tmp_path}/{root}/{table}")
+        drop = [c for c in ("scraped_at", "updated_at") if c in df.columns]
+        return sorted(map(str, df.drop(*drop).collect()))
+
+    for table in ("oer_resources_curated", "oer_documents"):
+        assert silver_state("wh_stream", table) == silver_state("wh_batch", table), table
+
+    # content checks: r1 updated + asset f/1_1 deleted; r3 inserted
+    res = spark.read.parquet(f"{tmp_path}/wh_stream/oer_resources_curated")
+    assert {r.resource_id: r.title for r in res.collect()} == {
+        "r1": "Alpha v1", "r2": "Beta v0", "r3": "Gamma v0"
+    }
+    docs = spark.read.parquet(f"{tmp_path}/wh_stream/oer_documents")
+    assert sorted(r.asset_path for r in docs.collect()) == ["f/1_0.pdf", "f/2_0.pdf"]
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

@@ -65,6 +65,45 @@ def merge_ingest(
     return writer.start()
 
 
+def silver_ingest(
+    stream_df: DataFrame,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The medallion SILVER lifecycle as a streaming ingest: every
+    micro-batch of bronze scrape records runs the full batch silver pass
+    (U1 normalize → W1 latest-wins → J1/P3 change detection → K1 MERGE
+    resources → O6 asset explode → K1 MERGE documents → J4/K2
+    stale-asset delete) via :func:`pipelines.medallion.run_silver` —
+    the streaming twin of the composed ``medallion_e2e`` plan, closing
+    the set (corpus-prep, near-dup, silver) of headline flows with a
+    stream-equals-batch proof.
+
+    Semantics note (pinned in tests/test_streaming.py): the final
+    silver CONTENT is batch-identical — the one permitted divergence is
+    the bookkeeping timestamp of fingerprint-equal re-sends, which
+    change detection deliberately skips (the stream keeps the first
+    admitted copy's scraped_at; a one-shot batch over the union keeps
+    the latest), exactly the documented ingest semantics of
+    ``corpus_prep_ingest``."""
+    from tlcn_oer_lakehouse_spark.pipelines.medallion import run_silver
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_silver(batch_df.sparkSession, batch_df, warehouse_root)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def scd2_ingest(
     stream_df: DataFrame,
     table: ParquetMergeTable,
