@@ -10,11 +10,21 @@ the driver's hash check.
 
 from __future__ import annotations
 
+import atexit
 import datetime as _dt
 import math
 import os
+import shutil
 
 import duckdb
+
+_SPILL_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_spill_dirs() -> None:
+    for d in _SPILL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -41,9 +51,12 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         phys = 0
     cap_gb = min(40, max(1, int(phys * 0.5 / 2**30))) if phys else 40
     con.execute(f"SET memory_limit='{cap_gb}GB'")
-    con.execute(
-        f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_oracle_spill_')}'"
-    )
+    # per-connection spill dir (concurrent harness processes must not
+    # collide), removed at process exit — DuckDB cleans the files inside
+    # but not the directory, and one dir leaks per connection otherwise
+    spill = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
+    _SPILL_DIRS.append(spill)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -1005,6 +1005,9 @@ def test_hostile_stsc_gap_bounded():
         _expand_stsc([(2**31, 5, 1)], n_chunks=4)
     with pytest.raises(ValueError, match="contiguous"):
         _expand_stsc([(3, 5, 1)], n_chunks=3)
+    # a zero-chunk stco makes NOTHING readable — a well-formed multi-run
+    # table over it expands to [], it must not trip the contiguity check
+    assert _expand_stsc([(1, 2, 1), (3, 1, 1)], n_chunks=0) == []
     # a LATER first_chunk is not a gap — the previous run spans up to it
     assert _expand_stsc([(1, 2, 1), (4, 1, 1)], n_chunks=5) == [2, 2, 2, 1, 1]
     # non-monotonic overlap cannot over-allocate either

@@ -203,6 +203,11 @@ def _expand_stsc(runs: list[tuple[int, int, int]], n_chunks: int) -> list[int]:
     3) used to be applied positionally from chunk 1, silently shifting
     every sample offset — the same silent-misparse class as the
     hostile-count bounds above, so it raises instead."""
+    if n_chunks <= 0:
+        # stco declares no chunks: nothing is readable and no run can
+        # cover anything — return the empty expansion rather than
+        # tripping the contiguity check on runs past the (empty) table
+        return []
     per_chunk: list[int] = []
     for i, (first, spc, _desc) in enumerate(runs):
         if first != len(per_chunk) + 1:

@@ -72,6 +72,39 @@ def ivf_assign(
     )
 
 
+def _probe_frame(
+    centroids: DataFrame, query: DataFrame, n_probe: int
+) -> DataFrame:
+    """The query's ``n_probe`` nearest clusters as a (cluster_id) frame
+    — the ONE copy of probe selection (round-9 cosine, id tie-break)
+    shared by the in-plan join (:func:`ivf_topk`) and the request-time
+    collect (:func:`ivf_probe_clusters`); a determinism fix lands in
+    both or neither."""
+    return (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            F.round(cosine(F.col("q_emb"), F.col("centroid_vec")), 9).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("cluster_id").asc())
+        .limit(n_probe)
+        .select("cluster_id")
+    )
+
+
+def _exact_cos_topk(
+    cands: DataFrame, id_col: str, vec_col: str, query: DataFrame, k: int
+) -> DataFrame:
+    """Shared exact-scoring tail over a candidate set: round-9 cosine to
+    the broadcast query, id tie-break, top-k."""
+    scored = cands.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.round(cosine(F.col(vec_col), F.col("q_emb")), 9).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -86,23 +119,10 @@ def ivf_topk(
     inside them.  ``query`` is a 1-row (q_emb) DataFrame — no literal
     vectors, no driver collect anywhere in the plan."""
     assigned = ivf_assign(df, id_col, vec_col, centroids)
-    probe = (
-        query.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col("centroid_id").alias("cluster_id"),
-            F.round(cosine(F.col("q_emb"), F.col("centroid_vec")), 9).alias("c_sim"),
-        )
-        .orderBy(F.col("c_sim").desc(), F.col("cluster_id").asc())
-        .limit(n_probe)
-        .select("cluster_id")
+    cands = assigned.join(
+        F.broadcast(_probe_frame(centroids, query, n_probe)), "cluster_id"
     )
-    cands = assigned.join(F.broadcast(probe), "cluster_id")
-    scored = cands.crossJoin(F.broadcast(query)).select(
-        F.col(id_col),
-        F.col("cluster_id"),
-        F.round(cosine(F.col(vec_col), F.col("q_emb")), 9).alias("cos_sim"),
-    )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+    return _exact_cos_topk(cands, id_col, vec_col, query, k)
 
 
 def ivf_probe_clusters(
@@ -114,17 +134,9 @@ def ivf_probe_clusters(
     serving node picks probe lists at request-build time; the resulting
     ids parameterize a STATIC partition filter over the cluster-
     partitioned store (see :func:`ivf_topk_from_assigned`)."""
-    rows = (
-        query.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col("centroid_id").alias("cluster_id"),
-            F.round(cosine(F.col("q_emb"), F.col("centroid_vec")), 9).alias("c_sim"),
-        )
-        .orderBy(F.col("c_sim").desc(), F.col("cluster_id").asc())
-        .limit(n_probe)
-        .collect()
-    )
-    return [r.cluster_id for r in rows]
+    return [
+        r.cluster_id for r in _probe_frame(centroids, query, n_probe).collect()
+    ]
 
 
 def ivf_topk_from_assigned(
@@ -142,12 +154,7 @@ def ivf_topk_from_assigned(
     the inverted-file pruning claim made plan-checkable
     (tests/test_plans.py pins the PartitionFilters)."""
     cands = assigned.filter(F.col("cluster_id").isin(*probe_clusters))
-    scored = cands.crossJoin(F.broadcast(query)).select(
-        F.col(id_col),
-        F.col("cluster_id"),
-        F.round(cosine(F.col(vec_col), F.col("q_emb")), 9).alias("cos_sim"),
-    )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+    return _exact_cos_topk(cands, id_col, vec_col, query, k)
 
 
 def bucketed_ann_topk(

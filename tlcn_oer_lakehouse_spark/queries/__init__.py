@@ -32,10 +32,12 @@ _MODULES = (
 # "vintage").  CORRECTNESS_r06 was 50/50 green, completing the union:
 # all 194 round-6 registry queries have driver-proven rows.  The
 # vintage drives the rank-3 ordering below so each round's spare window
-# slots refresh the OLDEST driver rows first (round-7 goal: no r1-r3
-# vintage rows remain after this window).  Queries whose builder code
-# changed materially in round 7 AFTER their green row re-enter the
-# window via _REVERIFY_FIRST (green-set policy).
+# slots refresh the OLDEST driver rows first.  Round-7 window budget:
+# 5 re-verifies + 4 new queries + 41 rank-3 slots = all 13 r1 rows and
+# 28 of 29 r2 rows refresh THIS round; the remaining r2 row and the 18
+# r3 rows are the oldest vintage left for the round-8 window.  Queries
+# whose builder code changed materially in round 7 AFTER their green
+# row re-enter the window via _REVERIFY_FIRST (green-set policy).
 _GREEN_VINTAGE: dict[int, frozenset[str]] = {
     1: frozenset({
         "a5_distinct_dedup", "a_column_profile", "a_exact_percentile",
@@ -150,12 +152,16 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   rag_serve Q5/Q6 tail extracted into the shared _pack_context
 #   (result-identical; the ANN variant reuses it):
 #     rag_serve_e2e
+#   ivf_topk refactored onto the shared _probe_frame/_exact_cos_topk
+#   helpers (result-identical; oracle text byte-identical):
+#     ann_ivf_topk
 _REVERIFY_FIRST = (
     "a_hll_sketch",
     "a_kmv_set_ops",
     "mm_mp4_frames",
     "td_exact_substring_dedup",
     "rag_serve_e2e",
+    "ann_ivf_topk",
 )
 
 

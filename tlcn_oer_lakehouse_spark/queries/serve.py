@@ -332,7 +332,8 @@ ORDER BY serve_score DESC, doc_id ASC
 
 def _rag_serve_ann_sql() -> str:
     """DuckDB replica of the ANN serve plan: bm25 core → IVF candidate
-    generation (same assignment/probe SQL as the green ann_ivf_topk) →
+    generation (the SHARED ``_ivf_sql_core`` — the same
+    assignment/probe SQL text ann_ivf_topk runs, by construction) →
     exact union re-rank → the RAG_SERVE tail."""
     from tlcn_oer_lakehouse_spark.queries.retrieval import (
         _bm25_sql_core,
@@ -340,36 +341,17 @@ def _rag_serve_ann_sql() -> str:
         _COS_NORM_A,
         _COS_NORM_Q,
     )
-    from tlcn_oer_lakehouse_spark.queries.vectorops import _cos_sql
+    from tlcn_oer_lakehouse_spark.queries.vectorops import (
+        _cos_sql,
+        _ivf_sql_core,
+    )
 
     cos_q = f"({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q}))"
     return f"""
 WITH {_bm25_sql_core().strip()},
-q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-centroids AS (
-  SELECT vec_id AS centroid_id, embedding AS centroid_vec
-  FROM embeddings WHERE vec_id BETWEEN 100 AND 107
-),
+{_ivf_sql_core(ANN_NPROBE)},
 lex_k AS (
   SELECT doc_id FROM bm25 ORDER BY bm25_raw DESC, doc_id ASC LIMIT {ANN_CAND_K}
-),
-assigned AS (
-  SELECT vec_id, embedding, centroid_id AS cluster_id
-  FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round({_cos_sql('e.embedding', 'c.centroid_vec')}, 9) DESC,
-                      c.centroid_id ASC) AS rn
-    FROM embeddings e CROSS JOIN centroids c
-    WHERE e.vec_id != 0
-  ) WHERE rn = 1
-),
-probe AS (
-  SELECT centroid_id AS cluster_id
-  FROM centroids, q
-  ORDER BY round({_cos_sql('centroid_vec', 'q_emb')}, 9) DESC, centroid_id ASC
-  LIMIT {ANN_NPROBE}
 ),
 vec_k AS (
   SELECT vec_id AS doc_id

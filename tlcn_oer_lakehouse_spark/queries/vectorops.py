@@ -186,8 +186,14 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(corpus, "vec_id", "embedding", centroids, query, k=10, n_probe=2)
 
 
-ANN_IVF_SQL = f"""
-WITH centroids AS (
+def _ivf_sql_core(n_probe: int = 2) -> str:
+    """Shared DuckDB CTE chain for IVF — centroids, query vector,
+    argmax-cosine assignment, and the ``n_probe`` cluster probe.  ONE
+    copy for this module's ``ANN_IVF_SQL`` and the serve-path oracle
+    (``queries/serve.py:_rag_serve_ann_sql``), mirroring the
+    ``_bm25_sql_core``/``_fused_sql_core`` dedup convention: a
+    tie-break or rounding fix lands in both oracles or neither."""
+    return f"""centroids AS (
   SELECT vec_id AS centroid_id, embedding AS centroid_vec
   FROM embeddings WHERE vec_id BETWEEN 100 AND 107
 ),
@@ -208,8 +214,12 @@ probe AS (
   SELECT centroid_id AS cluster_id
   FROM centroids, q
   ORDER BY round({_cos_sql('centroid_vec', 'q_emb')}, 9) DESC, centroid_id ASC
-  LIMIT 2
-)
+  LIMIT {n_probe}
+)"""
+
+
+ANN_IVF_SQL = f"""
+WITH {_ivf_sql_core(2)}
 SELECT a.vec_id, a.cluster_id,
        round({_cos_sql('a.embedding', 'q_emb')}, 9) AS cos_sim
 FROM assigned a JOIN probe p ON a.cluster_id = p.cluster_id, q
