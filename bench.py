@@ -141,6 +141,20 @@ def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
         )
     except Exception as exc:  # noqa: BLE001
         out["contamination.err"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        from tlcn_oer_lakehouse_spark.queries.traindata import (
+            contamination_check_scalable,
+        )
+
+        # the Bloom-gated twin beside the ungated number, so the gate's
+        # crossover (overhead at small sf, win at sf>=1.0) stays visible
+        # in every round's BENCH record
+        out["contamination.bloom_gated"] = run(
+            "contamination_bloom", contamination_check_scalable(spark, sf_dir)
+        )
+        spark.catalog.clearCache()  # the gated builder persists its train set
+    except Exception as exc:  # noqa: BLE001
+        out["contamination.bloom_err"] = f"{type(exc).__name__}: {exc}"[:500]
     return out
 
 
