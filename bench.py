@@ -21,7 +21,13 @@ codegen + parquet-footer warmup) then ``RUNS`` timed repetitions;
 ``queries`` reports the per-query MEDIAN, ``queries_min`` the best
 case (closest to a quiet host), and ``value`` the sum of medians.
 Any persisted intermediates left by a builder are dropped between
-queries so repetitions don't accumulate executor-memory cache.
+repetitions (and between queries) so every timed rep pays its own
+cached stages — a persisting builder must not read warm while a
+non-persisting one reads cold.
+
+``calibration_sec`` (round 8+): a fixed single-stage scan-agg timed
+with the same protocol, so cross-round headline ratios can be deflated
+for host load in-band (see ``_calibration``).
 """
 
 from __future__ import annotations
@@ -55,6 +61,11 @@ def main() -> None:
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps: list[float] = []
             for _ in range(RUNS):
+                # drop any persisted intermediates the previous rep left
+                # (ADVICE r7: a builder that persists would otherwise pay
+                # its cached stage only on the warmup, biasing every
+                # timed rep low vs non-persisting builders)
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 reps.append(time.perf_counter() - t0)
@@ -74,6 +85,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         stages = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
+    # host-noise calibration (VERDICT r7 #4): a fixed single-stage
+    # scan-agg timed with the same median protocol.  The plan is
+    # untouched round-over-round, so the ratio of two rounds'
+    # calibration_sec deflates their headline totals in-band — the r7
+    # driver bench read ~1.36× high purely from host load and needed an
+    # out-of-band re-run to adjudicate.
+    try:
+        calibration = _calibration(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        calibration = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -84,12 +106,39 @@ def main() -> None:
         "queries": timings,
         "queries_min": minimums,
         "stages": stages,
+        "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
     spark.stop()
+
+
+def _calibration(spark, sf_dir: str) -> float:
+    """Median time of a canonical single-stage scan-agg over lineitem —
+    a fixed workload whose only round-over-round variable is the host.
+    Divide two rounds' headline totals by the ratio of their
+    calibration_sec values to compare them on a common footing."""
+    from pyspark.sql import functions as F
+
+    def plan():
+        return (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    plan().write.format("noop").mode("overwrite").save()  # warmup
+    reps = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        plan().write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    return round(reps[len(reps) // 2], 4)
 
 
 def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
@@ -136,6 +185,7 @@ def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
     except Exception as exc:  # noqa: BLE001
         out["minhash.err"] = f"{type(exc).__name__}: {exc}"[:500]
     try:
+        spark.catalog.clearCache()  # cold start: train agg pays inside the timer
         out["contamination.full"] = run(
             "contamination", contamination_check(spark, sf_dir)
         )
@@ -148,7 +198,12 @@ def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
 
         # the Bloom-gated twin beside the ungated number, so the gate's
         # crossover (overhead at small sf, win at sf>=1.0) stays visible
-        # in every round's BENCH record
+        # in every round's BENCH record.  Plan construction is lazy
+        # (static-bound Bloom sizing, ADVICE r7) and the cache is cleared
+        # first, so BOTH variants pay their train-side aggregation inside
+        # the timed write — the r7 numbers let the gated side reuse a
+        # train set cached at build time, understating its cost.
+        spark.catalog.clearCache()
         out["contamination.bloom_gated"] = run(
             "contamination_bloom", contamination_check_scalable(spark, sf_dir)
         )

@@ -98,7 +98,13 @@ def _normalize(rows, cols):
 def compare(spark, sf_dir: str, spec) -> tuple[bool, str]:
     sdf = spec.builder(spark, sf_dir)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # builders that persist multiply-referenced frames (medallion,
+        # dedup, contamination) must not accumulate cache across a
+        # multi-query sweep (ADVICE r7)
+        spark.catalog.clearCache()
 
     if spec.oracle is None:
         return (True, f"rows-only: {len(s_rows)} rows")

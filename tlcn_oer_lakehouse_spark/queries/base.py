@@ -60,6 +60,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Row count of a table from its parquet FOOTER — a driver-side
+    metadata read, no Spark job.  Used where a plan needs a static size
+    bound (e.g. Bloom bitset width) without an eager action at plan
+    construction time.  Handles both a single file and a directory of
+    part files; returns 0 if the footer can't be read (callers treat
+    that as "use the floor")."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — sizing hint only, never fatal
+        return 0
+
+
 def prefix_sum_partitions(spark: SparkSession) -> int:
     """Partition count for the two-phase distributed prefix sum
     (range-partition → per-partition window → broadcast offsets).

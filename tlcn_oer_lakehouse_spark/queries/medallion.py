@@ -151,7 +151,13 @@ def _bronze_fixture(docs: DataFrame) -> DataFrame:
 def medallion_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """Bronze JSON → U1 normalize → W1 latest-wins → J1/P3 change
     detection → K1 merge → O6 asset explode → J4/K2 stale-asset delete
-    → gold coverage fact, as one plan over the production stages."""
+    → gold coverage fact, as one plan over the production stages.
+
+    NOTE: persists two multiply-referenced frames (the prior silver
+    state and the deduped batch — tables in production).  Sweeping
+    callers clear the cache after the consuming action (bench.py per
+    rep, oracle_harness/driver_sim per query); a one-shot caller can
+    simply let session teardown drop them."""
     bron = _bronze_fixture(load(spark, sf, "documents"))
     parsed = bron.select(
         "v", F.from_json("payload", _BRONZE_SCHEMA).alias("r")

@@ -31,6 +31,7 @@ from tlcn_oer_lakehouse_spark.functions.text import shingles, token_count, token
 from tlcn_oer_lakehouse_spark.queries.base import (
     QuerySpec,
     load,
+    parquet_num_rows as _parquet_num_rows,
     prefix_sum_partitions,
 )
 
@@ -430,10 +431,14 @@ def contamination_check_scalable(spark: SparkSession, sf: str) -> DataFrame:
       feeds the Bloom build AND the confirm join);
     - the Bloom is a true bitset — k=3 xxhash64 positions per train
       shingle OR'd into 64-bit words (``bit_or`` over ``pos div 64``),
-      sized from the measured train cardinality at ~4.8 bits/key
-      (p≈10%) so it neither saturates at scale nor wastes broadcast
-      bytes: the word table is ~m/64 rows ≈ 2% of train-side count,
-      broadcast once;
+      sized at ~4.8 bits/key (p≈10%) from a STATIC cardinality bound
+      (documents parquet footer row count × measured ~45 distinct
+      train shingles/doc — no Spark job, so building this plan stays
+      lazy; r7 sized from ``train.count()``, which made every plan
+      construction run a full train aggregation and leak a persisted
+      frame).  Power-of-two rounding absorbs the bound's slack, and
+      mis-sizing only moves the fp rate — the exact confirm join keeps
+      the output bit-identical regardless;
     - the probe is THREE map-side broadcast hash joins (one per hash) —
       zero extra shuffle on the data-sized test stream; per-doc
       ``n_shingles`` comes from a map-combined doc-keyed count;
@@ -463,11 +468,15 @@ def contamination_check_scalable(spark: SparkSession, sf: str) -> DataFrame:
         .select("shingle")
         .persist()
     )
-    # size the bitset to the data: ~4.8 bits/key ≈ 10% fp at k=3.  The
-    # count is one scalar job over the persisted (bounded) train set —
-    # the same pattern as the k-means/k-core loop guards.
-    n_train = train.count()
-    mbits = 1 << max(18, (int(4.8 * max(n_train, 1)) - 1).bit_length())
+    # size the bitset to the data: ~4.8 bits/key ≈ 10% fp at k=3, with
+    # the key cardinality bounded statically from the parquet footer
+    # (driver-side metadata read, no Spark job — plan construction must
+    # stay lazy; callers are responsible for unpersisting `train` after
+    # the consuming action, or clearing the cache as bench.py does).
+    # 45 ≈ measured distinct 5-gram shingles/doc (≈50) × 0.8 train
+    # fraction × ~0.95 cross-doc dedup, stable across sf0.001–sf10.
+    n_train_bound = max(1, 45 * _parquet_num_rows(sf, "documents"))
+    mbits = 1 << max(18, (int(4.8 * n_train_bound) - 1).bit_length())
 
     def _pos(i: int) -> F.Column:
         return F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(mbits))

@@ -69,7 +69,10 @@ def norm_str(df: pd.DataFrame) -> list[tuple]:
 def check(spark, con, name: str, spec) -> dict:
     r: dict = {"name": name}
     sdf = spec.builder(spark, SF_DIR)
-    spd = sdf.toPandas()
+    try:
+        spd = sdf.toPandas()
+    finally:
+        spark.catalog.clearCache()  # persisting builders must not leak across a sweep
     r["spark_rows"] = len(spd)
     if spec.oracle is None:
         r["status"] = "no_oracle"
