@@ -229,3 +229,134 @@ def test_changes_stream_tails_the_feed(spark, tmp_path):
     q.awaitTermination(120)
     v_del = t._head_version()
     assert sorted(seen) == [(v_del, "delete", 3, "c")]
+
+
+def test_gold_fact_maintained_from_silver_cdf_scans_only_delta(spark, tmp_path):
+    """medallion_incremental's real-table twin: fact_source_coverage is
+    delta-maintained from the SILVER TABLES' change feeds and lands
+    exactly on a full recompute — and the maintenance plan provably
+    never rescans the silver snapshots: its inputFiles are the stored
+    gold fact plus the commits' _changes logs ONLY.  This is the
+    O(delta) gold-refresh plan pin VERDICT r7 #3 asks for."""
+    from tlcn_oer_lakehouse_spark.pipelines.medallion import (
+        SilverWarehouse,
+        run_silver,
+    )
+
+    def bronze(rows):
+        return spark.createDataFrame(
+            rows,
+            "id string, title string, url string, scraped_at string, "
+            "source string, pdf_paths array<string>",
+        )
+
+    dec = "decimal(18,9)"
+
+    def fact_frame(res, docs):
+        """The stored-fact shape: FOLDABLE measures (counts + exact
+        decimal quality sum), ratios derived downstream."""
+        r = res.groupBy("source_system").agg(
+            F.count(F.lit(1)).alias("total_resources"),
+            F.sum(F.when(F.col("has_assets"), 1).otherwise(0)).alias(
+                "resources_with_assets"
+            ),
+            F.sum(F.col("data_quality_score").cast(dec)).alias("sum_quality"),
+        )
+        d = docs.groupBy("source_system").agg(
+            F.count(F.lit(1)).alias("total_documents")
+        )
+        return r.join(d, "source_system", "full_outer")
+
+    root = str(tmp_path / "wh")
+    b1 = bronze([
+        ("A", "Alpha", "https://ocw.mit.edu/courses/a",
+         "2024-01-01 00:00:00", "MIT OCW", ["files/a_0.pdf", "files/a_1.pdf"]),
+        ("B", "Beta", "https://openstax.org/books/b",
+         "2024-01-01 00:00:00", None, ["files/b_0.pdf"]),
+        ("C", "Gamma", "https://example.edu/resources/c",
+         "2024-01-01 00:00:00", None, []),
+    ])
+    run_silver(spark, b1, root)
+    wh = SilverWarehouse(spark, root)
+    v_res, v_doc = wh.resources._head_version(), wh.documents._head_version()
+
+    fact_path = str(tmp_path / "gold_fact")
+    fact_frame(wh.resources.read(), wh.documents.read()).write.parquet(fact_path)
+
+    # one incremental batch: A updated (loses asset a_1), B re-sent
+    # verbatim — identical fingerprint AND identical scraped_at (the
+    # resources table's ts_col treats a NEWER timestamp as a change, per
+    # the reference's predicate) -> must contribute NOTHING, D inserted
+    # with two assets
+    b2 = bronze([
+        ("A", "Alpha v2", "https://ocw.mit.edu/courses/a",
+         "2024-02-01 00:00:00", "MIT OCW", ["files/a_0.pdf"]),
+        ("B", "Beta", "https://openstax.org/books/b",
+         "2024-01-01 00:00:00", None, ["files/b_0.pdf"]),
+        ("D", "Delta", "https://open.umn.edu/opentextbooks/d",
+         "2024-02-01 00:00:00", None, ["files/d_0.pdf", "files/d_1.pdf"]),
+    ])
+    stats = run_silver(spark, b2, root)
+    assert stats == {
+        "resources_upserted": 2,  # A update + D insert; B is a no-op
+        "documents_upserted": 2,  # D's two assets
+        "documents_deleted": 1,   # A's stale a_1
+    }
+
+    def sign():
+        return F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+
+    stored = spark.read.parquet(fact_path)
+    d_res = wh.resources.read_changes(v_res).groupBy("source_system").agg(
+        F.sum(sign()).alias("d_resources"),
+        F.sum(F.when(F.col("has_assets"), sign()).otherwise(0)).alias(
+            "d_with_assets"
+        ),
+        F.sum(F.col("data_quality_score").cast(dec) * sign()).alias("d_quality"),
+    )
+    d_docs = wh.documents.read_changes(v_doc).groupBy("source_system").agg(
+        F.sum(sign()).alias("d_documents")
+    )
+
+    def out(df, total, wa, sq, nd):
+        return df.select(
+            "source_system",
+            total.alias("total_resources"),
+            wa.alias("resources_with_assets"),
+            nd.alias("total_documents"),
+            sq.cast("string").cast("double").alias("sum_quality"),
+        )
+
+    z, zdec = F.lit(0), F.lit(0).cast(dec)
+    maintained = out(
+        stored.join(d_res, "source_system", "full_outer")
+        .join(d_docs, "source_system", "full_outer"),
+        F.coalesce(F.col("total_resources"), z) + F.coalesce(F.col("d_resources"), z),
+        F.coalesce(F.col("resources_with_assets"), z)
+        + F.coalesce(F.col("d_with_assets"), z),
+        F.coalesce(F.col("sum_quality"), zdec) + F.coalesce(F.col("d_quality"), zdec),
+        F.coalesce(F.col("total_documents"), z) + F.coalesce(F.col("d_documents"), z),
+    )
+
+    # THE PIN: the maintenance plan reads the stored fact and the
+    # change logs — never a silver snapshot data file
+    files = maintained.inputFiles()
+    assert files, "maintenance plan reports no input files"
+    bad = [
+        f for f in files
+        if "/_changes/" not in f and "/gold_fact/" not in f
+    ]
+    assert not bad, f"maintenance plan rescans non-delta files: {bad}"
+
+    recomputed = out(
+        fact_frame(wh.resources.read(), wh.documents.read()),
+        F.col("total_resources"),
+        F.col("resources_with_assets"),
+        F.col("sum_quality"),
+        F.coalesce(F.col("total_documents"), F.lit(0)),
+    )
+    m = sorted(tuple(r) for r in maintained.collect())
+    r = sorted(tuple(r) for r in recomputed.collect())
+    assert m == r

@@ -251,6 +251,18 @@ def test_medallion_e2e_exchange_budget(spark):
     assert audit.exchange_count(df) <= 34
 
 
+def test_medallion_incremental_exchange_budget(spark):
+    """The O(delta) gold-maintenance plan must stay CHEAPER than the
+    full lifecycle recompute: the static census (counting each persisted
+    frame's derivation per reference, as above) is bounded well under
+    medallion_e2e's 34 — the delta fold adds only the CDF-shaped unions
+    and O(#source_systems) aggregate/join stages.  The real-table twin
+    additionally pins via inputFiles that maintenance reads ONLY the
+    stored fact + _changes logs (test_cdf.py)."""
+    df = _build(spark, "medallion_incremental")
+    assert audit.exchange_count(df) <= 16
+
+
 def test_exact_substring_keepone_is_combinable_aggregate(spark):
     """keep-one's canonical selection must stay a map-side-combinable
     aggregate (count + min(struct(doc_id,pos0)) per span hash).  The

@@ -240,8 +240,10 @@ def medallion_e2e(spark: SparkSession, sf: str) -> DataFrame:
 # The oracle computes the SAME records directly (the JSON hop is value
 # identity) and replays every lifecycle stage in SQL.  Multi-referenced
 # CTEs are MATERIALIZED — DuckDB re-inlines them otherwise (the r6
-# sf1.0 disk-bomb finding).
-MEDALLION_E2E_SQL = """
+# sf1.0 disk-bomb finding).  The fixture + lifecycle CTEs are shared
+# with the incremental-maintenance oracle below, whose correctness
+# property is precisely "fold(delta) ≡ this full recompute".
+_ORACLE_LIFECYCLE_CTES = """
 WITH recs AS MATERIALIZED (
   SELECT v, doc_id, text, n_chars,
          CASE WHEN v > 0 AND doc_id % 11 = 0 THEN 0 ELSE v END AS cv
@@ -331,7 +333,10 @@ final_docs AS (
   WHERE resource_uid NOT IN (SELECT resource_uid FROM incoming)
   UNION ALL
   SELECT * FROM docs_new
-),
+)"""
+
+
+MEDALLION_E2E_SQL = _ORACLE_LIFECYCLE_CTES + """,
 res_g AS (
   SELECT source_system,
          COUNT(*) AS total_resources,
@@ -356,6 +361,158 @@ ORDER BY r.source_system
 """
 
 
+def medallion_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """O(delta) gold maintenance — the 100 TB daily-pipeline story for
+    the coverage fact.  ``medallion_e2e`` (and the reference's
+    ``gold_analytics.py:776-805``) full-recomputes gold from silver on
+    every run; here the stored ``fact_source_coverage`` is instead
+    UPDATED by folding one silver commit's change feed — the exact rows
+    ``ParquetMergeTable`` logs at write time and replays via
+    ``read_changes`` (sinks/merge.py:343):
+
+    - resources: ``changed_rows`` (inserts ∪ update postimages, sign +1)
+      and their existing preimages (sign −1);
+    - documents: inserted assets (+1) and stale-asset deletes (−1) —
+      the two change types that move a count-only measure (update
+      pre/post pairs cancel exactly and are elided).
+
+    The maintenance pass therefore touches O(changed rows), never the
+    full silver table; the old fact is two aggregates over the prior
+    state, standing in for the stored gold table scan (tiny: one row
+    per source system).  All measures fold exactly — counts in bigint,
+    quality sums in DECIMAL(18,9) (order-independent addition) with the
+    string-hop double cast shared with ``medallion_e2e``.
+
+    The oracle recomputes the fact FROM THE FULLY MERGED STATE (shared
+    ``_ORACLE_LIFECYCLE_CTES``), so a driver hash green is the IVM
+    correctness property itself: fold(old_fact, delta) ≡
+    full_recompute(merge(old_state, batch)).  The real-table twin with
+    a files-scanned pin lives in test_cdf.py (the maintenance plan must
+    read only the commit's changes directory, not the snapshot).
+
+    Persists the same two multiply-referenced frames as
+    ``medallion_e2e`` — see its NOTE on cache hygiene."""
+    bron = _bronze_fixture(load(spark, sf, "documents"))
+    parsed = bron.select(
+        "v", F.from_json("payload", _BRONZE_SCHEMA).alias("r")
+    ).select("v", "r.*")
+    existing = normalize_bronze(parsed.filter(F.col("v") == 0).drop("v")).persist()
+    normalized = latest_wins(
+        normalize_bronze(parsed.filter(F.col("v") > 0).drop("v")),
+        "resource_uid",
+        ["scraped_at"],
+    ).persist()
+
+    dec = "decimal(18,9)"
+    # --- the stored fact (prior gold state; one row per source system)
+    docs_old = explode_documents(existing)
+    old_res = existing.groupBy("source_system").agg(
+        F.count(F.lit(1)).alias("total_resources"),
+        F.sum(F.when(F.col("has_assets"), 1).otherwise(0)).alias(
+            "resources_with_assets"
+        ),
+        F.sum(F.col("data_quality_score").cast(dec)).alias("sum_quality"),
+    )
+    old_docs = docs_old.groupBy("source_system").agg(
+        F.count(F.lit(1)).alias("total_documents")
+    )
+    old_fact = old_res.join(old_docs, "source_system", "full_outer")
+
+    # --- one commit's change feed (what merge_upsert/merge_delete log)
+    changed = changed_rows(normalized, existing, "resource_uid")
+    pre = existing.join(
+        changed.select("resource_uid"), "resource_uid", "leftsemi"
+    )
+    sign = F.col("sign")
+    res_cdf = changed.select(
+        "source_system", "has_assets", "data_quality_score",
+        F.lit(1).alias("sign"),
+    ).unionByName(
+        pre.select(
+            "source_system", "has_assets", "data_quality_score",
+            F.lit(-1).alias("sign"),
+        )
+    )
+    d_res = res_cdf.groupBy("source_system").agg(
+        F.sum(sign).alias("d_resources"),
+        F.sum(F.when(F.col("has_assets"), sign).otherwise(0)).alias(
+            "d_with_assets"
+        ),
+        F.sum(F.col("data_quality_score").cast(dec) * sign).alias("d_quality"),
+    )
+
+    docs_new = explode_documents(normalized)
+    changed_docs = changed_rows(docs_new, docs_old, "asset_uid")
+    inserted_docs = changed_docs.join(
+        docs_old.select("asset_uid"), "asset_uid", "left_anti"
+    )
+    deleted_docs = docs_old.join(
+        normalized.select("resource_uid"), "resource_uid", "leftsemi"
+    ).join(docs_new.select("asset_uid"), "asset_uid", "left_anti")
+    doc_cdf = inserted_docs.select(
+        "source_system", F.lit(1).alias("sign")
+    ).unionByName(deleted_docs.select("source_system", F.lit(-1).alias("sign")))
+    d_docs = doc_cdf.groupBy("source_system").agg(
+        F.sum(sign).alias("d_documents")
+    )
+
+    # --- fold: new_fact = old_fact ⊕ delta (O(#source systems) rows)
+    zero = F.lit(0)
+    zdec = F.lit(0).cast(dec)
+    total = (
+        F.coalesce(F.col("total_resources"), zero)
+        + F.coalesce(F.col("d_resources"), zero)
+    )
+    with_assets = (
+        F.coalesce(F.col("resources_with_assets"), zero)
+        + F.coalesce(F.col("d_with_assets"), zero)
+    )
+    sum_q = F.coalesce(F.col("sum_quality"), zdec) + F.coalesce(
+        F.col("d_quality"), zdec
+    )
+    n_docs = (
+        F.coalesce(F.col("total_documents"), zero)
+        + F.coalesce(F.col("d_documents"), zero)
+    )
+    return (
+        old_fact.join(d_res, "source_system", "full_outer")
+        .join(d_docs, "source_system", "full_outer")
+        .select(
+            "source_system",
+            total.alias("total_resources"),
+            with_assets.alias("resources_with_assets"),
+            F.round(with_assets * 100.0 / total, 9).alias("coverage_pct"),
+            n_docs.alias("total_documents"),
+            F.round(
+                sum_q.cast("string").cast("double") / total, 9
+            ).alias("avg_quality"),
+        )
+        .orderBy("source_system")
+    )
+
+
+# Full recompute over the merged state — deliberately NOT an incremental
+# fold: the hash green proves the Spark-side O(delta) maintenance lands
+# on exactly the state a from-scratch rebuild would produce.
+MEDALLION_INCREMENTAL_SQL = _ORACLE_LIFECYCLE_CTES + """,
+res_g AS (
+  SELECT source_system,
+         COUNT(*) AS total_resources,
+         CAST(SUM(CASE WHEN has_assets THEN 1 ELSE 0 END) AS BIGINT) AS resources_with_assets,
+         SUM(CAST(CAST(quality AS VARCHAR) AS DECIMAL(18,9))) AS sum_quality_dec
+  FROM merged GROUP BY source_system
+),
+doc_g AS (SELECT source_system, COUNT(*) AS total_documents FROM final_docs GROUP BY source_system)
+SELECT r.source_system, r.total_resources, r.resources_with_assets,
+       round(r.resources_with_assets * CAST(100.0 AS DOUBLE) / r.total_resources, 9) AS coverage_pct,
+       COALESCE(d.total_documents, 0) AS total_documents,
+       round(CAST(CAST(r.sum_quality_dec AS VARCHAR) AS DOUBLE) / r.total_resources, 9) AS avg_quality
+FROM res_g r
+LEFT JOIN doc_g d USING (source_system)
+ORDER BY r.source_system
+"""
+
+
 SPECS = [
     QuerySpec(
         "medallion_e2e", medallion_e2e, MEDALLION_E2E_SQL,
@@ -365,5 +522,16 @@ SPECS = [
             "over pipelines/medallion.py + operators/incremental.py stages",
         doc="the medallion bronze→silver→gold lifecycle end-to-end",
         tags=("lakehouse", "pipeline", "bench"),
+    ),
+    QuerySpec(
+        "medallion_incremental", medallion_incremental,
+        MEDALLION_INCREMENTAL_SQL,
+        ref="gold_analytics.py:776-805 full-refreshes gold each run; this "
+            "is the O(delta) replacement — fold one silver commit's change "
+            "feed (sinks/merge.py:343 read_changes shape) into the stored "
+            "fact; oracle = full recompute over the merged state (IVM "
+            "correctness property)",
+        doc="gold coverage fact maintained by folding a silver CDF batch",
+        tags=("lakehouse", "pipeline"),
     ),
 ]
