@@ -623,10 +623,12 @@ def test_silver_ingest_stream_equals_batch(spark, tmp_path):
     """The medallion silver lifecycle as streaming ingest: two bronze
     micro-batches (initial scrape, then a rescrape with an update, an
     insert, a content-identical re-send, and a shrunk asset set) must
-    land the SAME silver content as a one-shot batch run over the union
-    — the only permitted divergence is the re-send row's bookkeeping
-    scraped_at (change detection deliberately skips fingerprint-equal
-    rows, so the stream keeps the first admitted copy's timestamp)."""
+    land the SAME silver content as a one-shot batch run over the union.
+    Timestamps are excluded from the comparison only as a guard against
+    batch-boundary ordering effects; for ts-ascending re-sends the two
+    actually converge on scraped_at too (the ts_col predicate admits a
+    fingerprint-equal newer-ts row as a bookkeeping update — pinned in
+    test_silver_ingest_replay_is_idempotent)."""
     import shutil
 
     from pyspark.sql.types import _parse_datatype_string
@@ -694,3 +696,83 @@ def test_silver_ingest_stream_equals_batch(spark, tmp_path):
     docs = spark.read.parquet(f"{tmp_path}/wh_stream/oer_documents")
     assert sorted(r.asset_path for r in docs.collect()) == ["f/1_0.pdf", "f/2_0.pdf"]
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_silver_ingest_replay_is_idempotent(spark, tmp_path):
+    """At-least-once safety of the streaming silver twin (VERDICT r7
+    #6): re-delivering ALREADY-PROCESSED landing files through a fresh
+    checkpoint must be a complete no-op — the fingerprint no-op merge
+    (plus the ts-not-strictly-newer guard) absorbs the replay: zero new
+    commits on either table and a byte-identical silver state,
+    including the fingerprint-equal re-send whose bookkeeping
+    scraped_at was already advanced when its batch first landed."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from tlcn_oer_lakehouse_spark.pipelines.medallion import SilverWarehouse
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        landing_stream,
+        silver_ingest,
+    )
+
+    schema_str = (
+        "id string, title string, url string, description string, "
+        "language string, scraped_at string, pdf_paths array<string>"
+    )
+    b1 = [
+        ("r1", "Alpha v0", "https://ocw.mit.edu/c/1", "d" * 100, "en",
+         "2024-01-01 00:00:00", ["f/1_0.pdf", "f/1_1.pdf"]),
+        ("r2", "Beta v0", "https://openstax.org/b/2", None, "vi",
+         "2024-01-02 00:00:00", ["f/2_0.pdf"]),
+    ]
+    b2 = [
+        ("r1", "Alpha v1", "https://ocw.mit.edu/c/1", "d" * 100, "en",
+         "2024-06-01 00:00:00", ["f/1_0.pdf"]),
+        ("r2", "Beta v0", "https://openstax.org/b/2", None, "vi",
+         "2024-06-02 00:00:00", ["f/2_0.pdf"]),  # fp-equal re-send
+        ("r3", "Gamma v0", "https://open.umn.edu/t/3", None, "en",
+         "2024-06-03 00:00:00", []),
+    ]
+    landing = str(tmp_path / "landing")
+    wh_root = str(tmp_path / "wh")
+    schema = _parse_datatype_string(schema_str)
+
+    def ingest(ckpt: str):
+        q = silver_ingest(
+            landing_stream(spark, f"{landing}/*", schema),
+            wh_root,
+            str(tmp_path / ckpt),
+        )
+        assert q.awaitTermination(300)
+
+    spark.createDataFrame(b1, schema_str).coalesce(1).write.parquet(f"{landing}/b1")
+    ingest("ckpt0")
+    spark.createDataFrame(b2, schema_str).coalesce(1).write.parquet(f"{landing}/b2")
+    ingest("ckpt0")
+
+    wh = SilverWarehouse(spark, wh_root)
+
+    def state():
+        res = sorted(map(str, wh.resources.read().collect()))
+        docs = sorted(map(str, wh.documents.read().collect()))
+        return res, docs
+
+    v_res0, v_doc0 = wh.resources._head_version(), wh.documents._head_version()
+    full0 = state()
+    # the re-send already advanced its bookkeeping ts when b2 landed
+    # (ts-strictly-newer counts as a change on the ts_col table), so
+    # the stored state is a replay fixpoint
+    r2_ts = {
+        r.resource_id: str(r.scraped_at)
+        for r in wh.resources.read().collect()
+    }["r2"]
+    assert r2_ts == "2024-06-02 00:00:00"
+
+    # two replays, each from a fresh checkpoint re-delivering b1 ∪ b2
+    # as one availableNow batch: latest-wins inside the batch reproduces
+    # the converged rows, fingerprint/ts change detection admits none —
+    # zero commits anywhere, byte-identical tables
+    for ckpt in ("ckpt_replay1", "ckpt_replay2"):
+        ingest(ckpt)
+        assert state() == full0, ckpt
+        assert wh.resources._head_version() == v_res0, ckpt
+        assert wh.documents._head_version() == v_doc0, ckpt

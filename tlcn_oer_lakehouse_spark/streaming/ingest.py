@@ -81,12 +81,14 @@ def silver_ingest(
     stream-equals-batch proof.
 
     Semantics note (pinned in tests/test_streaming.py): the final
-    silver CONTENT is batch-identical — the one permitted divergence is
-    the bookkeeping timestamp of fingerprint-equal re-sends, which
-    change detection deliberately skips (the stream keeps the first
-    admitted copy's scraped_at; a one-shot batch over the union keeps
-    the latest), exactly the documented ingest semantics of
-    ``corpus_prep_ingest``."""
+    silver CONTENT is batch-identical.  A fingerprint-equal re-send
+    with a strictly newer scraped_at IS admitted as a bookkeeping
+    update (the resources table's ts_col predicate — reference
+    semantics), so stream and one-shot batch converge on timestamps
+    too when re-sends arrive ts-ascending; a re-send at an older/equal
+    ts is skipped by both.  Replaying already-processed landing files
+    from a fresh checkpoint is a complete no-op — zero commits,
+    byte-identical tables (``test_silver_ingest_replay_is_idempotent``)."""
     from tlcn_oer_lakehouse_spark.pipelines.medallion import run_silver
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
