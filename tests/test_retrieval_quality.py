@@ -184,3 +184,62 @@ def test_rag_serve_ann_recall_vs_dense(spark):
     assert len(dense) == 10 and len(ann) == 10
     shared = set(dense) & set(ann)
     assert len(shared) / len(dense) >= 0.8, (sorted(dense), sorted(ann))
+
+
+def test_ivf_recall_on_structured_embeddings(spark, tmp_path):
+    """IVF recall measured on the planted-neighbor corpus (VERDICT r7
+    #7): tools/gen_testdata.py embeddings now carry topic-correlated
+    planted subgroups (a vector's exact top-k IS its ~12-member
+    subgroup, nested inside one coarse topic), so recall@10 measures
+    whether the INDEX reaches the planted neighbors — not the noise
+    floor that capped the r7 vector-branch numbers on iid-noise
+    vectors.  Sweep n_probe 1→3 over 10 query vectors with the
+    production ``ivf_topk`` operator (8 sampled-vector centroids, the
+    ann_ivf configuration): recall must be ≥0.9 at the n_probe=2
+    operating point and monotone non-decreasing in n_probe.  Exact
+    ground truth is computed engine-independently in numpy."""
+    import numpy as np
+
+    from tools.gen_testdata import gen
+    from tlcn_oer_lakehouse_spark.operators.similarity import ivf_topk
+
+    out = str(tmp_path / "corpus")
+    gen(0.01, out)
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    vecs = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    assert len(ids) == 200
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -2.0)
+
+    q_ids = list(range(0, 200, 20))  # 10 query vectors
+    truth = {
+        q: set(ids[np.argsort(-sims[q])[:10]].tolist()) for q in q_ids
+    }
+
+    centroids = emb.filter(F.col("vec_id").between(100, 107)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    sweep = {}
+    for n_probe in (1, 2, 3):
+        recalls = []
+        for q in q_ids:
+            query = emb.filter(F.col("vec_id") == q).select(
+                F.col("embedding").alias("q_emb")
+            )
+            got = {
+                r.vec_id
+                for r in ivf_topk(
+                    emb.filter(F.col("vec_id") != q), "vec_id", "embedding",
+                    centroids, query, k=10, n_probe=n_probe,
+                ).collect()
+            }
+            recalls.append(len(got & truth[q]) / 10.0)
+        sweep[n_probe] = sum(recalls) / len(recalls)
+
+    assert sweep[1] <= sweep[2] + 1e-9 and sweep[2] <= sweep[3] + 1e-9, sweep
+    assert sweep[2] >= 0.9, sweep

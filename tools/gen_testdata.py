@@ -44,7 +44,12 @@ PRIO = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 STATUS = ("F", "O", "P")
 PTYPES = ("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
 PNAME_ADJ = ("large", "hot", "blue", "old", "cold", "small", "dark", "new")
-PNAME_NOUN = ("ring", "bolt", "plate", "case", "wheel", "box", "cap", "rod")
+# includes "widget": the driver corpus has widget-named parts, and
+# without them q9's p_name filter matches ZERO local rows — the r8 sf10
+# sweep first ran q9 as a vacuous 0-row probe (parity-green but
+# join-stress-free) before this was caught
+PNAME_NOUN = ("ring", "bolt", "plate", "case", "wheel", "box", "cap",
+              "rod", "widget", "gear")
 ETYPES = ("click", "error", "purchase", "signup", "view")
 DAY_US = 86_400_000_000
 
@@ -142,7 +147,14 @@ def gen(sf: float, out: str) -> None:
     l_linenumber = (
         np.arange(n_li, dtype=np.int64) - np.repeat(order_starts, nlines) + 1
     ).astype(np.int32)
-    ship_off = rng.integers(1, 95, n_li)  # ship 1-94 days after order date
+    # ship lag: mostly 1-94 days, plus a ~2% multi-year late tail.  The
+    # driver corpus has ship-lags out to ~2400 days; without the tail
+    # q21's late-shipper predicate (lag > 365) is VACUOUSLY empty at
+    # every local sf — the first r8 sf10 sweep ran q21 as a 0-row
+    # "probe" that exercised none of its three self-join legs.
+    ship_off = rng.integers(1, 95, n_li)
+    late_mask = rng.random(n_li) < 0.02
+    ship_off = np.where(late_mask, rng.integers(366, 2400, n_li), ship_off)
     w("lineitem", pa.table({
         "l_orderkey": pa.array(l_orderkey, pa.int64()),
         "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
@@ -199,7 +211,8 @@ def gen(sf: float, out: str) -> None:
     # have distinct content words; without this every doc shares one token
     # distribution and distribution-similarity near-dup measures like
     # SimHash correctly — but uselessly — flag most pairs)
-    doc_offset = np.repeat(rng.integers(0, n_tail, n_doc), doc_len)
+    doc_topic_offset = rng.integers(0, n_tail, n_doc)  # reused for embeddings
+    doc_offset = np.repeat(doc_topic_offset, doc_len)
     is_tail = all_toks >= len(VOCAB)
     all_toks[is_tail] = (
         (all_toks[is_tail] - len(VOCAB) + doc_offset[is_tail]) % n_tail
@@ -241,16 +254,36 @@ def gen(sf: float, out: str) -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
-    # -- embeddings: 10 gaussian clusters in R^64 --------------------------
+    # -- embeddings: topic-correlated planted-neighbor structure -----------
+    # (round 8, VERDICT r7 #7).  vec_id i embeds document i; its topical
+    # identity is the document's tail-vocab rotation offset, so vector
+    # geometry is CORRELATED WITH DOC CONTENT.  Three scales:
+    #   coarse topic (10)   = subgroup // m        -> the IVF layer;
+    #   planted subgroup    = offset quantized to ~12-member groups ->
+    #       a vector's exact top-k IS its subgroup (cos ≈ .98 within,
+    #       ≈ .69 same-topic/other-group, ≈ 0 cross-topic); n_sub is a
+    #       multiple of 10 and topic = sub // m, so every planted
+    #       neighbor set nests inside exactly one coarse topic;
+    #   small iid noise     -> deterministic tie-breaks, nothing more.
+    # ANN recall now measures the INDEX (does probing reach the planted
+    # neighbors?), not a noise floor: the previous iid-noise-dominated
+    # vectors made every exact neighbor set an arbitrary noise direction,
+    # saturating recall@k near the random baseline regardless of index
+    # quality (the r7 rag_serve_ann vector branch read 0.56@100).
+    m_sub = max(2, n_emb // 120)
+    n_sub = 10 * m_sub
+    offs = doc_topic_offset[:n_emb].astype(np.int64)
+    sub = (offs * n_sub // n_tail).astype(np.int64)
+    topic = (sub // m_sub).astype(np.int32)
     centers = rng.normal(0.0, 0.12, (10, 64))
-    labels = rng.integers(0, 10, n_emb)
-    emb = (centers[labels] + rng.normal(0.0, 0.06, (n_emb, 64))).astype(
-        np.float32
-    )
+    subcenters = rng.normal(0.0, 0.08, (n_sub, 64))
+    emb = (
+        centers[topic] + subcenters[sub] + rng.normal(0.0, 0.02, (n_emb, 64))
+    ).astype(np.float32)
     w("embeddings", pa.table({
         "vec_id": pa.array(range(n_emb), pa.int64()),
         "embedding": pa.array(list(emb), pa.list_(pa.float32())),
-        "label": pa.array(labels, pa.int32()),
+        "label": pa.array(topic, pa.int32()),
     }))
 
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
