@@ -156,8 +156,24 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   exact confirm join filters out; output proven identical, but the
 #   changed plan needs a fresh driver row:
 #     td_contamination_scalable
+#   the minhash-family oracle SQL gained MATERIALIZED hints on its
+#   multi-referenced CTEs (sh/sigs/banded + pairs/edges + sh_rare):
+#   without them DuckDB re-inlines the whole minhash replay per
+#   reference — the r8 sf10 probe watched the dedup_clusters oracle
+#   spill 39 GB and the pagerank oracle 47 GB before either finished.
+#   Values identical (hints only), text changed → fresh rows:
+#     dedup_minhash_lsh, dedup_ngram_jaccard, dedup_soft_sample,
+#     dedup_clusters, dedup_clusters_star, dedup_recall_eval,
+#     g_pagerank
 _REVERIFY_FIRST = (
     "td_contamination_scalable",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_soft_sample",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_recall_eval",
+    "g_pagerank",
 )
 
 

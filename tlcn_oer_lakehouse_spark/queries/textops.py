@@ -71,10 +71,15 @@ corpus AS (
 )
 """
 
-# Distinct 3-gram shingle sets per document (DuckDB side).
+# Distinct 3-gram shingle sets per document (DuckDB side).  MATERIALIZED:
+# every consumer references `sh` at least twice (signatures + sizes +
+# verify joins) and DuckDB re-inlines non-materialized CTEs per
+# reference — the r8 sf10 probe watched the dedup_clusters oracle
+# replay this chain until it had spilled 39 GB (the same class the r6
+# sf1.0 sweep hit on the pagerank oracle).
 SHINGLES_SQL = """
 toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM corpus),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS shingle
   FROM (SELECT doc, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
 )
@@ -210,11 +215,11 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     return f"""
 WITH {CORPUS_SQL.strip()},
 {SHINGLES_SQL.strip()},
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT doc, {mins}
   FROM sh GROUP BY doc
 ),
-banded AS (
+banded AS MATERIALIZED (
 {band_selects}
 ),
 cand AS (
@@ -253,7 +258,7 @@ WITH {CORPUS_SQL.strip()},
 rare AS (
   SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
 ),
-sh_rare AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+sh_rare AS MATERIALIZED (SELECT sh.* FROM sh JOIN rare USING (shingle)),
 cand AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
   FROM sh_rare a JOIN sh_rare b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -400,8 +405,8 @@ def _soft_sample_oracle() -> str:
 
     return f"""
 WITH RECURSIVE {CORPUS_SQL.strip().lstrip()},
-pairs AS ({_minhash_oracle().strip()}),
-edges AS (
+pairs AS MATERIALIZED ({_minhash_oracle().strip()}),
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b AS u, doc_a AS v FROM pairs
@@ -822,19 +827,27 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _dedup_recall_oracle() -> str:
+    # the truth side carries its own shingle CTE (sh_t): `pred` nests
+    # the full minhash oracle whose `sh` is MATERIALIZED, and DuckDB
+    # rejects shadowing a MATERIALIZED name ("Duplicate alias") where
+    # plain CTE shadowing was allowed
     return f"""
 WITH {CORPUS_SQL.strip()},
-{SHINGLES_SQL.strip()},
+toks_t AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM corpus),
+sh_t AS MATERIALIZED (
+  SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (SELECT doc, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks_t)
+),
 truth_cands AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM sh_t a JOIN sh_t b ON a.shingle = b.shingle AND a.doc < b.doc
 ),
-sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh_t GROUP BY doc),
 t_inter AS (
   SELECT doc_a, doc_b, COUNT(*) AS n_inter
   FROM truth_cands
-  JOIN sh sa ON sa.doc = truth_cands.doc_a
-  JOIN sh sb ON sb.doc = truth_cands.doc_b AND sb.shingle = sa.shingle
+  JOIN sh_t sa ON sa.doc = truth_cands.doc_a
+  JOIN sh_t sb ON sb.doc = truth_cands.doc_b AND sb.shingle = sa.shingle
   GROUP BY doc_a, doc_b
 ),
 truth AS (
@@ -1089,8 +1102,8 @@ SELECT node, root, depth FROM d ORDER BY node
 
 def _clusters_oracle() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle().strip()}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle().strip()}),
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b AS u, doc_a AS v FROM pairs

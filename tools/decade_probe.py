@@ -34,9 +34,18 @@ def main() -> None:
     spec = REGISTRY[name]
     spark = get_spark(app_name=f"decade_probe_{name}")
 
+    spark_only = os.environ.get("SPARK_GRAFT_PROBE_SPARK_ONLY") == "1"
     t0 = time.perf_counter()
-    con = duckdb_con(SF_DIR)
-    r = check(spark, con, name, spec)
+    if spark_only:
+        # for probes whose DuckDB oracle cannot replay at this scale on
+        # one node (the graph/dedup family's single-process recursive
+        # replay): count Spark rows only; strict parity is carried by
+        # the sf1.0 run instead
+        r = {"name": name, "spark_rows": spec.builder(spark, SF_DIR).count(),
+             "status": "SPARK_ONLY"}
+    else:
+        con = duckdb_con(SF_DIR)
+        r = check(spark, con, name, spec)
     r["parity_sec"] = round(time.perf_counter() - t0, 2)
     r["sf_dir"] = SF_DIR
 
@@ -50,9 +59,10 @@ def main() -> None:
     r["spark_sec"] = round(reps[1], 2)
     r["spark_sec_min"] = round(reps[0], 2)
 
-    t0 = time.perf_counter()
-    con.execute(spec.oracle).fetchall() if spec.oracle else None
-    r["oracle_sec"] = round(time.perf_counter() - t0, 2)
+    if spec.oracle and not spark_only:
+        t0 = time.perf_counter()
+        con.execute(spec.oracle).fetchall()
+        r["oracle_sec"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps(r))
     spark.stop()
