@@ -224,8 +224,7 @@ def test_ivf_recall_on_structured_embeddings(spark, tmp_path):
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
-    sweep = {}
-    for n_probe in (1, 2, 3):
+    def recall_at(cents, n_probe):
         recalls = []
         for q in q_ids:
             query = emb.filter(F.col("vec_id") == q).select(
@@ -235,11 +234,26 @@ def test_ivf_recall_on_structured_embeddings(spark, tmp_path):
                 r.vec_id
                 for r in ivf_topk(
                     emb.filter(F.col("vec_id") != q), "vec_id", "embedding",
-                    centroids, query, k=10, n_probe=n_probe,
+                    cents, query, k=10, n_probe=n_probe,
                 ).collect()
             }
             recalls.append(len(got & truth[q]) / 10.0)
-        sweep[n_probe] = sum(recalls) / len(recalls)
+        return sum(recalls) / len(recalls)
 
+    sweep = {n: recall_at(centroids, n) for n in (1, 2, 3)}
     assert sweep[1] <= sweep[2] + 1e-9 and sweep[2] <= sweep[3] + 1e-9, sweep
     assert sweep[2] >= 0.9, sweep
+
+    # quantizer quality: Lloyd-trained centroids (operators/clustering.py
+    # kmeans_fit — "real IVF trains them") must close the sampled-centroid
+    # deficit at the tightest probe width.  A sampled quantizer can leave
+    # a topic with no nearby centroid, scattering its subgroup across
+    # foreign clusters; training moves a centroid onto every mass of
+    # vectors.  Measured on this corpus: sampled 0.76@n_probe=1 vs
+    # trained 0.92 (both saturate to 1.0 at n_probe=2).
+    from tlcn_oer_lakehouse_spark.operators.clustering import kmeans_fit
+
+    trained = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
+    trained_r1 = recall_at(trained, 1)
+    assert trained_r1 >= 0.9, trained_r1
+    assert trained_r1 >= sweep[1] - 1e-9, (trained_r1, sweep[1])
