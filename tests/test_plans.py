@@ -447,3 +447,20 @@ def test_exact_substring_dedup_plan(spark):
     df = _build(spark, "td_exact_substring_dedup")
     assert audit.exchange_count(df) <= 3
     assert set(audit.read_schema_columns(df)) == {"doc_id", "text"}
+
+
+def test_dsir_sample_plan_shape(spark):
+    """DSIR's 100 TB contract: exactly TWO corpus scans (bucket-stats
+    pass + scoring pass), the <=1024-row ratio table joins back by
+    BROADCAST (never a sort-merge shuffle of the token stream), and the
+    quota selection is TakeOrderedAndProject (per-partition top-k), not
+    a global Sort.  The one Window is the O(B)-bounded totals reduce
+    over the stats frame — bounded by construction, so it is exempt
+    from the data-sized-window lint."""
+    df = _build(spark, "td_dsir_sample")
+    plan = audit.simple_plan(df)
+    assert plan.count("Scan parquet") == 2, plan
+    assert audit.broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert audit.exchange_count(df) <= 5

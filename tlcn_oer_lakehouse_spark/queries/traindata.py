@@ -904,6 +904,115 @@ ORDER BY sample_key DESC, doc_id ASC
 LIMIT 50
 """
 
+_DSIR_BUCKETS = 1024
+
+
+def dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed-ngram feature distribution is, keep the
+    top of the ranking.  Target here is the ``lang='en'`` slice (the
+    curated seed set); features are unigram tokens hashed into 1024
+    buckets (the paper's hashed n-gram generative model with n=1).
+
+    Per-bucket weight is the smoothed log-likelihood ratio
+    ``ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))``; a doc's importance is the
+    sum over its tokens.  Determinism discipline: the per-bucket ratio
+    is rounded to 9 dp THEN cast to DECIMAL(20,9), so the per-doc sum is
+    exact and order-independent (double summation would drift with
+    partition order); the final weight surfaces through the VARCHAR-hop
+    double cast shared with the medallion gold measures.
+
+    Scale shape: two corpus scans total.  Scan 1 tokenizes+buckets
+    (map-only) into ONE ≤B-row stats aggregate carrying raw and target
+    counts together; corpus totals reduce that stats frame, never the
+    corpus.  Scan 2 re-derives the token stream and joins the ≤B-row
+    ratio table (broadcast hash join — the corpus-sized side shuffles
+    only for the per-doc sum); selection is ORDER BY+LIMIT, which Spark
+    executes as TakeOrderedAndProject (per-partition top-k + one k-row
+    reduce), never a global sort.  Both pinned in test_plans.py.
+    Selection quota is fixed at 50 like the other sampling queries.
+    """
+    B = _DSIR_BUCKETS
+    docs = load(spark, sf, "documents")
+    feats = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "").select(
+        "doc_id", "lang", _bucket(F.col("w"), B).alias("b")
+    )
+    # ONE stats pass over the token stream: raw and target counts per
+    # bucket together; corpus totals then reduce the <=B-row stats frame,
+    # not the corpus.  Two corpus scans total (stats + scoring) — the
+    # term that matters at 100 TB.
+    stats = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+    )
+    # corpus totals via an unpartitioned window over the stats frame:
+    # single-partition by construction, but the input is bounded at B
+    # rows (1024), so this is an O(B) reduce — NOT the data-sized
+    # global-window anti-pattern — and it avoids referencing `stats`
+    # twice, which would re-derive the corpus tokenize+bucket scan.
+    wall = Window.partitionBy()
+    lr = stats.select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("t_cnt") + 1.0)
+                / (F.sum("t_cnt").over(wall) + float(B))
+            )
+            - F.log(
+                (F.col("r_cnt") + 1.0)
+                / (F.sum("r_cnt").over(wall) + float(B))
+            ),
+            9,
+        ).cast("decimal(20,9)").alias("lr"),
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum("lr").cast("string").cast("double"), 6
+            ).alias("weight")
+        )
+        .orderBy(F.col("weight").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+_DSIR_NORM_TOKS = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+DSIR_SQL = f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         {_bucket_sql('w', _DSIR_BUCKETS)} AS b
+  FROM (SELECT doc_id, lang, unnest({_DSIR_NORM_TOKS}) AS w FROM documents)
+  WHERE w <> ''
+),
+stats AS (
+  SELECT b, COUNT(*) AS r_cnt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+  FROM feats GROUP BY b
+),
+tot AS (SELECT SUM(r_cnt) AS r_total, SUM(t_cnt) AS t_total FROM stats),
+lr AS (
+  SELECT stats.b,
+         CAST(round(ln((t_cnt + 1.0) / (t_total + {_DSIR_BUCKETS}.0))
+                    - ln((r_cnt + 1.0) / (r_total + {_DSIR_BUCKETS}.0)), 9)
+              AS DECIMAL(20,9)) AS lr
+  FROM stats, tot
+)
+SELECT f.doc_id, f.lang,
+       round(CAST(CAST(SUM(lr.lr) AS VARCHAR) AS DOUBLE), 6) AS weight
+FROM feats f JOIN lr ON f.b = lr.b
+GROUP BY f.doc_id, f.lang
+ORDER BY weight DESC, doc_id ASC
+LIMIT 50
+"""
+
 
 def bloom_contamination_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     """The Bloom-filter membership pre-filter the contamination check's
@@ -1428,6 +1537,12 @@ SPECS = [
               ref="scale op: Efraimidis-Spirakis weighted sampling without "
                   "replacement — hash-uniform, map-only, resumable",
               doc="length-weighted top-50 sample via ln(u)/w keys",
+              tags=("traindata",)),
+    QuerySpec("td_dsir_sample", dsir_sample, DSIR_SQL,
+              ref="scale op: DSIR importance resampling (Xie et al. 2023) — "
+                  "hashed-ngram LLR scoring against a target slice; map-only "
+                  "features, <=B-row broadcast ratio table, top-k selection",
+              doc="DSIR top-50 target-like docs via hashed-unigram LLR",
               tags=("traindata",)),
     QuerySpec("td_bloom_contamination", bloom_contamination_prefilter, _bloom_sql(),
               ref="scale op: Bloom membership pre-filter — the 100 TB form the "
