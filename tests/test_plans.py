@@ -124,6 +124,22 @@ def test_dedup_embedding_cosine_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_semdedup_pair_work_is_cluster_bounded(spark):
+    """SemDeDup's whole scale claim is that duplicate-pair work is
+    Σ(cluster²), not corpus²: the pair scan must be an EQUI-join keyed
+    on cluster_id, and the only nested-loop joins in the plan are the
+    O(k)-row broadcast centroid assigns.  No cartesian anywhere."""
+    df = _build(spark, "dedup_semdedup")
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "cluster_id" in ln
+    ]
+    assert key_lines, "no equi-join keyed on cluster_id in the plan"
+
+
 @pytest.mark.parametrize("name", [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "td_contamination_check",
@@ -150,6 +166,7 @@ _BNLJ_ALLOWED = {
     "knn_bruteforce",         # 1-row query vector
     "ann_ivf_topk",           # 1-row query + 8-row centroids
     "ann_kmeans_assign",      # k=4 broadcast centroid set (O(k) rows)
+    "dedup_semdedup",         # same k=4 broadcast centroid assigns
     "ann_pq_adc",             # k=16-row codebooks + 1-row query per subspace
     "a_hll_sketch",           # 1-row estimate × 1-row exact count
     "g_pagerank",             # 1-row node-count frame per iteration

@@ -243,15 +243,26 @@ def ann_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+def _kmeans_sql_parts(
+    vecs_cte: str,
+    cent0_cte: str,
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> tuple[list[str], str]:
+    """Shared DuckDB CTE chain replaying operators/clustering.py's
+    deterministic Lloyd run — parameterized over the ``vecs``/``cent0``
+    source CTEs so ``ann_kmeans_assign``'s oracle (raw embeddings table)
+    and the SemDeDup oracle (augmented corpus) share ONE copy of the
+    assignment/update SQL, mirroring the ``_ivf_sql_core`` convention:
+    a tie-break or rounding fix lands in both oracles or neither.
+    Returns (CTE parts ending at ``cent{n_iter}``, the squared-L2
+    expression used for assignment)."""
     sq = (
         "round(list_sum(list_transform(generate_series(1, {d}), "
         "j -> (e.v[j] - c.centroid_vec[j]) * (e.v[j] - c.centroid_vec[j]))), 9)"
     ).format(d=dim)
-    parts = [
-        "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"cent0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid_vec FROM embeddings WHERE vec_id < {k})",
-    ]
+    parts = [vecs_cte, cent0_cte]
     for i in range(n_iter):
         parts.append(
             f"assign{i} AS (SELECT vec_id, v, centroid_id AS cluster_id FROM ("
@@ -268,6 +279,15 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
             f"cent{i + 1} AS (SELECT cluster_id AS centroid_id, "
             f"array_agg(m ORDER BY j) AS centroid_vec FROM dims{i} GROUP BY cluster_id)"
         )
+    return parts, sq
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    parts, sq = _kmeans_sql_parts(
+        "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid_vec FROM embeddings WHERE vec_id < {k})",
+        k, n_iter, dim,
+    )
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT vec_id, cluster_id, dist FROM (
@@ -279,6 +299,117 @@ WHERE rn = 1
 ORDER BY vec_id
 """
     )
+
+
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding corpus, search for duplicates ONLY
+    within each cluster (cosine >= 0.95), and from every duplicate pair
+    keep the document FARTHER from its cluster centroid — the paper's
+    keep-low-centroid-similarity rule, which retains "edge" examples
+    for diversity.  Runs on the same augmented corpus as
+    ``dedup_embedding_cosine`` (planted exact copies + jitters), so the
+    two methods are directly comparable.
+
+    Scale shape (the method's whole point): candidate generation is an
+    EQUI-join on cluster_id — pair work is Σ(cluster²), never corpus²,
+    and k GROWS with the corpus to bound mean cluster size at ~150
+    vectors (the paper uses k=11k for 100M docs).  k is sized from the
+    parquet FOOTER row count (a driver-side metadata read, the Bloom
+    mbits trick — plan construction stays lazy) on the Spark side and
+    by the matching scalar subquery in the oracle, so parity holds at
+    every sf: k=4 at sf0.01, 13 at sf0.1, and Σ(cluster²) stays
+    ~150·N instead of N².  Clustering is the deterministic Lloyd run
+    shared with ``ann_kmeans_assign`` (broadcast centroids,
+    decimal-exact updates), so the oracle replays training, assignment,
+    pairing AND the prune rule.  In production the assignment is the
+    stored IVF partition layout — SemDeDup rides the same table ANN
+    serving probes.
+
+    Prune rule, made deterministic: x is dropped iff some same-cluster
+    y has round-9 cosine >= 0.95 and (dist_y > dist_x, tie -> lower
+    id), where dist is the round-9 squared-L2 to the centroid.  On
+    clique-shaped duplicate groups (this corpus by construction) the
+    pairwise rule equals the paper's group rule.
+
+    Ref: scale op beyond the reference — SURVEY §2.10 dedup family."""
+    from tlcn_oer_lakehouse_spark.operators.clustering import (
+        kmeans_assign_once,
+        kmeans_fit,
+    )
+    from tlcn_oer_lakehouse_spark.queries.base import parquet_num_rows
+
+    corpus = _augmented_embeddings(spark, sf)
+    k = max(4, parquet_num_rows(sf, "embeddings") // 150)
+    cents = kmeans_fit(corpus, "vec_id", "vec", k=k, n_iter=2)
+    work = corpus.select(
+        "vec_id",
+        F.transform(F.col("vec"), lambda x: x.cast("double")).alias("__v"),
+    )
+    assigned = kmeans_assign_once(work, cents, "vec_id", "__v")
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("va"),
+        "cluster_id", F.col("dist").alias("dist_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("vb"),
+        "cluster_id", F.col("dist").alias("dist_b"),
+    )
+    dup_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 9) >= 0.95)
+    )
+    pruned = dup_pairs.filter(
+        (F.col("dist_b") > F.col("dist_a"))
+        | ((F.col("dist_b") == F.col("dist_a")) & (F.col("id_b") < F.col("id_a")))
+    ).select(F.col("id_a").alias("vec_id")).distinct()
+
+    return (
+        assigned.join(pruned, "vec_id", "left_anti")
+        .select("vec_id", "cluster_id", "dist")
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_oracle(n_iter: int = 2, dim: int = 64) -> str:
+    """Full SQL replay of dedup_semdedup: augmented corpus -> Lloyd
+    chain (shared ``_kmeans_sql_parts``) -> final assignment -> within-
+    cluster pair scan -> keep-farthest prune.  k mirrors the builder's
+    footer-sized ``max(4, n_rows // 150)`` via a scalar subquery on the
+    base table.  Multi-referenced CTEs are MATERIALIZED (the r8
+    minhash-family lesson: DuckDB re-inlines each reference otherwise —
+    the Lloyd chain would replay per self-join side)."""
+    k_sql = "(SELECT GREATEST(4, COUNT(*) // 150) FROM embeddings)"
+    parts, sq = _kmeans_sql_parts(
+        "vecs AS MATERIALIZED (SELECT vec_id, vec AS v FROM corpus)",
+        f"cent0 AS (SELECT vec_id AS centroid_id, v AS centroid_vec FROM vecs WHERE vec_id < {k_sql})",
+        4, n_iter, dim,
+    )
+    cos = _cos_sql("a.v", "b.v")
+    corpus = AUG_EMB_SQL.strip().replace("corpus AS (", "corpus AS MATERIALIZED (", 1)
+    chain = ",\n".join([corpus, *parts])
+    return f"""
+WITH {chain},
+final AS MATERIALIZED (
+  SELECT vec_id, v, cluster_id, dist FROM (
+    SELECT e.vec_id, e.v, c.centroid_id AS cluster_id, {sq} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq} ASC, c.centroid_id ASC) AS rn
+    FROM vecs e CROSS JOIN cent{n_iter} c
+  ) WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT a.vec_id
+  FROM final a JOIN final b ON a.cluster_id = b.cluster_id AND a.vec_id != b.vec_id
+  WHERE round({cos}, 9) >= 0.95
+    AND (b.dist > a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+)
+SELECT f.vec_id, f.cluster_id, f.dist
+FROM final f LEFT JOIN pruned p ON f.vec_id = p.vec_id
+WHERE p.vec_id IS NULL
+ORDER BY f.vec_id
+"""
 
 
 def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
@@ -576,4 +707,10 @@ SPECS = [
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL,
               ref="scale op: embedding near-dup (augmented corpus)",
               doc="cosine>=0.95 near-dup pairs", tags=("vector", "dedup")),
+    QuerySpec("dedup_semdedup", dedup_semdedup, _semdedup_oracle(),
+              ref="scale op: SemDeDup (Abbas et al. 2023) — cluster-then-"
+                  "prune semantic dedup; pair work bounded at Σ(cluster²) "
+                  "by the cluster_id equi-join, whole run oracle-replayed",
+              doc="k-means cluster -> within-cluster cosine>=0.95 prune, "
+                  "keep farthest-from-centroid", tags=("vector", "dedup")),
 ]
