@@ -132,7 +132,8 @@ def test_dedup_semdedup_pair_work_is_cluster_bounded(spark):
     df = _build(spark, "dedup_semdedup")
     plan = audit.formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
+    assert ("SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
+            or "BroadcastHashJoin Inner" in plan)
     key_lines = [
         ln for ln in plan.splitlines()
         if ("Left keys" in ln or "Right keys" in ln) and "cluster_id" in ln
@@ -166,7 +167,8 @@ _BNLJ_ALLOWED = {
     "knn_bruteforce",         # 1-row query vector
     "ann_ivf_topk",           # 1-row query + 8-row centroids
     "ann_kmeans_assign",      # k=4 broadcast centroid set (O(k) rows)
-    "dedup_semdedup",         # same k=4 broadcast centroid assigns
+    "dedup_semdedup",         # same O(k)-row broadcast centroid assigns
+    "td_ssl_prototypes",      # same O(k)-row broadcast centroid assigns
     "ann_pq_adc",             # k=16-row codebooks + 1-row query per subspace
     "a_hll_sketch",           # 1-row estimate × 1-row exact count
     "g_pagerank",             # 1-row node-count frame per iteration

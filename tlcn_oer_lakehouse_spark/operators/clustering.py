@@ -20,7 +20,7 @@ unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,21 +38,42 @@ def _sq_l2(a, b):
 def kmeans_assign_once(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """One assignment pass: every vector joins the broadcast centroid
-    set and keeps its argmin-distance cluster (round-9, id tie-break)."""
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        F.round(_sq_l2(F.col(vec_col), F.col("centroid_vec")), 9).alias("dist"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("dist").asc(), F.col("centroid_id").asc()
+    """One assignment pass, fully MAP-SIDE: the k centroids collapse to
+    ONE broadcast row holding an array of (centroid_id, centroid_vec)
+    structs, and every vector argmins over that array inline —
+    ``array_min`` over (dist, centroid_id) structs gives the same
+    round-9-distance / centroid-id-tie-break ordering the former
+    crossJoin + per-id row_number window produced, with ZERO exchange.
+    The old formulation materialized and re-shuffled N×k scored rows
+    per pass (r8 measured: the sf1.0 SemDeDup assignment replay was
+    the dominant term); at 100 TB an assignment pass must be a scan,
+    not an exchange.  array_min is order-independent, so collect_list's
+    nondeterministic centroid order cannot affect the result."""
+    cents_row = centroids.agg(
+        F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("__cents")
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"), "dist")
+        df.crossJoin(F.broadcast(cents_row))
+        .withColumn(
+            "__best",
+            F.array_min(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        F.round(
+                            _sq_l2(F.col(vec_col), c.getField("centroid_vec")), 9
+                        ).alias("dist"),
+                        c.getField("centroid_id").alias("centroid_id"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.col("__best.centroid_id").alias("cluster_id"),
+            F.col("__best.dist").alias("dist"),
+        )
     )
 
 

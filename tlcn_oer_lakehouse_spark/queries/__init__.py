@@ -165,7 +165,15 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #     dedup_minhash_lsh, dedup_ngram_jaccard, dedup_soft_sample,
 #     dedup_clusters, dedup_clusters_star, dedup_recall_eval,
 #     g_pagerank
+#   kmeans_assign_once was rewritten from crossJoin + per-id row_number
+#   window to a map-side array_min argmin over one broadcast centroid
+#   row (zero exchange; results proven hash-identical pre/post and
+#   strict-sim green, but the plan changed materially) — every r5 green
+#   riding that operator re-enters first:
+#     ann_kmeans_assign, ann_pq_adc
 _REVERIFY_FIRST = (
+    "ann_kmeans_assign",
+    "ann_pq_adc",
     "td_contamination_scalable",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
