@@ -164,6 +164,7 @@ _BNLJ_ALLOWED = {
     "q3_hybrid_fusion",       # 1-row max-score normalizers
     "q3_hybrid_lang_weighted",
     "q5_context_rerank",      # 1-row avg-score gate
+    "q5_context_mmr",         # 1-row max-norm + <=5-row selected-set broadcasts
     "knn_bruteforce",         # 1-row query vector
     "ann_ivf_topk",           # 1-row query + 8-row centroids
     "ann_kmeans_assign",      # k=4 broadcast centroid set (O(k) rows)

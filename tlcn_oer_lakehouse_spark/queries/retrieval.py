@@ -632,6 +632,136 @@ def context_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MMR_LAMBDA = 0.7   # relevance weight; diversity weight is the 0.3 literal
+MMR_POOL = 20      # candidate pool (BM25 top-k among embedded docs)
+MMR_K = 5          # greedy selection depth
+
+
+def context_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5 diversity rerank — Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): greedily pick ``MMR_K`` of the top-``MMR_POOL``
+    BM25 candidates, each step maximizing
+    ``0.7·rel − 0.3·max_cosine_to_already_selected`` (round-9, doc-id
+    tie-break; ``rel`` is the max-normalized round-9 BM25 score).  The
+    first pick is the pure-relevance argmax (empty selected set →
+    similarity term 0, mmr = round(0.7·rel, 9)).
+
+    Scale shape: corpus-sized work is exactly the shared BM25 scan plus
+    one embeddings equi-join; the candidate pool is then a constant
+    O(MMR_POOL)-row frame, ``localCheckpoint``-ed (same rationale as
+    ``kmeans_fit``'s centroid checkpoint — the greedy unroll references
+    it ~2 references/step, and without truncation every reference
+    replays the corpus scan; NOTE this runs an eager job at plan-build
+    time).  Selection depth is a constant, so the unrolled plan size is
+    fixed and data-independent; every step joins ≤MMR_POOL rows against
+    a broadcast ≤MMR_K-row selected set."""
+    emb = load(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    pool = (
+        bm25_scores(spark, sf)
+        .join(emb, "doc_id")
+        .select("doc_id", F.round(F.col("bm25_raw"), 9).alias("raw"), "vec")
+        .orderBy(F.col("raw").desc(), F.col("doc_id").asc())
+        .limit(MMR_POOL)
+    )
+    mx = pool.agg(F.max("raw").alias("mx"))
+    cands = (
+        pool.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.round(F.col("raw") / F.col("mx"), 9).alias("rel"),
+            "vec",
+        )
+        .localCheckpoint()
+    )
+
+    sel = (
+        cands.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(1)
+        .select(
+            "doc_id", "rel",
+            F.round(F.lit(MMR_LAMBDA) * F.col("rel"), 9).alias("mmr"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    for i in range(2, MMR_K + 1):
+        sel_vecs = sel.select(F.col("doc_id").alias("sid")).join(
+            cands.select(F.col("doc_id").alias("sid"), F.col("vec").alias("svec")),
+            "sid",
+        )
+        rem = cands.join(sel, "doc_id", "left_anti")
+        sims = rem.crossJoin(F.broadcast(sel_vecs)).select(
+            "doc_id", "rel",
+            F.round(cosine(F.col("vec"), F.col("svec")), 9).alias("sim"),
+        )
+        nxt = (
+            sims.groupBy("doc_id")
+            .agg(F.max("rel").alias("rel"), F.max("sim").alias("maxsim"))
+            .select(
+                "doc_id", "rel",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(0.3) * F.col("maxsim"), 9
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .withColumn("mmr_rank", F.lit(i))
+        )
+        sel = sel.unionByName(nxt)
+    return sel.orderBy("mmr_rank")
+
+
+_MMR_COS = (
+    "list_sum(list_transform(generate_series(1, 64), i -> r.vec[i] * cv.vec[i]))"
+    " / (sqrt(list_sum(list_transform(r.vec, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(cv.vec, x -> x * x))))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled SQL replay of context_mmr — one (sc, pick, sel) CTE
+    block per greedy step, MATERIALIZED multi-referenced CTEs."""
+    parts = [
+        "pool AS MATERIALIZED (\n"
+        "  SELECT b.doc_id, round(b.bm25_raw, 9) AS raw,\n"
+        "         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec\n"
+        "  FROM bm25 b JOIN embeddings e ON e.vec_id = b.doc_id\n"
+        f"  ORDER BY raw DESC, b.doc_id ASC LIMIT {MMR_POOL}\n"
+        ")",
+        "cands AS MATERIALIZED (\n"
+        "  SELECT doc_id, round(raw / (SELECT MAX(raw) FROM pool), 9) AS rel, vec\n"
+        "  FROM pool\n"
+        ")",
+        f"sel1 AS (SELECT doc_id, rel, round({MMR_LAMBDA} * rel, 9) AS mmr, "
+        "1 AS mmr_rank FROM cands ORDER BY rel DESC, doc_id ASC LIMIT 1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        parts.append(
+            f"sc{i} AS (\n"
+            f"  SELECT r.doc_id, r.rel,\n"
+            f"         round({MMR_LAMBDA} * r.rel - 0.3 * MAX(round({_MMR_COS}, 9)), 9) AS mmr\n"
+            f"  FROM cands r\n"
+            f"  CROSS JOIN sel{p} s JOIN cands cv ON cv.doc_id = s.doc_id\n"
+            f"  WHERE r.doc_id NOT IN (SELECT doc_id FROM sel{p})\n"
+            f"  GROUP BY r.doc_id, r.rel\n"
+            f")"
+        )
+        parts.append(
+            f"pick{i} AS (SELECT doc_id, rel, mmr, {i} AS mmr_rank "
+            f"FROM sc{i} ORDER BY mmr DESC, doc_id ASC LIMIT 1)"
+        )
+        parts.append(f"sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{i})")
+    return (
+        f"WITH {_bm25_sql_core().strip()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT doc_id, rel, mmr, mmr_rank FROM sel{MMR_K} ORDER BY mmr_rank\n"
+    )
+
+
 CONTEXT_BUDGET_TOKENS = 600
 
 
@@ -752,6 +882,12 @@ SPECS = [
     QuerySpec("q5_context_rerank", context_rerank, CONTEXT_RERANK_SQL,
               ref="chatbot_api.py:277-343, 480-489 (context filter + relevance gate)",
               doc="length/code filters + avg-score gated top-5", tags=("retrieval",)),
+    QuerySpec("q5_context_mmr", context_mmr, _mmr_oracle(),
+              ref="serve op beyond the reference: MMR diversity rerank "
+                  "(Carbonell & Goldstein 1998) — constant-depth greedy "
+                  "unroll over an O(pool) checkpointed frame",
+              doc="maximal-marginal-relevance top-5 from the BM25 top-20",
+              tags=("retrieval",)),
     QuerySpec("q6_context_pack", context_pack,
               CONTEXT_PACK_SQL.format(core=_bm25_sql_core().strip()),
               ref="chatbot_api.py context assembly ahead of the LLM call "
