@@ -171,9 +171,25 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   strict-sim green, but the plan changed materially) — every r5 green
 #   riding that operator re-enters first:
 #     ann_kmeans_assign, ann_pq_adc
+#   q17_small_quantity_revenue dropped the round(avg_yearly, 9): at
+#   ~1e10 magnitude round-9 needs ~20 significant digits and the two
+#   engines' nearest-double answers differ in the last ulp (caught by
+#   the r8 sf1.0 sweep on regenerated data); the un-rounded quotient of
+#   the VARCHAR-hopped sum is engine-identical.  Oracle text changed →
+#   fresh row:
+#     q17_small_quantity_revenue
+#   dedup_embedding_cosine's oracle now replays the banded-blocking
+#   semantics instead of all-pairs: the r8 planted-neighbor sf1.0 sweep
+#   showed organic cos≈0.95 pairs can miss every sign band (137 of
+#   176,742), i.e. the old "identical by construction" equivalence was
+#   a property of noise corpora, not of the operator.  Oracle text
+#   changed → fresh row:
+#     dedup_embedding_cosine
 _REVERIFY_FIRST = (
     "ann_kmeans_assign",
     "ann_pq_adc",
+    "dedup_embedding_cosine",
+    "q17_small_quantity_revenue",
     "td_contamination_scalable",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

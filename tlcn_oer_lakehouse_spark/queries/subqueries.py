@@ -29,10 +29,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("avg_qty")
     )
     j = li.join(part_avg, li.l_partkey == part_avg.pk)
+    # no round() on avg_yearly: the VARCHAR-hopped decimal sum is
+    # bit-identical across engines and /7.0 is IEEE-deterministic, but
+    # round(y, 9) at ~1e10 magnitude asks for ~20 significant digits —
+    # beyond double — and the engines' nearest-double answers differ in
+    # the last ulp (caught by the r8 sf1.0 sweep on regenerated data).
+    # The un-rounded quotient is already engine-identical.
     return j.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("string").cast("double") / 7.0,
-            9,
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("string").cast("double") / 7.0
         ).alias("avg_yearly")
     )
 
@@ -43,7 +48,7 @@ WITH part_avg AS (
          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / 7.0, 9) AS avg_yearly
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem JOIN part_avg ON l_partkey = pk
 WHERE l_quantity < 0.5 * avg_qty
 """
