@@ -16,6 +16,8 @@ x0 += 0.2 → cosine ≈ 0.98 to the original) — giving real positives at a
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -341,19 +343,21 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     two methods are directly comparable.
 
     Scale shape (the method's whole point): candidate generation is an
-    EQUI-join on cluster_id — pair work is Σ(cluster²), never corpus²,
-    and k GROWS with the corpus to bound mean cluster size at ~150
-    vectors (the paper uses k=11k for 100M docs).  k is sized from the
-    parquet FOOTER row count (a driver-side metadata read, the Bloom
-    mbits trick — plan construction stays lazy) on the Spark side and
-    by the matching scalar subquery in the oracle, so parity holds at
-    every sf: k=4 at sf0.01, 13 at sf0.1, and Σ(cluster²) stays
-    ~150·N instead of N².  Clustering is the deterministic Lloyd run
-    shared with ``ann_kmeans_assign`` (broadcast centroids,
-    decimal-exact updates), so the oracle replays training, assignment,
-    pairing AND the prune rule.  In production the assignment is the
-    stored IVF partition layout — SemDeDup rides the same table ANN
-    serving probes.
+    EQUI-join on cluster_id — pair work is Σ(cluster²), never corpus².
+    k follows the BALANCED schedule k = ⌊√n⌋ (FAISS's cell-count
+    guidance): assignment costs N·k and the within-cluster pair scan
+    costs ~N²/k, so k ∝ √N makes BOTH O(N^1.5) — a fixed cluster size
+    (k ∝ N) would push assignment to O(N²), a fixed k would push the
+    pair scan there.  k is sized from the parquet FOOTER row count (a
+    driver-side metadata read, the Bloom mbits trick — plan
+    construction stays lazy) on the Spark side and by the matching
+    ``FLOOR(SQRT(COUNT(*)))`` scalar subquery in the oracle, so parity
+    holds at every sf (k=22 at sf0.01, 141 at sf1.0).  Clustering is
+    the deterministic Lloyd run shared with ``ann_kmeans_assign``
+    (broadcast centroids, decimal-exact updates), so the oracle replays
+    training, assignment, pairing AND the prune rule.  In production
+    the assignment is the stored IVF partition layout — SemDeDup rides
+    the same table ANN serving probes.
 
     Prune rule, made deterministic: x is dropped iff some same-cluster
     y has round-9 cosine >= 0.95 and (dist_y > dist_x, tie -> lower
@@ -369,7 +373,7 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     from tlcn_oer_lakehouse_spark.queries.base import parquet_num_rows
 
     corpus = _augmented_embeddings(spark, sf)
-    k = max(4, parquet_num_rows(sf, "embeddings") // 150)
+    k = max(4, math.isqrt(parquet_num_rows(sf, "embeddings")))
     # Train the quantizer on a bounded deterministic SAMPLE (every 4th
     # id + the id-init seeds), then assign the full corpus once — the
     # production IVF recipe (FAISS trains on ~O(256·k) vectors): Lloyd
@@ -431,11 +435,16 @@ def _semdedup_oracle(n_iter: int = 2, dim: int = 64) -> str:
     """Full SQL replay of dedup_semdedup: augmented corpus -> Lloyd
     chain (shared ``_kmeans_sql_parts``) -> final assignment -> within-
     cluster pair scan -> keep-farthest prune.  k mirrors the builder's
-    footer-sized ``max(4, n_rows // 150)`` via a scalar subquery on the
-    base table.  Multi-referenced CTEs are MATERIALIZED (the r8
-    minhash-family lesson: DuckDB re-inlines each reference otherwise —
-    the Lloyd chain would replay per self-join side)."""
-    k_sql = "(SELECT GREATEST(4, COUNT(*) // 150) FROM embeddings)"
+    footer-sized ``max(4, isqrt(n_rows))`` balanced schedule via a
+    scalar subquery on the base table (FLOOR(SQRT(n)) == isqrt(n) for
+    corpus-sized n: double sqrt is correctly rounded below 2^52).
+    Multi-referenced CTEs are MATERIALIZED (the r8 minhash-family
+    lesson: DuckDB re-inlines each reference otherwise — the Lloyd
+    chain would replay per self-join side)."""
+    k_sql = (
+        "(SELECT GREATEST(4, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+        " FROM embeddings)"
+    )
     parts, sq = _kmeans_sql_parts(
         "vecs AS MATERIALIZED (SELECT vec_id, vec AS v FROM corpus),\n"
         f"tvecs AS MATERIALIZED (SELECT vec_id, v FROM vecs WHERE vec_id < {k_sql} OR vec_id % 4 = 0)",
@@ -478,11 +487,13 @@ def td_ssl_prototypes(spark: SparkSession, sf: str) -> DataFrame:
     clusters rather than globally biased toward one diffuse cluster.
 
     Scale shape: clustering is the shared deterministic Lloyd run
-    (broadcast centroids, decimal-exact updates; k footer-sized
-    ``max(4, n//150)`` exactly as ``dedup_semdedup``).  The only
-    post-assignment work is ONE window partitioned by cluster_id —
-    partitions are ~150 rows by construction (k grows with the
-    corpus), so this is the bounded-partition window class, not the
+    (broadcast centroids, decimal-exact updates; k footer-sized on the
+    balanced ``max(4, isqrt(n))`` schedule exactly as
+    ``dedup_semdedup`` — assignment is N·k, so k ∝ √N keeps it
+    O(N^1.5) where a fixed cluster size would make it O(N²)).  The
+    only post-assignment work is ONE window partitioned by
+    cluster_id — partitions are ~√N rows by construction (707 at 500k
+    vectors), so this is the bounded-partition window class, not the
     hot-key class the r7 sf10 probe killed.  Determinism: round-9
     distances, id tie-breaks, and an exact-integer quota.
 
@@ -494,7 +505,7 @@ def td_ssl_prototypes(spark: SparkSession, sf: str) -> DataFrame:
     from tlcn_oer_lakehouse_spark.queries.base import parquet_num_rows
 
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    k = max(4, parquet_num_rows(sf, "embeddings") // 150)
+    k = max(4, math.isqrt(parquet_num_rows(sf, "embeddings")))
     # sampled-training quantizer, full-corpus assignment — see
     # dedup_semdedup's note; identical engine-neutral sample rule
     train = emb.filter((F.col("vec_id") < k) | (F.col("vec_id") % 4 == 0))
@@ -524,8 +535,12 @@ def td_ssl_prototypes(spark: SparkSession, sf: str) -> DataFrame:
 def _ssl_prototypes_oracle(n_iter: int = 2, dim: int = 64) -> str:
     """SQL replay of td_ssl_prototypes: shared Lloyd chain over the raw
     embeddings -> final assignment -> per-cluster hardness rank ->
-    ceil(0.3·n) quota."""
-    k_sql = "(SELECT GREATEST(4, COUNT(*) // 150) FROM embeddings)"
+    ceil(0.3·n) quota.  k mirrors the builder's balanced
+    ``max(4, isqrt(n))`` (see ``_semdedup_oracle``)."""
+    k_sql = (
+        "(SELECT GREATEST(4, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+        " FROM embeddings)"
+    )
     parts, sq = _kmeans_sql_parts(
         "vecs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
         f"tvecs AS MATERIALIZED (SELECT vec_id, v FROM vecs WHERE vec_id < {k_sql} OR vec_id % 4 = 0)",
