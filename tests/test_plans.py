@@ -184,6 +184,7 @@ _BNLJ_ALLOWED = {
     "w11_rfm_segmentation",   # 1-row horizon-timestamp broadcast
     "ann_recall_eval",        # query sample hard-bounded at 100 rows
     "td_curriculum_order",    # inherits td_unigram_surprisal's 1-row total
+    "td_ccnet_buckets",       # inherits the same 1-row corpus-total broadcast
     "q6_context_pack",        # inherits BM25's 1-row corpus-stats broadcast
     "td_hard_negatives",      # inherits BM25's 1-row corpus-stats broadcast
     "ml_quantile_bucketize",  # 1-row percentile-cutoffs broadcast
@@ -484,3 +485,24 @@ def test_dsir_sample_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert audit.exchange_count(df) <= 5
+
+
+def test_ccnet_buckets_windows_are_histogram_bounded(spark):
+    """td_ccnet_buckets's scale claim: the tercile-boundary windows run
+    over the (lang, score) HISTOGRAM — distinct integer scores are
+    bounded (<= 1000*64 per language) regardless of corpus size — never
+    over the corpus-sized doc frame.  Pin: every Window node's input is
+    the aggregated histogram (carries the count column, no doc_id), and
+    the boundary table joins back by broadcast."""
+    df = _build(spark, "td_ccnet_buckets")
+    plan = audit.formatted_plan(df)
+    lines = plan.splitlines()
+    win_inputs = [
+        lines[i + 1] for i, ln in enumerate(lines)
+        if ln.strip().endswith(" Window") or ") Window" in ln
+    ]
+    assert win_inputs, "expected the two histogram cumulative windows"
+    for inp in win_inputs:
+        assert "doc_id" not in inp, f"corpus-sized window input: {inp}"
+        assert "c#" in inp, f"window not over the histogram counts: {inp}"
+    assert audit.broadcast_join_count(df) >= 2  # totals row + bounds table

@@ -178,6 +178,22 @@ FROM agg
 INFO_GATE_BITS = 4.0  # mean surprisal below this ≈ stopword/boilerplate soup
 
 
+def _surprisal_per_token(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-token integer surprisal frame (doc_id, sbits) — the shared
+    core of ``unigram_surprisal`` and ``td_ccnet_buckets``: explode →
+    vocab groupBy → 1:N vocab join (1-row total broadcast)."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(F.sum("cnt").alias("n_total"))
+    sbits = F.length(F.bin(F.expr("n_total div cnt"))) - 1
+    return (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", sbits.alias("sbits"))
+    )
+
+
 def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-unigram information score — the deterministic analog of
     LM-perplexity quality filtering (CCNet/KenLM-style): train the
@@ -190,16 +206,7 @@ def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     DEFINED on integer arithmetic and replays bit-identically in any
     engine.  Plan: explode → vocab groupBy → 1:N vocab join (1-row
     total broadcast) → per-doc aggregation; linear, never all-pairs."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    totals = vocab.agg(F.sum("cnt").alias("n_total"))
-    sbits = F.length(F.bin(F.expr("n_total div cnt"))) - 1
-    per = (
-        tok.join(vocab, "t")
-        .crossJoin(F.broadcast(totals))
-        .select("doc_id", sbits.alias("sbits"))
-    )
+    per = _surprisal_per_token(spark, sf)
     mean_bits = F.sum("sbits").cast("double") / F.count(F.lit(1))
     return per.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -641,6 +648,117 @@ ORDER BY doc_id
 """
 
 
+def td_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020, LREC — the pipeline behind CCNet/cc_net): score every
+    document with the corpus-LM quality signal, then split EACH
+    LANGUAGE into three quality terciles, the bucket labels the paper
+    ships its corpus under.  The LM score is the engine-exact integer
+    unigram surprisal (``_surprisal_per_token``; CCNet uses KenLM
+    perplexity — same signal class, deterministic here), scaled to an
+    integer ``score = (1000·Σsbits) div n_tokens`` so every boundary
+    comparison is integer arithmetic in both engines.  Orientation:
+    high surprisal = informative, so head = top tercile.
+
+    Scale shape — the histogram-quantile form, NOT a per-language sort:
+    ``td_curriculum_order``'s global ntile is the documented
+    swap-for-approx-at-100TB compromise; this query is the scale-right
+    alternative.  Per-language tercile boundaries come from a
+    (lang, score) HISTOGRAM: distinct integer scores per language are
+    bounded by 1000·64 regardless of corpus size, so the cumulative
+    window runs over a provably tiny frame (bounded-histogram class —
+    never the corpus-sized hot-key window the r7 sf10 probe killed),
+    and the O(#langs) boundary table broadcasts back onto the linear
+    doc-score frame.  Exact order statistics, zero corpus-sized sorts:
+    boundary b1 = k1-th smallest score (k1 = ⌈n/3⌉, integer
+    ``(n+2) div 3``), b2 = ⌈2n/3⌉-th; ties land whole score-values in
+    one bucket (value-threshold semantics — CCNet's cutoffs are values
+    too), so bucket sizes are approximate but the rule is exactly
+    replayable.
+
+    Ref: scale op beyond the reference — LLM-pipeline corpus curation
+    (the bucketing step between quality scoring and mixing)."""
+    from pyspark.sql import Window
+
+    per = _surprisal_per_token(spark, sf)
+    doc = per.groupBy("doc_id").agg(
+        F.expr("(1000 * sum(sbits)) div count(1)").alias("score")
+    )
+    langs = load(spark, sf, "documents").select("doc_id", "lang")
+    scored = doc.join(langs, "doc_id")
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang", "score",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    bounds = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("score"))
+        ).alias("b1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("score"))
+        ).alias("b2"),
+    )
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id", "lang", "score",
+            F.when(F.col("score") <= F.col("b1"), F.lit("tail"))
+            .when(F.col("score") <= F.col("b2"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CCNET_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+per AS (
+  SELECT doc_id, length(bin(n_total // cnt)) - 1 AS sbits
+  FROM tok JOIN vocab USING (t) CROSS JOIN tot
+),
+doc AS (
+  SELECT doc_id, CAST((1000 * SUM(sbits)) // COUNT(*) AS BIGINT) AS score
+  FROM per GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, m.lang, d.score FROM doc d JOIN documents m USING (doc_id)
+),
+hist AS (SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT lang, score,
+         SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+bounds AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS b1,
+         MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN score END) AS b2
+  FROM cum GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.score,
+       CASE WHEN s.score <= b.b1 THEN 'tail'
+            WHEN s.score <= b.b2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored s JOIN bounds b USING (lang)
+ORDER BY s.doc_id
+"""
+
+
 def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     """HTML boilerplate removal — the main-content extraction step of a
     web-corpus pipeline (trafilatura/jusText territory, the structural
@@ -801,6 +919,13 @@ SPECS = [
                   "(bigram conditional surprisal, unigram backoff at BOS)",
               doc="per-doc mean bigram conditional surprisal + gate",
               tags=("text",)),
+    QuerySpec("td_ccnet_buckets", td_ccnet_buckets, CCNET_SQL,
+              ref="scale op: CCNet head/middle/tail per-language quality "
+                  "terciles (Wenzek et al. 2020) via bounded-histogram "
+                  "exact order statistics — no corpus-sized sort",
+              doc="per-language quality tercile bucketing on the "
+                  "integer-surprisal LM score, boundaries broadcast",
+              tags=("traindata",)),
     QuerySpec("td_curriculum_order", curriculum_order, CURRICULUM_SQL,
               ref="scale op: easy-to-hard curriculum phases from the "
                   "unigram-surprisal difficulty score",
