@@ -60,28 +60,74 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def parquet_num_rows(sf_dir: str, name: str) -> int:
+def parquet_num_rows(sf_dir: str, name: str, required: bool = False) -> int:
     """Row count of a table from its parquet FOOTER — a driver-side
     metadata read, no Spark job.  Used where a plan needs a static size
     bound (e.g. Bloom bitset width) without an eager action at plan
     construction time.  Handles both a single file and a directory of
-    part files; returns 0 if the footer can't be read (callers treat
-    that as "use the floor")."""
+    part files.
+
+    ``required=False`` (sizing HINTS, e.g. Bloom mbits where mis-sizing
+    only moves the false-positive rate): an unreadable footer returns 0
+    with a loud warning.  ``required=True`` (sizing that must match an
+    oracle-side ``COUNT(*)``, e.g. the k = isqrt(n) kmeans schedule):
+    an unreadable or empty footer RAISES — silently falling back to the
+    k=4 floor while the oracle computes isqrt(n) would be a guaranteed,
+    hard-to-diagnose parity mismatch (ADVICE r8)."""
     import os
+    import warnings
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     try:
         if os.path.isdir(path):
-            return sum(
+            n = sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
                 for f in os.listdir(path)
                 if f.endswith(".parquet")
             )
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception:  # noqa: BLE001 — sizing hint only, never fatal
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+    except Exception as exc:  # noqa: BLE001 — see required semantics above
+        if required:
+            raise RuntimeError(
+                f"parquet footer unreadable for {path}; refusing to size "
+                f"from the floor (oracle parity would silently break)"
+            ) from exc
+        warnings.warn(f"parquet footer unreadable for {path}: {exc}; using 0")
         return 0
+    if required and n == 0:
+        raise RuntimeError(
+            f"parquet footer reports 0 rows for {path}; refusing to size "
+            f"from the floor (oracle parity would silently break)"
+        )
+    return n
+
+
+_PERSIST_REGISTRY: dict[str, "object"] = {}
+
+
+def persist_replacing(key: str, df):
+    """Persist ``df``, first unpersisting whatever frame was persisted
+    under ``key`` by a PREVIOUS build of the same query.
+
+    Lazy builders can't unpersist after "the consuming action" — the
+    action happens in the caller — so a long-lived session that rebuilds
+    a persisting query repeatedly would otherwise accumulate one cached
+    N-row frame per build (ADVICE r8, dedup_semdedup).  Keying by query
+    name bounds that to ONE live frame per operator: the nth build
+    releases the (n-1)th's cache.  Sweeping callers (bench.py,
+    oracle_harness) still clearCache() between queries; this registry
+    covers every caller that doesn't."""
+    old = _PERSIST_REGISTRY.get(key)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — stale handle after session restart
+            pass
+    _PERSIST_REGISTRY[key] = df.persist()
+    return df
 
 
 def prefix_sum_partitions(spark: SparkSession) -> int:

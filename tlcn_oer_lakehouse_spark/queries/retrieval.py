@@ -648,13 +648,17 @@ def context_mmr(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: corpus-sized work is exactly the shared BM25 scan plus
     one embeddings equi-join; the candidate pool is then a constant
-    O(MMR_POOL)-row frame, ``localCheckpoint``-ed (same rationale as
-    ``kmeans_fit``'s centroid checkpoint — the greedy unroll references
-    it ~2 references/step, and without truncation every reference
-    replays the corpus scan; NOTE this runs an eager job at plan-build
-    time).  Selection depth is a constant, so the unrolled plan size is
-    fixed and data-independent; every step joins ≤MMR_POOL rows against
-    a broadcast ≤MMR_K-row selected set."""
+    O(MMR_POOL)-row frame, ``localCheckpoint(eager=False)``-ed (same
+    rationale as ``kmeans_fit``'s centroid checkpoint — the greedy
+    unroll references it ~2 references/step, and without truncation
+    every reference replays the corpus scan).  ``eager=False`` keeps
+    plan construction metadata-only (ADVICE r8: the eager default ran
+    the full BM25 corpus scan at build time, breaking the registry's
+    lazy-builder contract); the checkpoint materializes once inside the
+    first consuming action and is reused by every later reference.
+    Selection depth is a constant, so the unrolled plan size is fixed
+    and data-independent; every step joins ≤MMR_POOL rows against a
+    broadcast ≤MMR_K-row selected set."""
     emb = load(spark, sf, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
@@ -674,7 +678,7 @@ def context_mmr(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("raw") / F.col("mx"), 9).alias("rel"),
             "vec",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     sel = (

@@ -274,7 +274,6 @@ def ann_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
 def _kmeans_sql_parts(
     vecs_cte: str,
     cent0_cte: str,
-    k: int = 4,
     n_iter: int = 2,
     dim: int = 64,
     train_name: str = "vecs",
@@ -285,10 +284,15 @@ def _kmeans_sql_parts(
     and the SemDeDup oracle (augmented corpus) share ONE copy of the
     assignment/update SQL, mirroring the ``_ivf_sql_core`` convention:
     a tie-break or rounding fix lands in both oracles or neither.
-    ``train_name`` points the Lloyd iterations at a training-sample CTE
-    (the sampled-training quantizer path); the default replays over the
-    full ``vecs``.  Returns (CTE parts ending at ``cent{n_iter}``, the
-    squared-L2 expression used for assignment)."""
+    The cluster COUNT lives entirely in the caller's ``cent0`` CTE (a
+    literal for ann_kmeans_assign, the isqrt(n) scalar subquery for the
+    semdedup/ssl oracles) — this helper deliberately takes no ``k``
+    (ADVICE r8: a pass-through literal 4 here misled readers into
+    concluding those oracles run k=4).  ``train_name`` points the Lloyd
+    iterations at a training-sample CTE (the sampled-training quantizer
+    path); the default replays over the full ``vecs``.  Returns (CTE
+    parts ending at ``cent{n_iter}``, the squared-L2 expression used
+    for assignment)."""
     sq = (
         "round(list_sum(list_transform(generate_series(1, {d}), "
         "j -> (e.v[j] - c.centroid_vec[j]) * (e.v[j] - c.centroid_vec[j]))), 9)"
@@ -317,7 +321,7 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
     parts, sq = _kmeans_sql_parts(
         "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid_vec FROM embeddings WHERE vec_id < {k})",
-        k, n_iter, dim,
+        n_iter, dim,
     )
     return (
         "WITH " + ",\n".join(parts) + f"""
@@ -370,10 +374,13 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         kmeans_assign_once,
         kmeans_fit,
     )
-    from tlcn_oer_lakehouse_spark.queries.base import parquet_num_rows
+    from tlcn_oer_lakehouse_spark.queries.base import (
+        parquet_num_rows,
+        persist_replacing,
+    )
 
     corpus = _augmented_embeddings(spark, sf)
-    k = max(4, math.isqrt(parquet_num_rows(sf, "embeddings")))
+    k = max(4, math.isqrt(parquet_num_rows(sf, "embeddings", required=True)))
     # Train the quantizer on a bounded deterministic SAMPLE (every 4th
     # id + the id-init seeds), then assign the full corpus once — the
     # production IVF recipe (FAISS trains on ~O(256·k) vectors): Lloyd
@@ -390,9 +397,12 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     # pair-scan sides + the final anti-join) — without it each reference
     # replays the full N×k assignment pass (measured 3× the runtime at
     # sf1.0).  In production this frame IS the stored IVF-layout table.
-    # Sweeping callers clear the cache after the consuming action
-    # (bench.py per rep, oracle_harness/driver_sim per query).
-    assigned = kmeans_assign_once(work, cents, "vec_id", "__v").persist()
+    # persist_replacing bounds a long-lived session to ONE live cached
+    # frame for this query — a rebuild releases the prior build's cache
+    # (ADVICE r8); sweeping callers additionally clearCache() per query.
+    assigned = persist_replacing(
+        "dedup_semdedup.assigned", kmeans_assign_once(work, cents, "vec_id", "__v")
+    )
 
     # Hoist each vector's norm OUT of the pair scan: cosine(a,b) is
     # dot/(|a|·|b|), and computing |·| once per row (2N folds) instead
@@ -449,7 +459,7 @@ def _semdedup_oracle(n_iter: int = 2, dim: int = 64) -> str:
         "vecs AS MATERIALIZED (SELECT vec_id, vec AS v FROM corpus),\n"
         f"tvecs AS MATERIALIZED (SELECT vec_id, v FROM vecs WHERE vec_id < {k_sql} OR vec_id % 4 = 0)",
         f"cent0 AS (SELECT vec_id AS centroid_id, v AS centroid_vec FROM vecs WHERE vec_id < {k_sql})",
-        4, n_iter, dim, train_name="tvecs",
+        n_iter, dim, train_name="tvecs",
     )
     cos = _cos_sql("a.v", "b.v")
     corpus = AUG_EMB_SQL.strip().replace("corpus AS (", "corpus AS MATERIALIZED (", 1)
@@ -505,7 +515,7 @@ def td_ssl_prototypes(spark: SparkSession, sf: str) -> DataFrame:
     from tlcn_oer_lakehouse_spark.queries.base import parquet_num_rows
 
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    k = max(4, math.isqrt(parquet_num_rows(sf, "embeddings")))
+    k = max(4, math.isqrt(parquet_num_rows(sf, "embeddings", required=True)))
     # sampled-training quantizer, full-corpus assignment — see
     # dedup_semdedup's note; identical engine-neutral sample rule
     train = emb.filter((F.col("vec_id") < k) | (F.col("vec_id") % 4 == 0))
@@ -545,7 +555,7 @@ def _ssl_prototypes_oracle(n_iter: int = 2, dim: int = 64) -> str:
         "vecs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
         f"tvecs AS MATERIALIZED (SELECT vec_id, v FROM vecs WHERE vec_id < {k_sql} OR vec_id % 4 = 0)",
         f"cent0 AS (SELECT vec_id AS centroid_id, v AS centroid_vec FROM vecs WHERE vec_id < {k_sql})",
-        4, n_iter, dim, train_name="tvecs",
+        n_iter, dim, train_name="tvecs",
     )
     chain = ",\n".join(parts)
     return f"""
