@@ -657,8 +657,12 @@ def td_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     unigram surprisal (``_surprisal_per_token``; CCNet uses KenLM
     perplexity — same signal class, deterministic here), scaled to an
     integer ``score = (1000·Σsbits) div n_tokens`` so every boundary
-    comparison is integer arithmetic in both engines.  Orientation:
-    high surprisal = informative, so head = top tercile.
+    comparison is integer arithmetic in both engines.  Orientation
+    FOLLOWS THE PAPER (ADVICE r8): Wenzek et al. define head = lowest
+    perplexity (most fluent, most LM-like), tail = highest — so here
+    head = the LOW-surprisal tercile and tail = the high-surprisal one.
+    Downstream consumers expecting CCNet semantics (e.g. "train on
+    head+middle") read these labels as published.
 
     Scale shape — the histogram-quantile form, NOT a per-language sort:
     ``td_curriculum_order``'s global ntile is the documented
@@ -709,9 +713,9 @@ def td_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
         scored.join(F.broadcast(bounds), "lang")
         .select(
             "doc_id", "lang", "score",
-            F.when(F.col("score") <= F.col("b1"), F.lit("tail"))
+            F.when(F.col("score") <= F.col("b1"), F.lit("head"))
             .when(F.col("score") <= F.col("b2"), F.lit("middle"))
-            .otherwise(F.lit("head"))
+            .otherwise(F.lit("tail"))
             .alias("bucket"),
         )
         .orderBy("doc_id")
@@ -751,9 +755,9 @@ bounds AS (
   FROM cum GROUP BY lang
 )
 SELECT s.doc_id, s.lang, s.score,
-       CASE WHEN s.score <= b.b1 THEN 'tail'
+       CASE WHEN s.score <= b.b1 THEN 'head'
             WHEN s.score <= b.b2 THEN 'middle'
-            ELSE 'head' END AS bucket
+            ELSE 'tail' END AS bucket
 FROM scored s JOIN bounds b USING (lang)
 ORDER BY s.doc_id
 """
@@ -877,6 +881,109 @@ ORDER BY doc_id
 """
 
 
+_QC_BUCKETS = 4096
+
+
+def td_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering, DCLM/fastText-shape (Li et al.
+    2024, DataComp-LM; Joulin et al. 2017): train a linear classifier
+    over HASHED unigram features against a weak-supervision label, then
+    score every document with the learned weights — the pipeline stage
+    that separates "heuristic gates" (Gopher rules) from "model-based"
+    curation.  Both phases are ONE query here: in production the
+    weights table is persisted and inference runs alone.
+
+    Engine-exact training, no floats: features are md5-prefix hash
+    buckets (t → b ∈ [0, 4096), the fastText hashing trick — vocabulary
+    never materializes, memory is O(4096) regardless of corpus); the
+    weak label is a type-token-ratio proxy (is_pos ⟺ 2·|distinct| ≥
+    |tokens|; production would use curated seeds, e.g. Wikipedia-vs-
+    crawl); per-bucket weights are INTEGER naive-Bayes log-odds via bit
+    length — w_b = ⌊log2(pos_b+1)⌋ − ⌊log2(neg_b+1)⌋ (the repo's
+    integer-surprisal convention: transcendental log differs in the
+    last ulp across engines, bit length never does).  Per-doc score is
+    an integer sum; only the final per-token mean is a double (single
+    division, round-9).
+
+    Scale shape: training = one explode → 4096-row groupBy (map-side
+    combinable, output O(1)); inference = broadcast join of the 4096-
+    row weight table onto the token stream + a doc-keyed combinable
+    sum.  Two linear passes, zero corpus-sized shuffles beyond the
+    doc-keyed aggregation.
+
+    Ref: scale op beyond the reference — LLM-pipeline model-based
+    quality curation (DCLM §4.4's winning filter class)."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    tk = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(tk)) * 2 >= F.size(tk)).alias("is_pos"),
+        F.explode(tk).alias("t"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long"),
+        F.lit(_QC_BUCKETS),
+    )
+    feats = base.select("doc_id", "is_pos", bucket.alias("b"))
+    counts = feats.groupBy("b").agg(
+        F.sum(F.col("is_pos").cast("long")).alias("pos_c"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("neg_c"),
+    )
+    # integer log-odds: the +1-smoothed bit lengths' difference
+    # (the two "-1"s of floor-log2 cancel)
+    weights = counts.select(
+        "b",
+        (F.length(F.bin(F.col("pos_c") + 1)) - F.length(F.bin(F.col("neg_c") + 1))).alias("w"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("score"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.round(F.col("score").cast("double") / F.col("n_tokens"), 9).alias(
+            "avg_w"
+        ),
+        (F.col("score") > 0).alias("quality_pred"),
+    ).orderBy("doc_id")
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, tk, len(list_distinct(tk)) * 2 >= len(tk) AS is_pos FROM base
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, is_pos,
+         CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % {_QC_BUCKETS} AS b
+  FROM (SELECT doc_id, is_pos, unnest(tk) AS t FROM lab)
+),
+counts AS (
+  SELECT b, SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS pos_c,
+         SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS neg_c
+  FROM feats GROUP BY b
+),
+weights AS (
+  SELECT b, length(bin(pos_c + 1)) - length(bin(neg_c + 1)) AS w FROM counts
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS score
+  FROM feats JOIN weights USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score,
+       round(CAST(score AS DOUBLE) / n_tokens, 9) AS avg_w,
+       score > 0 AS quality_pred
+FROM scored ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("qual_boilerplate_strip", boilerplate_strip, BOILERPLATE_SQL,
               ref="scale op: main-content extraction from HTML chrome "
@@ -930,6 +1037,15 @@ SPECS = [
               ref="scale op: easy-to-hard curriculum phases from the "
                   "unigram-surprisal difficulty score",
               doc="deterministic curriculum ordering into training phases",
+              tags=("traindata",)),
+    QuerySpec("td_quality_classifier", td_quality_classifier,
+              QUALITY_CLASSIFIER_SQL,
+              ref="scale op: DCLM/fastText-shape model-based quality "
+                  "filter — hashed-unigram features, integer NB "
+                  "log-odds training + broadcast-weight inference in "
+                  "one plan",
+              doc="train + apply a hashed-feature linear quality "
+                  "classifier over the documents corpus",
               tags=("traindata",)),
     QuerySpec("qual_gopher_rules", gopher_rules, GOPHER_SQL,
               ref="scale op; Gopher document-shape filter battery "
