@@ -305,6 +305,30 @@ def test_contamination_two_wide_shuffles(spark):
     assert audit.exchange_count(df) <= 4
 
 
+def test_contamination_bloom_is_register_blocked(spark):
+    """The Bloom gate's 100 TB plan shape (r9 register-blocked rewrite):
+    the test-shingle stream probes the bitset through EXACTLY ONE
+    broadcast hash join — the r7/r8 classic layout needed three (one
+    per hash), tripling the map-side join work on the data-sized
+    stream.  One extra broadcast join is budgeted for the confirm
+    path's possible AQE broadcast; the probe must never regress to a
+    per-hash join chain, and no Generate (explode) beyond the shingle
+    streams may appear — the blocked build aggregates train rows 1:1.
+    """
+    df = _build(spark, "td_contamination_scalable")
+    plan = audit.simple_plan(df)
+    n_bhj = audit.broadcast_join_count(df)
+    # 3 = bitset probe + confirm semi-join + final doc-level left join
+    # (the latter two go broadcast at test scale); the classic layout's
+    # probe alone took 3, pushing the total to 5+
+    assert n_bhj <= 3, f"expected <=3 broadcast joins, saw {n_bhj}:\n{plan}"
+    # the only explodes are the shingle stream, which surfaces once per
+    # consuming branch pre-cache (train: words build + confirm; test:
+    # sizes + probe) = 4.  The classic layout added a 5th — the Bloom
+    # build's explode over the per-hash position array.
+    assert plan.count("Generate") <= 4, plan
+
+
 def test_bpe_tokenize_apply_is_one_keyed_join(spark):
     """The tokenize-apply step joins exploded corpus words to the
     vocab-sized segmentation once; the whole apply side must stay

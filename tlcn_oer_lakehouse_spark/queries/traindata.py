@@ -429,25 +429,42 @@ def contamination_check_scalable(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape vs the ungated query:
     - the df-capped train aggregate is unchanged (and persisted: it
       feeds the Bloom build AND the confirm join);
-    - the Bloom is a true bitset — k=3 xxhash64 positions per train
-      shingle OR'd into 64-bit words (``bit_or`` over ``pos div 64``),
-      sized at ~4.8 bits/key (p≈10%) from a STATIC cardinality bound
-      (documents parquet footer row count × measured ~45 distinct
-      train shingles/doc — no Spark job, so building this plan stays
-      lazy; r7 sized from ``train.count()``, which made every plan
-      construction run a full train aggregation and leak a persisted
-      frame).  Power-of-two rounding absorbs the bound's slack, and
-      mis-sizing only moves the fp rate — the exact confirm join keeps
-      the output bit-identical regardless;
-    - the probe is THREE map-side broadcast hash joins (one per hash) —
-      zero extra shuffle on the data-sized test stream; per-doc
-      ``n_shingles`` comes from a map-combined doc-keyed count;
-    - only survivors (true hits + ~10% false positives) shuffle into
+    - the Bloom is REGISTER-BLOCKED (Putze et al. 2009, "Cache-, hash-
+      and space-efficient Bloom filters"): all k=3 probe bits of a key
+      live in ONE 64-bit word, so the build is a single map-side-
+      combinable ``bit_or`` over train (no row multiplication) and the
+      probe is ONE broadcast hash join + a mask compare.  The r7/r8
+      classic layout scattered the 3 bits across the whole bitset —
+      that cost a 3× ``explode`` on the build side and THREE broadcast
+      joins on the data-sized test stream; blocked halves the gated
+      stage at sf0.1 and the advantage grows with test volume;
+    - zero hash calls are added on either side: the join key is already
+      ``xxhash64(shingle)`` — a uniform 64-bit value — so the word
+      index is its high bits (``shiftrightunsigned(key, 18) % nwords``)
+      and the three in-word positions are its low 3×6 bits.  Build and
+      probe derive them with identical expressions, so no false
+      negatives by construction;
+    - sizing: a blocked layout pays block-occupancy variance, so it
+      needs ~2× the bits of a classic Bloom for the same fp rate —
+      ~9.6 bits/key (fp ≈ 2-4% at 64/9.6 ≈ 6.7 keys/word) from a STATIC
+      cardinality bound (documents parquet footer row count × measured
+      ~45 distinct train shingles/doc — no Spark job, so building this
+      plan stays lazy; r7 sized from ``train.count()``, which made
+      every plan construction run a full train aggregation).  Power-of-
+      two rounding absorbs the bound's slack, and mis-sizing only moves
+      the fp rate — the exact confirm join keeps the output
+      bit-identical regardless;
+    - only survivors (true hits + ~2-4% false positives) shuffle into
       the exact confirm join, which at 100 TB is the difference between
       shuffling every test shingle and shuffling the contaminated tail.
+      At extreme train cardinality the words table outgrows a broadcast
+      (~4M rows per 25M train shingles); the same plan then degrades
+      gracefully to a shuffle equi-join on ``word_idx`` — still one
+      join, still no row multiplication.
     """
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
+
     max_df = 1000
-    depth = 3
     docs = load(spark, sf, "documents")
     b = _bucket(F.col("doc_id"), 100)
     with_split = docs.filter((b < 80) | (b >= 90)).select(
@@ -460,56 +477,55 @@ def contamination_check_scalable(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    train = (
+    train = persist_replacing(
+        "td_contamination_scalable.train",
         with_split.filter(F.col("is_train"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_train"))
         .filter(F.col("df_train") <= max_df)
-        .select("shingle")
-        .persist()
+        .select("shingle"),
     )
-    # size the bitset to the data: ~4.8 bits/key ≈ 10% fp at k=3, with
-    # the key cardinality bounded statically from the parquet footer
-    # (driver-side metadata read, no Spark job — plan construction must
-    # stay lazy; callers are responsible for unpersisting `train` after
-    # the consuming action, or clearing the cache as bench.py does).
-    # 45 ≈ measured distinct 5-gram shingles/doc (≈50) × 0.8 train
-    # fraction × ~0.95 cross-doc dedup, stable across sf0.001–sf10.
+    # size the bitset to the data: ~9.6 bits/key (blocked layout, see
+    # docstring), with the key cardinality bounded statically from the
+    # parquet footer (driver-side metadata read, no Spark job — plan
+    # construction must stay lazy; the train persist is bounded to one
+    # live frame by persist_replacing, and sweeping callers clear the
+    # cache per query).  45 ≈ measured distinct 5-gram shingles/doc
+    # (≈50) × 0.8 train fraction × ~0.95 cross-doc dedup, stable across
+    # sf0.001–sf10.
     n_train_bound = max(1, 45 * _parquet_num_rows(sf, "documents"))
-    mbits = 1 << max(18, (int(4.8 * n_train_bound) - 1).bit_length())
+    mbits = 1 << max(18, (int(9.6 * n_train_bound) - 1).bit_length())
+    nwords = mbits // 64
 
-    def _pos(i: int) -> F.Column:
-        return F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(mbits))
+    def _word(col: str) -> F.Column:
+        # high bits → word index (the low 18 feed the in-word mask)
+        return F.pmod(F.shiftrightunsigned(F.col(col), 18), F.lit(nwords))
+
+    def _mask(col: str) -> F.Column:
+        # low 3×6 bits → three in-word positions, OR'd into one mask;
+        # identical expression on build and probe ⇒ no false negatives
+        return F.expr(
+            f"shiftleft(1L, cast({col} & 63 as int))"
+            f" | shiftleft(1L, cast(({col} >> 6) & 63 as int))"
+            f" | shiftleft(1L, cast(({col} >> 12) & 63 as int))"
+        )
 
     words = (
-        train.select(F.explode(F.array(*[_pos(i) for i in range(depth)])).alias("pos"))
-        .groupBy(F.expr("pos div 64").alias("word_idx"))
-        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("bits"))
+        train.groupBy(_word("shingle").alias("word_idx"))
+        .agg(F.bit_or(_mask("shingle")).alias("bits"))
     )
 
     test = with_split.filter(~F.col("is_train")).select("doc_id", "shingle")
     sizes = test.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    probe = test
-    cond = F.lit(True)
-    for i in range(depth):
-        # one _pos(i) column, word/bit derived from IT — the probe must
-        # hash exactly as the build side did
-        probe = (
-            probe.withColumn(f"__p{i}", _pos(i))
-            .withColumn(f"__w{i}", F.expr(f"__p{i} div 64"))
-            .withColumn(f"__b{i}", F.expr(f"shiftleft(1L, cast(__p{i} % 64 as int))"))
-        )
-        w = words.select(
-            F.col("word_idx").alias(f"__wi{i}"), F.col("bits").alias(f"__bits{i}")
-        )
-        probe = probe.join(
-            F.broadcast(w), probe[f"__w{i}"] == w[f"__wi{i}"], "left"
-        )
-        cond = cond & (
-            F.coalesce(F.col(f"__bits{i}"), F.lit(0)).bitwiseAND(F.col(f"__b{i}")) != 0
-        )
-    survivors = probe.filter(cond).select("doc_id", "shingle")
+    probe = (
+        test.withColumn("__w", _word("shingle"))
+        .withColumn("__m", _mask("shingle"))
+        .join(F.broadcast(words), F.col("__w") == F.col("word_idx"), "left")
+    )
+    survivors = probe.filter(
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__m")) == F.col("__m")
+    ).select("doc_id", "shingle")
 
     hits = (
         survivors.join(train, "shingle", "leftsemi")
@@ -1467,6 +1483,203 @@ FROM doc_stats LEFT JOIN chunk_stats USING (split, lang_pred)
 """
 
 
+def td_dataset_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-pair content-overlap matrix via KMV (theta) sketch
+    algebra: for every pair of document SOURCES, estimate the Jaccard
+    overlap, union and intersection of their distinct 5-gram shingle
+    sets — the dataset-level report a mixing pipeline reads before
+    setting corpus weights (near-identical sources waste epochs;
+    Soldaini et al. 2024 Dolma publishes exactly this pairwise table).
+
+    Scale shape — the whole point of sketches: the corpus-sized work is
+    ONE distinct-aggregate over (source, shingle-hash) plus a bounded
+    per-source k-min (k=64, the ``a_kmv_set_ops`` partition-prefilter
+    pattern: per-partition row_number caps each partition's
+    contribution at k before the per-source window, so no corpus-sized
+    single-partition sort).  Everything pairwise then runs on s×k
+    sketch ROWS (s=#sources): merged k-min per pair, θ-estimator for
+    the union, ρ/k for Jaccard — O(s²k) work however large the corpus.
+    Sketch-membership stands in for set-membership exactly (not
+    approximately) inside the merged k-min: every merged value h ≤
+    θ_pair ≤ min(θ_a, θ_b), and below its own θ a KMV sketch IS the
+    set.  EXACT union/intersection are computed alongside from the
+    distinct-hash frame (one self-equi-join on h) so the estimator's
+    error is visible in the result — at 100 TB you drop the exact
+    columns and keep the O(s²k) sketch path.
+
+    Ref: scale op beyond the reference — LLM-pipeline corpus mixing
+    diagnostics (same sketch family as a_kmv_distinct/a_kmv_set_ops,
+    lifted from per-type user counts to dataset-pair set algebra)."""
+    from tlcn_oer_lakehouse_spark.queries.mlstats import _HASH_SPACE, _KMV_K
+
+    docs = load(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))).alias(
+                "shingle"
+            ),
+        )
+        .select("source", h.alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pre = (
+        sh.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "prn",
+            F.row_number().over(Window.partitionBy("source", "pid").orderBy("h")),
+        )
+        .filter(F.col("prn") <= _KMV_K)
+    )
+    sk = (
+        pre.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    pairs = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    ).join(
+        sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+        F.col("source_a") < F.col("source_b"),
+    )
+    keys = pairs.select("source_a", "source_b")
+    ma = keys.join(sk.withColumnRenamed("source", "source_a"), "source_a").select(
+        "source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    mb = keys.join(sk.withColumnRenamed("source", "source_b"), "source_b").select(
+        "source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ma.unionByName(mb)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    km = merged.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("source_a", "source_b").orderBy("h")),
+    ).filter(F.col("rn") <= _KMV_K)
+    sketch = km.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    )
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    est_union = F.when(
+        F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(_HASH_SPACE)
+        / (F.col("hk") + F.lit(1)).cast("double")
+    )
+    jac = F.col("rho").cast("double") / F.col("k_used")
+    return (
+        pairs.join(sketch, ["source_a", "source_b"])
+        .join(inter, ["source_a", "source_b"], "left")
+        .withColumn(
+            "exact_intersection", F.coalesce(F.col("exact_intersection"), F.lit(0))
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "k_used",
+            F.round(est_union, 9).alias("est_union"),
+            (F.col("na") + F.col("nb") - F.col("exact_intersection")).alias(
+                "exact_union"
+            ),
+            F.round(jac, 9).alias("jaccard_est"),
+            F.round(jac * est_union, 9).alias("est_intersection"),
+            "exact_intersection",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _dataset_overlap_sql(k: int = 64, space: float = 4294967296.0) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT source,
+         CAST('0x' || substring(md5(array_to_string(t[i:i+4], ' ')), 1, 8) AS BIGINT) AS h
+  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+sk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh
+  ) WHERE rn <= {k}
+),
+pairs AS (
+  SELECT a.source AS source_a, a.n AS na, b.source AS source_b, b.n AS nb
+  FROM sizes a JOIN sizes b ON a.source < b.source
+),
+merged AS (
+  SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.source_b
+  ) GROUP BY source_a, source_b, h
+),
+km AS (
+  SELECT * FROM (
+    SELECT source_a, source_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {k}
+),
+sketch AS (
+  SELECT source_a, source_b, COUNT(*) AS k_used,
+         MAX(CASE WHEN rn = {k} THEN h END) AS hk,
+         SUM(in_a * in_b) AS rho
+  FROM km GROUP BY source_a, source_b
+),
+inter AS (
+  SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS exact_intersection
+  FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.source_a, p.source_b, s.k_used,
+         CASE WHEN s.k_used < {k} THEN CAST(s.k_used AS DOUBLE)
+              ELSE {float(k - 1)} * {space} / CAST(s.hk + 1 AS DOUBLE) END AS eu,
+         p.na + p.nb - COALESCE(i.exact_intersection, 0) AS exact_union,
+         CAST(s.rho AS DOUBLE) / s.k_used AS jac,
+         COALESCE(i.exact_intersection, 0) AS exact_intersection
+  FROM pairs p
+  JOIN sketch s USING (source_a, source_b)
+  LEFT JOIN inter i USING (source_a, source_b)
+)
+SELECT source_a, source_b, k_used,
+       round(eu, 9) AS est_union, exact_union,
+       round(jac, 9) AS jaccard_est,
+       round(jac * eu, 9) AS est_intersection,
+       exact_intersection
+FROM est
+ORDER BY source_a, source_b
+"""
+
+
 SPECS = [
     QuerySpec("td_train_test_split", train_test_split, SPLIT_SQL,
               ref="new capability (training-data pipeline; hash-deterministic split)",
@@ -1519,6 +1732,14 @@ SPECS = [
               doc="Bloom-gated train→test contamination (output ≡ "
                   "td_contamination_check)",
               tags=("traindata", "dedup", "bench")),
+    QuerySpec("td_dataset_overlap", td_dataset_overlap,
+              _dataset_overlap_sql(),
+              ref="scale op: pairwise corpus-overlap matrix via KMV "
+                  "sketch algebra (Dolma-style mixing diagnostics) — "
+                  "O(s²k) pair work however large the corpus",
+              doc="per-source-pair shingle-set Jaccard/union/intersection "
+                  "estimates with exact counterparts alongside",
+              tags=("traindata",)),
     QuerySpec("td_exact_substring_dedup", exact_substring_dedup,
               EXACT_SUBSTRING_SQL,
               ref="scale op: ExactSubstr substring-level dedup (Lee et al. "
