@@ -197,7 +197,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time near-dup: the augmented copies/jitters (doc_id >=
+    100000) arrive as TODAY'S BATCH against the base corpus as the
+    standing index — ``minhash_incremental_pairs`` emits exactly the
+    near-dup pairs touching a batch document (new×existing ∪ new×new).
+
+    This is the O(delta) daily-pipeline form of ``dedup_minhash_lsh``:
+    re-running the full pipeline per ingest re-shingles and re-pairs
+    the whole corpus, O(corpus) shuffles per batch; here only the batch
+    is shingled/banded in full, the standing side contributes its band
+    table for the probe plus shingles for ONLY the candidate docs
+    (semi-join pruned), so per-ingest work scales with the batch and
+    its collision set.  On a deployment the standing band/signature/
+    shingle tables are persisted outputs of earlier runs (bucketed by
+    band hash → co-located probe); here they are derived in-plan.
+
+    The oracle is the FULL pipeline's SQL replay restricted to
+    batch-touching pairs — the green proves the incremental plan loses
+    and invents nothing vs a from-scratch rerun (the equivalence
+    ``test_operators_extra.py`` pins is here driver-hash-certified).
+
+    Ref: scale op beyond the reference — LLM-pipeline incremental
+    corpus maintenance (same O(delta) family as medallion_incremental
+    and q7_index_diff)."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import minhash_incremental_pairs
+
+    corpus = augmented_corpus(spark, sf)
+    existing = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    return minhash_incremental_pairs(
+        existing, batch, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, threshold=0.5,
+    )
+
+
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    extra_where: str = "",
+) -> str:
     # affine family over one md5 base hash — must mirror
     # operators/dedup.py: h_i = (A_i*base + B_i) % P
     rows = num_hashes // bands
@@ -239,7 +279,7 @@ SELECT i.doc_a, i.doc_b, i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
 FROM inter i
 JOIN sizes na ON na.doc = i.doc_a
 JOIN sizes nb ON nb.doc = i.doc_b
-WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= {threshold}
+WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= {threshold}{extra_where}
 """
 
 
@@ -1137,6 +1177,13 @@ SPECS = [
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
               ref="scale op (SURVEY §7.7); minhash k=16, 4 bands, J>=0.5",
               doc="MinHash+LSH near-dup pairs", tags=("dedup", "bench")),
+    QuerySpec("dedup_minhash_incremental", dedup_minhash_incremental,
+              _minhash_oracle(extra_where=" AND (i.doc_a >= 100000 OR i.doc_b >= 100000)"),
+              ref="scale op: O(delta) ingest-time near-dup vs a standing "
+                  "band index; oracle = full-pipeline replay restricted "
+                  "to batch-touching pairs",
+              doc="incremental MinHash+LSH: batch-vs-corpus near-dup pairs",
+              tags=("dedup",)),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL,
               ref="scale op; exact 3-gram Jaccard via shared-shingle join",
               doc="n-gram Jaccard near-dup pairs", tags=("dedup",)),
