@@ -27,18 +27,17 @@ _MODULES = (
 )
 
 
-# Driver-verified-green union across CORRECTNESS_r01..r07, keyed by the
+# Driver-verified-green union across CORRECTNESS_r01..r08, keyed by the
 # LATEST round each query's newest green row was produced in (its
-# "vintage").  CORRECTNESS_r07 was 50/50 green — the cross-round union
-# is 198/198: every registry query has a driver-proven row.  The
+# "vintage"; a name in several rounds resolves to the LAST set that
+# contains it — insertion order matters).  CORRECTNESS_r08 was 50/50
+# green — the cross-round union is 204/204 pre-round-9 queries: every
+# registry query has a driver-proven row, none older than r4.  The
 # vintage drives the rank-3 ordering below so each round's spare window
-# slots refresh the OLDEST driver rows first.  Round-8 window budget:
-# the 19 oldest rows (all 18 r3 rows + the last r2 row) are pinned to
-# the very front per VERDICT r7 #1 ("no green older than r4"), then
-# changed-builder re-verifies, then new round-8 queries, then ~25 spare
-# rank-3 slots refresh the r4 vintage.  Queries whose builder code
-# changed materially in round 8 AFTER their green row re-enter the
-# window via _REVERIFY_FIRST (green-set policy).
+# slots refresh the OLDEST driver rows first.  Round-9 window budget:
+# 5 changed-builder re-verifies (_REVERIFY_FIRST), 3 new round-9
+# queries, then ~42 spare rank-3 slots — all 29 r4-vintage rows plus
+# the oldest r5 rows; after this round no green predates r5.
 _GREEN_VINTAGE: dict[int, frozenset[str]] = {
     2: frozenset({
         "td_vocab_coverage"
@@ -138,6 +137,31 @@ _GREEN_VINTAGE: dict[int, frozenset[str]] = {
         "w1_latest_record_dedup", "w2_topk_per_group",
         "w3_running_and_lag"
     }),
+    8: frozenset({
+        "a1_grouped_multi_agg", "a_approx_percentile",
+        "ann_kmeans_assign", "ann_knn_join", "ann_pq_adc",
+        "ann_recall_eval", "chunk_udtf", "dedup_clusters",
+        "dedup_clusters_star", "dedup_embedding_cosine",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_recall_eval", "dedup_semdedup",
+        "dedup_soft_sample", "f_null_handling", "f_url_extract",
+        "g_pagerank", "j4_left_anti", "j5_broadcast_dim",
+        "j8_fk_validation", "j_full_outer_reconcile",
+        "j_fuzzy_deletion", "j_semi_exists",
+        "medallion_incremental", "mm_pdf_hierarchical",
+        "o7_intersect_except", "p2_derived_columns",
+        "p3_nullsafe_incremental_filter", "p6_conditional_ladder",
+        "pii_scrub", "q17_small_quantity_revenue",
+        "q5_context_mmr", "qual_gopher_rules",
+        "s8_inferred_reference", "semantic_match_subjects",
+        "silver_normalize", "td_bigram_surprisal",
+        "td_ccnet_buckets", "td_contamination_scalable",
+        "td_curriculum_order", "td_domain_caps", "td_dsir_sample",
+        "td_pack_sequences", "td_repetition_quality",
+        "td_ssl_prototypes", "td_token_budget_shards",
+        "td_unigram_surprisal", "td_vocab_coverage",
+        "w4_distribution_ranks"
+    }),
 }
 
 _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
@@ -145,67 +169,48 @@ _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
 _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 
 
-# Queries whose green driver row predates a material round-8 code change
-# — pinned to the very front of the window so round 8 produces a fresh
+# Queries whose green driver row predates a material round-9 code change
+# — pinned to the very front of the window so round 9 produces a fresh
 # row for each:
 #
-#   contamination_check_scalable now sizes its Bloom bitset from a
-#   STATIC parquet-footer bound instead of an eager train.count()
-#   (ADVICE r7 — plan construction must stay lazy).  mbits may differ
-#   from r7's measured sizing, which moves the false-positive set the
-#   exact confirm join filters out; output proven identical, but the
-#   changed plan needs a fresh driver row:
+#   td_ccnet_buckets' bucket ORIENTATION flipped to match Wenzek et al.
+#   (ADVICE r8: head = LOWEST surprisal/perplexity tercile, the paper's
+#   convention; the r8 green certified the inverse labeling).  Output
+#   changed → fresh row required:
+#     td_ccnet_buckets
+#   contamination_check_scalable's Bloom gate was rebuilt REGISTER-
+#   BLOCKED (all k=3 bits in one 64-bit word: 1 broadcast join instead
+#   of 3, no build-side explode, zero added hash calls — word/bit
+#   positions derive from the existing xxhash64 key's bit fields).
+#   Output proven identical (the oracle IS the ungated computation and
+#   the strict sim is green), but the plan changed materially:
 #     td_contamination_scalable
-#   the minhash-family oracle SQL gained MATERIALIZED hints on its
-#   multi-referenced CTEs (sh/sigs/banded + pairs/edges + sh_rare):
-#   without them DuckDB re-inlines the whole minhash replay per
-#   reference — the r8 sf10 probe watched the dedup_clusters oracle
-#   spill 39 GB and the pagerank oracle 47 GB before either finished.
-#   Values identical (hints only), text changed → fresh rows:
-#     dedup_minhash_lsh, dedup_ngram_jaccard, dedup_soft_sample,
-#     dedup_clusters, dedup_clusters_star, dedup_recall_eval,
-#     g_pagerank
-#   kmeans_assign_once was rewritten from crossJoin + per-id row_number
-#   window to a map-side array_min argmin over one broadcast centroid
-#   row (zero exchange; results proven hash-identical pre/post and
-#   strict-sim green, but the plan changed materially) — every r5 green
-#   riding that operator re-enters first:
-#     ann_kmeans_assign, ann_pq_adc
-#   q17_small_quantity_revenue dropped the round(avg_yearly, 9): at
-#   ~1e10 magnitude round-9 needs ~20 significant digits and the two
-#   engines' nearest-double answers differ in the last ulp (caught by
-#   the r8 sf1.0 sweep on regenerated data); the un-rounded quotient of
-#   the VARCHAR-hopped sum is engine-identical.  Oracle text changed →
-#   fresh row:
-#     q17_small_quantity_revenue
-#   dedup_embedding_cosine's oracle now replays the banded-blocking
-#   semantics instead of all-pairs: the r8 planted-neighbor sf1.0 sweep
-#   showed organic cos≈0.95 pairs can miss every sign band (137 of
-#   176,742), i.e. the old "identical by construction" equivalence was
-#   a property of noise corpora, not of the operator.  Oracle text
-#   changed → fresh row:
-#     dedup_embedding_cosine
+#   q5_context_mmr's candidate checkpoint is now lazy
+#   (localCheckpoint(eager=False), ADVICE r8 — plan construction was
+#   running the BM25 corpus scan eagerly); same values, changed
+#   materialization path:
+#     q5_context_mmr
+#   dedup_semdedup moved its corpus-sized persist behind
+#   persist_replacing (ADVICE r8 cache-accumulation fix) and its
+#   k-sizing now FAILS LOUDLY on an unreadable footer instead of
+#   silently flooring to k=4 (ADVICE r8); td_ssl_prototypes shares the
+#   k-sizing change:
+#     dedup_semdedup, td_ssl_prototypes
 _REVERIFY_FIRST = (
-    "ann_kmeans_assign",
-    "ann_pq_adc",
-    "dedup_embedding_cosine",
-    "q17_small_quantity_revenue",
+    "td_ccnet_buckets",
     "td_contamination_scalable",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_soft_sample",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_recall_eval",
-    "g_pagerank",
+    "q5_context_mmr",
+    "dedup_semdedup",
+    "td_ssl_prototypes",
 )
 
 
-# Round-8 rotation: greens freshly sampled in ROUND 7 (CORRECTNESS_r07
-# keys) go to the very back; never-sampled round-8 additions rank 1;
-# the remaining slots refresh the oldest-vintage greens (r2/r3 first —
-# the 19 rows VERDICT r7 #1 requires retired this round).
-_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[7]
+# Round-9 rotation: greens freshly sampled in ROUND 8 (CORRECTNESS_r08
+# keys) go to the very back; never-sampled round-9 additions
+# (td_quality_classifier, td_dataset_overlap, dedup_minhash_incremental)
+# rank 1; the remaining slots refresh the oldest-vintage greens (the 29
+# r4-vintage rows first — after this round no green predates r5).
+_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[8]
 
 
 def _collect() -> dict[str, QuerySpec]:
