@@ -463,6 +463,78 @@ def test_ivf_probe_prunes_cluster_partitions(spark, tmp_path):
     assert sorted(map(str, df.collect())) == sorted(map(str, direct.collect()))
 
 
+def test_zorder_store_prunes_bucket_partitions(spark, tmp_path):
+    """layout_zorder's serving claim: over a zbucket-partitioned store,
+    a 2-D range predicate scans ONLY the buckets whose z-range
+    intersects the query rectangle — the candidate-bucket set a z-aware
+    planner derives from the curve geometry (computed here by
+    enumerating the query box through the same interleave), surfaced as
+    PartitionFilters.  Result parity with the unpartitioned filter is
+    asserted on the same data."""
+    from pyspark.sql import functions as F
+
+    from tlcn_oer_lakehouse_spark.queries.base import load
+    from tlcn_oer_lakehouse_spark.queries.lakehouse import (
+        _Z_BUCKET_SHIFT,
+        _z_interleave_sql,
+    )
+
+    def z_py(x: int, y: int) -> int:
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    x0, x1, y0, y1 = 100, 160, 200, 300
+    cand_buckets = sorted({
+        z_py(x, y) >> _Z_BUCKET_SHIFT
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    })
+    assert len(cand_buckets) < 16, "query box must not touch every bucket"
+
+    orders = load(spark, SF, "orders")
+    rows = orders.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (
+            F.datediff(
+                F.to_date(F.col("o_orderdate")), F.to_date(F.lit("1992-01-01"))
+            )
+            % 1024
+        ).alias("y"),
+    ).withColumn("zval", F.expr(_z_interleave_sql("x", "y", "div"))).withColumn(
+        "zbucket", F.expr(f"zval div {1 << _Z_BUCKET_SHIFT}")
+    )
+    store = str(tmp_path / "zorder_store")
+    rows.write.partitionBy("zbucket").parquet(store)
+    stored = spark.read.parquet(store)
+
+    box = (
+        F.col("x").between(x0, x1) & F.col("y").between(y0, y1)
+    )
+    pruned = stored.filter(F.col("zbucket").isin(cand_buckets) & box)
+    plan = audit.formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "zbucket#" in plan and "IN (" in plan
+
+    direct = rows.filter(box).select("x", "y", "zval")
+    got = pruned.select("x", "y", "zval")
+    assert sorted(map(str, got.collect())) == sorted(map(str, direct.collect()))
+
+
+def test_zorder_buckets_are_simultaneously_narrow(spark):
+    """The locality evidence itself: every z-bucket's rectangle must be
+    narrow on BOTH dimensions (≤ half the 1024 range) — a single-column
+    sort would give perfect x-spans and full-range y-spans."""
+    df = _build(spark, "layout_zorder")
+    rows = df.collect()
+    assert rows, "no buckets"
+    for r in rows:
+        assert r.span_x <= 512, r
+        assert r.span_y <= 512, r
+
+
 def test_tiered_search_drilldown_broadcasts_chapters(spark):
     """Drill-down joins tier-3 rows against the O(k) selected chapters —
     a broadcast equi-join, never a shuffle of the detail tier."""

@@ -484,6 +484,105 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order data layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10          # bits per dimension (1024 cells each)
+_Z_BUCKET_SHIFT = 16  # zval >> 16 → 16 layout buckets (top 4 bits)
+
+
+def _z_interleave_sql(x: str, y: str, div: str) -> str:
+    """Bit-interleaved Morton code of two ``_Z_BITS``-bit non-negative
+    ints as a pure-arithmetic expression (portable: no engine bit
+    intrinsics) — x occupies even bit positions, y odd.  ``div`` is the
+    integer-division token ('div' Spark, '//' DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def layout_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) layout assignment over orders, with the
+    per-bucket locality evidence that justifies it: interleave the bits
+    of two independent filter dimensions (customer bucket × order-day
+    bucket) and split the curve into 16 contiguous z-ranges.  Each
+    output row is one layout bucket with its row count and the min/max
+    RECTANGLE it spans in (x, y) — the point of z-ordering is that both
+    spans stay narrow SIMULTANEOUSLY (≈ n/√buckets per side), so
+    file-level min/max statistics prune scans for range predicates on
+    EITHER dimension; a single-column sort gives perfect x-spans and
+    useless full-range y-spans.
+
+    Scale shape: the z-value is ~40 integer ops of map-side arithmetic
+    at scan speed; the bucket summary is one combinable groupBy over 16
+    keys.  In production the table is written
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` or
+    ``partitionBy(zbucket)`` — ``test_plans.py::
+    test_zorder_store_prunes_bucket_partitions`` writes exactly that
+    store and pins PartitionFilters pruning for a 2-D range predicate
+    (the Delta OPTIMIZE ZORDER BY / Iceberg sort-order capability,
+    re-expressed as plain Spark).
+
+    Ref: scale op beyond the reference — lakehouse data-layout
+    optimization for multi-dimensional scan pruning."""
+    orders = load(spark, sf, "orders")
+    x = F.col("o_custkey") % 1024
+    # cast to long: datediff yields int32, and the oracle's date_diff
+    # is BIGINT — min/max dtypes must agree for the driver's df() hash
+    y = (
+        F.datediff(F.to_date(F.col("o_orderdate")), F.to_date(F.lit("1992-01-01")))
+        % 1024
+    ).cast("long")
+    z = F.expr(_z_interleave_sql("__x", "__y", "div"))
+    with_z = orders.select(
+        x.alias("__x"), y.alias("__y")
+    ).select(
+        "__x", "__y", z.alias("zval")
+    ).select(
+        "__x", "__y", "zval",
+        F.expr(f"zval div {1 << _Z_BUCKET_SHIFT}").alias("zbucket"),
+    )
+    return (
+        with_z.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("min_x"),
+            F.max("__x").alias("max_x"),
+            F.min("__y").alias("min_y"),
+            F.max("__y").alias("max_y"),
+        )
+        .select(
+            "zbucket", "n_rows",
+            "min_x", "max_x", "min_y", "max_y",
+            (F.col("max_x") - F.col("min_x") + 1).alias("span_x"),
+            (F.col("max_y") - F.col("min_y") + 1).alias("span_y"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+ZORDER_SQL = f"""
+WITH pts AS (
+  SELECT o_custkey % 1024 AS x,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+  FROM orders
+),
+z AS (
+  SELECT x, y, {_z_interleave_sql('x', 'y', '//')} AS zval FROM pts
+),
+b AS (
+  SELECT x, y, zval, zval // {1 << _Z_BUCKET_SHIFT} AS zbucket FROM z
+)
+SELECT zbucket, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+       MAX(x) - MIN(x) + 1 AS span_x, MAX(y) - MIN(y) + 1 AS span_y
+FROM b GROUP BY zbucket ORDER BY zbucket
+"""
+
+
 SPECS = [
     QuerySpec("silver_normalize", silver_normalize, SILVER_NORMALIZE_SQL,
               ref="transformer.py:479-567 (U1) as pure column expressions",
@@ -514,5 +613,13 @@ SPECS = [
               ref="scale op; DLT-style declarative expectations upgrading "
                   "the reference's imperative DAG gates (validation tasks)",
               doc="per-rule warn/drop/quarantine DQ metrics in one pass",
+              tags=("lakehouse",)),
+    QuerySpec("layout_zorder", layout_zorder, ZORDER_SQL,
+              ref="scale op: Morton-curve data layout for 2-D scan "
+                  "pruning (Delta OPTIMIZE ZORDER BY / Iceberg "
+                  "sort-order class) — pure-arithmetic interleave, "
+                  "partition pruning pinned in test_plans.py",
+              doc="z-order bucket assignment + per-bucket locality "
+                  "rectangles over orders",
               tags=("lakehouse",)),
 ]

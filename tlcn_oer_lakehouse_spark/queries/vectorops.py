@@ -844,7 +844,138 @@ ORDER BY qs.q_id
 """
 
 
+_NDCG_AT = 10
+_RANK_Q_MOD = 50  # query sampling rate — THE scale lever of the harness
+
+
+def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality eval as a query: MRR and binary NDCG@10 for
+    exact-cosine retrieval over the augmented embedding corpus, against
+    planted ground truth (every sampled query's relevant document is
+    its planted twin: the exact copy at +100000 for id%10==0 queries,
+    the jittered copy at +200000 for id%10==5 — so metrics span both
+    the trivial cos=1 case and the genuinely-ranked cos≈0.98 case).
+
+    Scale shape: the query set is a DETERMINISTIC SAMPLE (id % 50 ∈
+    {0,5}) broadcast against one corpus scan — the crossJoin's small
+    side is O(corpus/‖sample‖), the documented eval-harness lever (at
+    100 TB you grade on thousands of sampled queries, not all of them).
+    The relevant-doc RANK is computed WITHOUT a per-query window: rank
+    = 1 + count(strictly-better candidates), a combinable aggregate —
+    the r7 sf10 lesson (hot-key window sorts wedge; count/argmin
+    aggregates don't).  NDCG discounts are literal constants shared
+    with the oracle text, so no transcendental log is evaluated by
+    either engine.
+
+    Ref: scale op beyond the reference — LLM-pipeline retrieval eval
+    (the metrics layer over Q2/ann_*; complements ann_recall_eval's
+    index-recall grading with ranking-quality grading)."""
+    import math
+
+    corpus = _augmented_embeddings(spark, sf)
+    qs = corpus.filter(
+        (F.col("vec_id") < 100000) & (F.col("vec_id") % _RANK_Q_MOD).isin(0, 5)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.when(F.col("vec_id") % 10 == 0, F.col("vec_id") + 100000)
+        .otherwise(F.col("vec_id") + 200000)
+        .alias("rel_id"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "rel_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("vec"), F.col("qvec")), 9).alias("cos"),
+        )
+    )
+    rel = scored.filter(F.col("cand_id") == F.col("rel_id")).select(
+        "qid", F.col("cos").alias("rel_cos")
+    )
+    better = (
+        scored.join(F.broadcast(rel), "qid")
+        .filter(
+            (F.col("cos") > F.col("rel_cos"))
+            | ((F.col("cos") == F.col("rel_cos")) & (F.col("cand_id") < F.col("rel_id")))
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_better"))
+    )
+    ranked = (
+        qs.select("qid", "rel_id")
+        .join(better, "qid", "left")
+        .select(
+            "qid",
+            "rel_id",
+            (F.coalesce(F.col("n_better"), F.lit(0)) + 1).alias("rel_rank"),
+        )
+    )
+    ndcg = F.lit(0.0)
+    for r in range(_NDCG_AT, 0, -1):
+        ndcg = F.when(
+            F.col("rel_rank") == r, F.lit(1.0 / math.log2(r + 1))
+        ).otherwise(ndcg)
+    return ranked.select(
+        "qid",
+        "rel_id",
+        "rel_rank",
+        (F.col("rel_rank") <= _NDCG_AT).alias("hit_at_10"),
+        F.round(F.lit(1.0).cast("double") / F.col("rel_rank"), 9).alias("mrr"),
+        ndcg.alias("ndcg_at_10"),
+    ).orderBy("qid")
+
+
+def _ranking_metrics_oracle() -> str:
+    import math
+
+    ndcg_case = " ".join(
+        f"WHEN {r} THEN CAST({1.0 / math.log2(r + 1)!r} AS DOUBLE)"
+        for r in range(1, _NDCG_AT + 1)
+    )
+    cos = _cos_sql("c.vec", "q.qvec")
+    return f"""
+WITH {AUG_EMB_SQL.strip().replace("corpus AS (", "corpus AS MATERIALIZED (", 1)},
+qs AS (
+  SELECT vec_id AS qid, vec AS qvec,
+         CASE WHEN vec_id % 10 = 0 THEN vec_id + 100000
+              ELSE vec_id + 200000 END AS rel_id
+  FROM corpus WHERE vec_id < 100000 AND vec_id % {_RANK_Q_MOD} IN (0, 5)
+),
+scored AS MATERIALIZED (
+  SELECT q.qid, q.rel_id, c.vec_id AS cand_id, round({cos}, 9) AS cos
+  FROM corpus c CROSS JOIN qs q WHERE c.vec_id != q.qid
+),
+rel AS (SELECT qid, cos AS rel_cos FROM scored WHERE cand_id = rel_id),
+better AS (
+  SELECT s.qid, COUNT(*) AS n_better
+  FROM scored s JOIN rel r ON s.qid = r.qid
+  WHERE s.cos > r.rel_cos OR (s.cos = r.rel_cos AND s.cand_id < s.rel_id)
+  GROUP BY s.qid
+),
+ranked AS (
+  SELECT q.qid, q.rel_id, CAST(COALESCE(b.n_better, 0) + 1 AS BIGINT) AS rel_rank
+  FROM qs q LEFT JOIN better b USING (qid)
+)
+SELECT qid, rel_id, rel_rank,
+       rel_rank <= {_NDCG_AT} AS hit_at_10,
+       round(CAST(1 AS DOUBLE) / rel_rank, 9) AS mrr,
+       CASE rel_rank {ndcg_case} ELSE CAST(0.0 AS DOUBLE) END AS ndcg_at_10
+FROM ranked ORDER BY qid
+"""
+
+
 SPECS = [
+    QuerySpec("ml_ranking_metrics", ml_ranking_metrics,
+              _ranking_metrics_oracle(),
+              ref="scale op: MRR/NDCG@10 retrieval-quality harness over "
+                  "planted ground truth — sampled query set, windowless "
+                  "count-aggregate ranks, literal NDCG discounts",
+              doc="per-query MRR + binary NDCG@10 for exact-cosine "
+                  "retrieval on the augmented embedding corpus",
+              tags=("vector",)),
     QuerySpec("ann_recall_eval", ann_recall_eval, ANN_RECALL_SQL,
               ref="scale op: sampled recall@k eval of the sign-bucket "
                   "index vs exact kNN, both sides oracle-replayed",
