@@ -197,12 +197,16 @@ def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
         )
 
         # the Bloom-gated twin beside the ungated number, so the gate's
-        # crossover (overhead at small sf, win at sf>=1.0) stays visible
-        # in every round's BENCH record.  Plan construction is lazy
-        # (static-bound Bloom sizing, ADVICE r7) and the cache is cleared
-        # first, so BOTH variants pay their train-side aggregation inside
-        # the timed write — the r7 numbers let the gated side reuse a
-        # train set cached at build time, understating its cost.
+        # cost profile stays visible in every round's BENCH record.
+        # Plan construction is lazy (static-bound Bloom sizing, ADVICE
+        # r7) and the cache is cleared first, so BOTH variants pay their
+        # train-side aggregation inside the timed write — the r7 numbers
+        # let the gated side reuse a train set cached at build time,
+        # understating its cost.  With honest accounting the r9
+        # register-blocked gate measures within ~3-10% of ungated at
+        # sf0.1-sf1.0 (train aggregation dominates a self-contained
+        # run); the gate's structural win is the deployment shape where
+        # the train Bloom is persisted and only the test stream scans.
         spark.catalog.clearCache()
         out["contamination.bloom_gated"] = run(
             "contamination_bloom", contamination_check_scalable(spark, sf_dir)
