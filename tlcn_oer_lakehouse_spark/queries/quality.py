@@ -961,7 +961,12 @@ def td_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return scored.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("sdec").cast("string").cast("double"), 6).alias("score"),
+        # NO further rounding: the DECIMAL(20,9) sum is exact and its
+        # VARCHAR-hopped double is engine-identical; rounding it to 6dp
+        # is the q17 hazard — sums landing exactly on ...x500 hit the
+        # HALF_UP-vs-nearest-double disagreement (caught by the r9
+        # sf0.1 strict sweep: 0.252958500 -> .252959 vs .252958).
+        F.col("sdec").cast("string").cast("double").alias("score"),
         (F.col("sdec") > 0).alias("quality_pred"),
     )
 
@@ -1005,7 +1010,7 @@ qdoc AS MATERIALIZED (
 QUALITY_CLASSIFIER_SQL = f"""
 WITH {_QC_CTES}
 SELECT doc_id, n_tokens,
-       round(CAST(CAST(sdec AS VARCHAR) AS DOUBLE), 6) AS score,
+       CAST(CAST(sdec AS VARCHAR) AS DOUBLE) AS score,
        sdec > 0 AS quality_pred
 FROM qdoc ORDER BY doc_id
 """
