@@ -931,8 +931,13 @@ def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
 def _ranking_metrics_oracle() -> str:
     import math
 
+    # the 'e0' exponent forces DuckDB to parse each discount as a
+    # DOUBLE literal (correctly-rounded string->double, same double as
+    # Python's repr) — a bare 17-digit literal goes through
+    # DECIMAL(17,17) first, whose decimal->double conversion landed one
+    # ulp off Spark's constant at rank 5 (caught by the r9 sf1.0 probe)
     ndcg_case = " ".join(
-        f"WHEN {r} THEN CAST({1.0 / math.log2(r + 1)!r} AS DOUBLE)"
+        f"WHEN {r} THEN {1.0 / math.log2(r + 1)!r}e0"
         for r in range(1, _NDCG_AT + 1)
     )
     cos = _cos_sql("c.vec", "q.qvec")
@@ -962,7 +967,7 @@ ranked AS (
 SELECT qid, rel_id, rel_rank,
        rel_rank <= {_NDCG_AT} AS hit_at_10,
        round(CAST(1 AS DOUBLE) / rel_rank, 9) AS mrr,
-       CASE rel_rank {ndcg_case} ELSE CAST(0.0 AS DOUBLE) END AS ndcg_at_10
+       CASE rel_rank {ndcg_case} ELSE 0.0e0 END AS ndcg_at_10
 FROM ranked ORDER BY qid
 """
 
