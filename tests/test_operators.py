@@ -19,7 +19,7 @@ from tlcn_oer_lakehouse_spark.operators.incremental import (
     merge_upsert,
 )
 from tlcn_oer_lakehouse_spark.operators.similarity import bucketed_ann_topk, cosine_topk
-from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
+from tlcn_oer_lakehouse_spark.queries.textops import COPY_OFFSET, NEAR_OFFSET, augmented_corpus
 
 
 @pytest.fixture(scope="module")
@@ -29,10 +29,10 @@ def corpus(spark, sf_dir):
 
 def test_exact_dedup_finds_planted_copies(spark, corpus):
     groups = exact_duplicate_groups(corpus, "doc_id", "text").collect()
-    # every planted copy (doc_id%10==0 → +100000) forms a group of 2
+    # every planted copy (doc_id%10==0 → +COPY_OFFSET) forms a group of 2
     assert all(g.group_size == 2 for g in groups)
-    assert all(g.member_ids[1] == g.member_ids[0] + 100000 for g in groups)
-    n_planted = corpus.filter(F.col("doc_id") % 10 == 0).filter(F.col("doc_id") < 100000).count()
+    assert all(g.member_ids[1] == g.member_ids[0] + COPY_OFFSET for g in groups)
+    n_planted = corpus.filter(F.col("doc_id") % 10 == 0).filter(F.col("doc_id") < COPY_OFFSET).count()
     assert len(groups) == n_planted
 
 
@@ -40,10 +40,10 @@ def test_ngram_jaccard_scores_near_copies_high(spark, corpus):
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=3, threshold=0.5)
     rows = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
     # exact copies → jaccard 1.0
-    exact = [(a, b) for (a, b), j in rows.items() if b == a + 100000]
+    exact = [(a, b) for (a, b), j in rows.items() if b == a + COPY_OFFSET]
     assert exact and all(rows[p] == 1.0 for p in exact)
     # near-copies (last 3 tokens dropped) → high but < 1
-    near = [(a, b) for (a, b), j in rows.items() if b == a + 200000]
+    near = [(a, b) for (a, b), j in rows.items() if b == a + NEAR_OFFSET]
     assert near and all(0.5 <= rows[p] < 1.0 for p in near)
 
 
@@ -56,14 +56,14 @@ def test_minhash_is_subset_of_exact_jaccard(spark, corpus):
              ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()}
     assert mh <= exact
     # identical docs collide in every band — LSH must find all exact copies
-    copies = {p for p in exact if p[1] == p[0] + 100000}
+    copies = {p for p in exact if p[1] == p[0] + COPY_OFFSET}
     assert copies <= mh
 
 
 def test_simhash_zero_distance_for_copies(spark, corpus):
     pairs = simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=6)
     rows = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
-    copies = [(a, b) for (a, b) in rows if b == a + 100000]
+    copies = [(a, b) for (a, b) in rows if b == a + COPY_OFFSET]
     assert copies and all(rows[p] == 0 for p in copies)
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tlcn_oer_lakehouse_spark.operators.skew import salted_join
+from tlcn_oer_lakehouse_spark.queries.textops import COPY_OFFSET
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
@@ -128,9 +129,9 @@ def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
 
     corpus = augmented_corpus(spark, sf_dir).persist()
     batch_ids = {r.doc_id for r in corpus.filter(
-        (F.col("doc_id") >= 100000)).select("doc_id").collect()}
-    batch = corpus.filter(F.col("doc_id") >= 100000)
-    existing = corpus.filter(F.col("doc_id") < 100000)
+        (F.col("doc_id") >= COPY_OFFSET)).select("doc_id").collect()}
+    batch = corpus.filter(F.col("doc_id") >= COPY_OFFSET)
+    existing = corpus.filter(F.col("doc_id") < COPY_OFFSET)
 
     full = {
         (r.doc_a, r.doc_b)
@@ -219,7 +220,7 @@ def test_minhash_xxhash64_production_hash(spark, sf_dir):
     }
     corpus.unpersist()
     for d in range(0, 500, 10):
-        pair = (d, d + 100000)
+        pair = (d, d + COPY_OFFSET)
         assert pair in xx, f"exact copy pair {pair} missed under xxhash64"
         assert xx[pair] == 1.0
 

@@ -4,7 +4,7 @@
 
 The synthetic corpus has no human relevance labels, so relevance is
 CONSTRUCTED: the augmented dedup corpus contains exact copies
-(doc_id+100000) of every doc_id%10==0 document — a query drawn from
+(doc_id+COPY_OFFSET) of every doc_id%10==0 document — a query drawn from
 such a document has an unambiguous relevant set {source, copy}.  The
 harness measures self-retrieval recall/precision over those queries,
 the strongest label-free probe of the ranking machinery.
@@ -16,6 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tlcn_oer_lakehouse_spark.operators.ranking import bm25_rank
+from tlcn_oer_lakehouse_spark.queries.textops import COPY_OFFSET
 
 
 @pytest.fixture(scope="module")
@@ -57,7 +58,7 @@ def test_self_retrieval_recall_at_10_vector_path(spark, corpus):
     sample = [
         r.doc_id
         for r in corpus.filter(
-            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < COPY_OFFSET)
         ).select("doc_id").collect()
     ][:8]
     assert len(sample) >= 5
@@ -68,7 +69,7 @@ def test_self_retrieval_recall_at_10_vector_path(spark, corpus):
         q = emb.filter(F.col("doc_id") == doc_id).select(
             F.col("embedding").alias("q_emb")
         )
-        relevant = {doc_id, doc_id + 100000}
+        relevant = {doc_id, doc_id + COPY_OFFSET}
         top10 = [
             r.doc_id
             for r in emb.crossJoin(F.broadcast(q))

@@ -196,12 +196,38 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   silently flooring to k=4 (ADVICE r8); td_ssl_prototypes shares the
 #   k-sizing change:
 #     dedup_semdedup, td_ssl_prototypes
+#   the augmentation id offsets moved from +100000/+200000 to
+#   +10M/+20M: the r9 sf10 probe (500k base docs) caught the old
+#   offsets COLLIDING with genuine doc_ids — two rows sharing one id
+#   double-counted shingles on the Spark side (per-row array_distinct
+#   vs the oracle's cross-row DISTINCT) and misclassified base docs as
+#   batch in the incremental split.  Every query whose OUTPUT carries
+#   augmented ids changed values and needs a fresh row (td_data_card
+#   aggregates — values unchanged — but its builder subtree changed):
 _REVERIFY_FIRST = (
     "td_ccnet_buckets",
     "td_contamination_scalable",
     "q5_context_mmr",
     "dedup_semdedup",
     "td_ssl_prototypes",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_recall_eval",
+    "dedup_soft_sample",
+    "dedup_embedding_cosine",
+    "g_pagerank",
+    "g_pointer_doubling_depth",
+    "g_triangle_count",
+    "g_kcore",
+    "g_label_propagation",
+    "g_lpa_converged",
+    "g_jaccard_neighbors",
+    "g_modularity",
+    "td_data_card",
 )
 
 

@@ -4,9 +4,9 @@ fingerprinting — all over the ``documents`` table.
 
 The sf0.01 corpus has no natural duplicates (500 distinct texts), so the
 dedup queries operate on a deterministically AUGMENTED corpus built inside
-the query: the base documents, plus exact copies (doc_id+100000 for
+the query: the base documents, plus exact copies (doc_id+10000000 for
 doc_id%10==0) and near-copies with the last 3 tokens dropped
-(doc_id+200000 for doc_id%10==5).  Both engines construct the same corpus,
+(doc_id+20000000 for doc_id%10==5).  Both engines construct the same corpus,
 so every operator exercises real duplicate/near-duplicate structure.
 
 Oracle SQL for the signature operators (16 minhash mins, 64 simhash bit
@@ -41,6 +41,17 @@ from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
 # ---------------------------------------------------------------------------
 
 
+# Augmentation id offsets.  MUST clear every real doc_id at every scale:
+# the r9 sf10 probe (500k base docs) caught the old +100000/+200000
+# offsets COLLIDING with genuine doc_ids — two rows sharing one id, so
+# per-row array_distinct shingles double-counted on the Spark side
+# while the oracle's cross-row DISTINCT did not, and the incremental
+# split misclassified base docs as batch.  10M/20M clear any corpus
+# this repo targets; collisions would need a 10M-doc base table.
+COPY_OFFSET = 10_000_000
+NEAR_OFFSET = 20_000_000
+
+
 def augmented_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # The documents file is a single parquet row group → 1 scan partition,
     # which would serialize the md5-heavy dedup pipelines downstream.
@@ -50,22 +61,22 @@ def augmented_corpus(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id", "text").repartition(n_part)
     toks = F.split(F.col("text"), " ")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), F.col("text")
     )
     near = docs.filter(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 3)).alias("text"),
     )
     return docs.unionByName(copies).unionByName(near)
 
 
-CORPUS_SQL = """
+CORPUS_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id,
+  SELECT doc_id + {NEAR_OFFSET} AS doc_id,
          array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 3], ' ') AS text
   FROM documents WHERE doc_id % 10 = 5
 )
@@ -199,7 +210,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Ingest-time near-dup: the augmented copies/jitters (doc_id >=
-    100000) arrive as TODAY'S BATCH against the base corpus as the
+    COPY_OFFSET) arrive as TODAY'S BATCH against the base corpus as the
     standing index — ``minhash_incremental_pairs`` emits exactly the
     near-dup pairs touching a batch document (new×existing ∪ new×new).
 
@@ -224,8 +235,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from tlcn_oer_lakehouse_spark.operators.dedup import minhash_incremental_pairs
 
     corpus = augmented_corpus(spark, sf)
-    existing = corpus.filter(F.col("doc_id") < 100000)
-    batch = corpus.filter(F.col("doc_id") >= 100000)
+    existing = corpus.filter(F.col("doc_id") < COPY_OFFSET)
+    batch = corpus.filter(F.col("doc_id") >= COPY_OFFSET)
     return minhash_incremental_pairs(
         existing, batch, "doc_id", "text",
         shingle_n=3, num_hashes=16, bands=4, threshold=0.5,
@@ -1178,7 +1189,7 @@ SPECS = [
               ref="scale op (SURVEY §7.7); minhash k=16, 4 bands, J>=0.5",
               doc="MinHash+LSH near-dup pairs", tags=("dedup", "bench")),
     QuerySpec("dedup_minhash_incremental", dedup_minhash_incremental,
-              _minhash_oracle(extra_where=" AND (i.doc_a >= 100000 OR i.doc_b >= 100000)"),
+              _minhash_oracle(extra_where=f" AND (i.doc_a >= {COPY_OFFSET} OR i.doc_b >= {COPY_OFFSET})"),
               ref="scale op: O(delta) ingest-time near-dup vs a standing "
                   "band index; oracle = full-pipeline replay restricted "
                   "to batch-touching pairs",

@@ -1596,12 +1596,18 @@ def td_dataset_overlap(spark: SparkSession, sf: str) -> DataFrame:
             "source_a",
             "source_b",
             "k_used",
-            F.round(est_union, 9).alias("est_union"),
+            # NO rounding on the estimates: each is a single arithmetic
+            # expression over identical integers, so the raw doubles are
+            # engine-identical — while round-9 at est_union's sf10
+            # magnitude (~2e6) needs 16 significant digits and hits the
+            # HALF_UP-vs-nearest-double divergence (the q17 rule; caught
+            # by the r9 sf10 probe: …68 vs …69 in the last ulp).
+            est_union.alias("est_union"),
             (F.col("na") + F.col("nb") - F.col("exact_intersection")).alias(
                 "exact_union"
             ),
-            F.round(jac, 9).alias("jaccard_est"),
-            F.round(jac * est_union, 9).alias("est_intersection"),
+            jac.alias("jaccard_est"),
+            (jac * est_union).alias("est_intersection"),
             "exact_intersection",
         )
         .orderBy("source_a", "source_b")
@@ -1671,9 +1677,9 @@ est AS (
   LEFT JOIN inter i USING (source_a, source_b)
 )
 SELECT source_a, source_b, k_used,
-       round(eu, 9) AS est_union, exact_union,
-       round(jac, 9) AS jaccard_est,
-       round(jac * eu, 9) AS est_intersection,
+       eu AS est_union, exact_union,
+       jac AS jaccard_est,
+       jac * eu AS est_intersection,
        exact_intersection
 FROM est
 ORDER BY source_a, source_b

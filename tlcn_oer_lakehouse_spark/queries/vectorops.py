@@ -9,7 +9,7 @@ DuckDB's ``list_sum(list_transform(...))`` bit-for-bit.
 
 The raw embeddings are near-random (max pairwise cosine ≈ 0.51), so the
 near-dup query augments the corpus deterministically with exact copies
-(vec_id+100000) and first-component-jittered copies (vec_id+200000,
+(vec_id+10000000) and first-component-jittered copies (vec_id+20000000,
 x0 += 0.2 → cosine ≈ 0.98 to the original) — giving real positives at a
 0.95 threshold while every cross pair stays far below.
 """
@@ -28,6 +28,7 @@ from tlcn_oer_lakehouse_spark.functions.vectors import (
     sign_bucket,
 )
 from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+from tlcn_oer_lakehouse_spark.queries.textops import COPY_OFFSET, NEAR_OFFSET
 
 DOT_SQL = (
     "list_sum(list_transform(generate_series(1, 64), "
@@ -121,26 +122,26 @@ def _augmented_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", as_double.alias("vec"))
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), as_double.alias("vec")
+        (F.col("vec_id") + COPY_OFFSET).alias("vec_id"), as_double.alias("vec")
     )
     jitter = F.transform(
         F.col("embedding"),
         lambda x, i: F.when(i == 0, x.cast("double") + 0.2).otherwise(x.cast("double")),
     )
     jittered = emb.filter(F.col("vec_id") % 10 == 5).select(
-        (F.col("vec_id") + 200000).alias("vec_id"), jitter.alias("vec")
+        (F.col("vec_id") + NEAR_OFFSET).alias("vec_id"), jitter.alias("vec")
     )
     return base.unionByName(copies).unionByName(jittered)
 
 
-AUG_EMB_SQL = """
+AUG_EMB_SQL = f"""
 corpus AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec
+  SELECT vec_id + {COPY_OFFSET} AS vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec
   FROM embeddings WHERE vec_id % 10 = 0
   UNION ALL
-  SELECT vec_id + 200000 AS vec_id,
+  SELECT vec_id + {NEAR_OFFSET} AS vec_id,
          [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.2
                ELSE CAST(embedding[i] AS DOUBLE) END for i in generate_series(1, 64)] AS vec
   FROM embeddings WHERE vec_id % 10 = 5
@@ -852,8 +853,9 @@ def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval-quality eval as a query: MRR and binary NDCG@10 for
     exact-cosine retrieval over the augmented embedding corpus, against
     planted ground truth (every sampled query's relevant document is
-    its planted twin: the exact copy at +100000 for id%10==0 queries,
-    the jittered copy at +200000 for id%10==5 — so metrics span both
+    its planted twin: the exact copy at +COPY_OFFSET for id%10==0
+    queries, the jittered copy at +NEAR_OFFSET for id%10==5 — so
+    metrics span both
     the trivial cos=1 case and the genuinely-ranked cos≈0.98 case).
 
     Scale shape: the query set is a DETERMINISTIC SAMPLE (id % 50 ∈
@@ -874,12 +876,12 @@ def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
     corpus = _augmented_embeddings(spark, sf)
     qs = corpus.filter(
-        (F.col("vec_id") < 100000) & (F.col("vec_id") % _RANK_Q_MOD).isin(0, 5)
+        (F.col("vec_id") < COPY_OFFSET) & (F.col("vec_id") % _RANK_Q_MOD).isin(0, 5)
     ).select(
         F.col("vec_id").alias("qid"),
         F.col("vec").alias("qvec"),
-        F.when(F.col("vec_id") % 10 == 0, F.col("vec_id") + 100000)
-        .otherwise(F.col("vec_id") + 200000)
+        F.when(F.col("vec_id") % 10 == 0, F.col("vec_id") + COPY_OFFSET)
+        .otherwise(F.col("vec_id") + NEAR_OFFSET)
         .alias("rel_id"),
     )
     scored = (
@@ -945,9 +947,9 @@ def _ranking_metrics_oracle() -> str:
 WITH {AUG_EMB_SQL.strip().replace("corpus AS (", "corpus AS MATERIALIZED (", 1)},
 qs AS (
   SELECT vec_id AS qid, vec AS qvec,
-         CASE WHEN vec_id % 10 = 0 THEN vec_id + 100000
-              ELSE vec_id + 200000 END AS rel_id
-  FROM corpus WHERE vec_id < 100000 AND vec_id % {_RANK_Q_MOD} IN (0, 5)
+         CASE WHEN vec_id % 10 = 0 THEN vec_id + {COPY_OFFSET}
+              ELSE vec_id + {NEAR_OFFSET} END AS rel_id
+  FROM corpus WHERE vec_id < {COPY_OFFSET} AND vec_id % {_RANK_Q_MOD} IN (0, 5)
 ),
 scored AS MATERIALIZED (
   SELECT q.qid, q.rel_id, c.vec_id AS cand_id, round({cos}, 9) AS cos
