@@ -180,6 +180,12 @@ _BNLJ_ALLOWED = {
     "td_vocab_coverage",      # 1-row total-token count
     "q11_important_parts",    # scalar subquery threshold
     "q22_idle_customers",     # scalar subquery avg balance
+    "ml_ranking_metrics",     # sampled query set (id % 50 ∈ {0,5}) — the
+                              # eval-harness scale lever; corpus × |Q|
+                              # brute-force scoring is the harness design
+    "td_curation_model_e2e",  # 1-row total-tokens broadcast for shares
+    "td_dataset_overlap",     # O(s²) source-pair frame (s = #sources);
+                              # all corpus-sized joins are equi (h, b)
     "td_bigram_surprisal",    # 1-row corpus-total broadcast
     "w11_rfm_segmentation",   # 1-row horizon-timestamp broadcast
     "ann_recall_eval",        # query sample hard-bounded at 100 rows
