@@ -204,6 +204,9 @@ _BNLJ_ALLOWED = {
     "ts_holt_forecast",       # 1-row first-day broadcast
     "ml_lift_gain",           # 1-row corpus-totals broadcast
     "q3_hybrid_recency",      # 1-row max-score normalizers (fusion shape)
+    "q3_hybrid_rrf",          # inherits BM25's 1-row corpus-stats broadcast
+                              # + 1-row query vector
+    "ml_calibration_bins",    # 1-row score-min/max broadcast
     "q_tiered_search",        # 1-row summary-tier BM25 stats broadcast
     "rag_serve_e2e",          # 1-row stats/maxes/gate broadcasts (composed)
     "rag_serve_ann",          # same 1-row broadcasts + 1-row query vector

@@ -583,6 +583,92 @@ FROM b GROUP BY zbucket ORDER BY zbucket
 """
 
 
+_COMPACT_FILES = 32          # synthetic files per date partition
+_COMPACT_TARGET_BYTES = 2048  # compaction bin target size
+
+
+def layout_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE / auto-compaction
+    bin-packing pass every lakehouse table needs: group a partition's
+    small files into target-sized rewrite bins.  The file manifest is
+    modeled from orders (partition = order month, file = orderkey%32
+    within it, bytes = Σ(len(o_orderpriority)+64) — a deterministic stand-in
+    for the transaction log's per-file size stats); the plan assigns
+    files to bins NEXT-FIT-DECREASING: within each partition, files
+    ordered by (bytes DESC, file_id), bin = floor(running-bytes-before
+    / target).  Output is the per-bin rewrite manifest (n_files,
+    total_bytes, max_file_bytes).
+
+    Scale shape: the manifest build is one combinable groupBy over the
+    data (the only corpus-sized pass); everything after runs on
+    METADATA — the window is partitioned per date-partition and bounded
+    by files-per-partition (≤32 here; ≤log-retention bounded in a real
+    table), never corpus-sized.  Exactly how Delta OPTIMIZE plans: read
+    the log's file list, bin-pack per partition, rewrite bins.
+
+    Ref: scale op beyond the reference — lakehouse small-file
+    compaction planning (Delta OPTIMIZE / Iceberg rewrite_data_files
+    class) as plain Spark."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf, "orders")
+    files = (
+        orders.select(
+            F.trunc(F.to_date(F.col("o_orderdate")), "month").alias("part_month"),
+            (F.col("o_orderkey") % _COMPACT_FILES).alias("file_id"),
+            (F.length("o_orderpriority") + F.lit(64)).alias("row_bytes"),
+        )
+        .groupBy("part_month", "file_id")
+        .agg(F.sum("row_bytes").alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy(F.col("bytes").desc(), F.col("file_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "part_month",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
+    ).select(
+        "part_month",
+        "bytes",
+        F.expr(f"cum_before div {_COMPACT_TARGET_BYTES}").alias("bin_id"),
+    )
+    return (
+        planned.groupBy("part_month", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.max("bytes").alias("max_file_bytes"),
+        )
+        .orderBy("part_month", "bin_id")
+    )
+
+
+COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS part_month,
+         o_orderkey % {_COMPACT_FILES} AS file_id,
+         CAST(SUM(length(o_orderpriority) + 64) AS BIGINT) AS bytes
+  FROM orders GROUP BY 1, 2
+),
+planned AS (
+  SELECT part_month, bytes,
+         COALESCE(SUM(bytes) OVER (
+           PARTITION BY part_month ORDER BY bytes DESC, file_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM files
+)
+SELECT part_month, CAST(cum_before // {_COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(bytes) AS BIGINT) AS max_file_bytes
+FROM planned
+GROUP BY part_month, bin_id
+ORDER BY part_month, bin_id
+"""
+
+
 SPECS = [
     QuerySpec("silver_normalize", silver_normalize, SILVER_NORMALIZE_SQL,
               ref="transformer.py:479-567 (U1) as pure column expressions",
@@ -621,5 +707,13 @@ SPECS = [
                   "partition pruning pinned in test_plans.py",
               doc="z-order bucket assignment + per-bucket locality "
                   "rectangles over orders",
+              tags=("lakehouse",)),
+    QuerySpec("layout_compaction_plan", layout_compaction_plan, COMPACTION_SQL,
+              ref="scale op: small-file compaction bin-packing (Delta "
+                  "OPTIMIZE / Iceberg rewrite_data_files class) — "
+                  "metadata-sized planning after one combinable "
+                  "manifest groupBy",
+              doc="next-fit-decreasing compaction bins per date "
+                  "partition with rewrite manifest",
               tags=("lakehouse",)),
 ]

@@ -924,6 +924,26 @@ def td_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
 
     Ref: scale op beyond the reference — LLM-pipeline model-based
     quality curation (DCLM §4.4's winning filter class)."""
+    scored = _qc_doc_scores(spark, sf)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        # NO further rounding: the DECIMAL(20,9) sum is exact and its
+        # VARCHAR-hopped double is engine-identical; rounding it to 6dp
+        # is the q17 hazard — sums landing exactly on ...x500 hit the
+        # HALF_UP-vs-nearest-double disagreement (caught by the r9
+        # sf0.1 strict sweep: 0.252958500 -> .252959 vs .252958).
+        F.col("sdec").cast("string").cast("double").alias("score"),
+        (F.col("sdec") > 0).alias("quality_pred"),
+    )
+
+
+def _qc_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """The classifier's shared train+score core: (doc_id, n_tokens,
+    sdec) where sdec is the exact DECIMAL(20,9) sum of the doc's
+    9-dp-rounded naive-Bayes bucket weights.  Kept decimal so consumers
+    (the classifier query, the calibration table) can keep aggregating
+    EXACTLY and only hop to double at presentation."""
     from pyspark.sql import Window
 
     docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
@@ -953,21 +973,10 @@ def td_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).cast("decimal(20,9)").alias("w"),
     )
-    scored = (
+    return (
         feats.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("sdec"))
-    )
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        # NO further rounding: the DECIMAL(20,9) sum is exact and its
-        # VARCHAR-hopped double is engine-identical; rounding it to 6dp
-        # is the q17 hazard — sums landing exactly on ...x500 hit the
-        # HALF_UP-vs-nearest-double disagreement (caught by the r9
-        # sf0.1 strict sweep: 0.252958500 -> .252959 vs .252958).
-        F.col("sdec").cast("string").cast("double").alias("score"),
-        (F.col("sdec") > 0).alias("quality_pred"),
     )
 
 
@@ -1013,6 +1022,101 @@ SELECT doc_id, n_tokens,
        CAST(CAST(sdec AS VARCHAR) AS DOUBLE) AS score,
        sdec > 0 AS quality_pred
 FROM qdoc ORDER BY doc_id
+"""
+
+
+_CAL_BINS = 10
+
+
+def ml_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier reliability table — the eval every model-based
+    curation gate needs before its threshold is trusted: bin the
+    quality classifier's log-odds scores into 10 equal-width bins over
+    the observed [min, max] and report each bin's empirical positive
+    rate next to its mean score.  A well-calibrated (monotone) ranker
+    shows pos_rate rising with mean_score; a flat profile means the
+    gate is thresholding noise.  (Probability-space ECE needs the
+    sigmoid — a transcendental that isn't bit-portable across engines —
+    but monotone-rank calibration is threshold-equivalent, so the
+    log-odds-domain table carries the same decision signal.)
+
+    Determinism: bin edges derive from the VARCHAR-hopped double of the
+    exact DECIMAL(20,9) score sum (engine-identical by construction);
+    the bin index is floor(((score-mn)/(mx-mn))*10) — identical IEEE
+    doubles through identical operation order; per-bin mean_score sums
+    the DECIMAL scores exactly and hops once at presentation.
+
+    Scale shape: scoring is the classifier's two linear passes; min/max
+    is a 1-row broadcast; the table is a 10-group combinable aggregate.
+
+    Ref: scale op beyond the reference — curation-model eval
+    (reliability/calibration table for the DCLM-style gate)."""
+    scored = _qc_doc_scores(spark, sf)
+    labels = load(spark, sf, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("is_pos")
+    )
+    sc = scored.select(
+        "doc_id",
+        "sdec",
+        F.col("sdec").cast("string").cast("double").alias("score"),
+    ).join(labels, "doc_id")
+    mm = sc.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = sc.crossJoin(F.broadcast(mm)).select(
+        "sdec",
+        "is_pos",
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(_CAL_BINS)
+            ),
+            F.lit(_CAL_BINS - 1).cast("long"),
+        ).alias("bin_id"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_pos").cast("long")).alias("n_pos"),
+            F.sum("sdec").alias("ssum"),
+        )
+        .select(
+            "bin_id",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 9).alias(
+                "pos_rate"
+            ),
+            F.round(
+                F.col("ssum").cast("string").cast("double") / F.col("n_docs"), 9
+            ).alias("mean_score"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+CALIBRATION_SQL = f"""
+WITH {_QC_CTES},
+sc AS (
+  SELECT q.doc_id, q.sdec, CAST(CAST(q.sdec AS VARCHAR) AS DOUBLE) AS score,
+         d.lang = 'en' AS is_pos
+  FROM qdoc q JOIN documents d USING (doc_id)
+),
+mm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM sc),
+binned AS (
+  SELECT sdec, is_pos,
+         LEAST(CAST(floor((score - mn) / (mx - mn) * {_CAL_BINS}) AS BIGINT),
+               {_CAL_BINS - 1}) AS bin_id
+  FROM sc CROSS JOIN mm
+)
+SELECT bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       round(CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9)
+         AS pos_rate,
+       round(CAST(CAST(SUM(sdec) AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS mean_score
+FROM binned
+GROUP BY bin_id
+ORDER BY bin_id
 """
 
 
@@ -1187,6 +1291,14 @@ SPECS = [
               doc="train + apply a hashed-feature linear quality "
                   "classifier over the documents corpus",
               tags=("traindata",)),
+    QuerySpec("ml_calibration_bins", ml_calibration_bins, CALIBRATION_SQL,
+              ref="scale op: curation-model eval — equal-width "
+                  "reliability table over the classifier's log-odds "
+                  "scores (10-group combinable aggregate, 1-row "
+                  "min/max broadcast)",
+              doc="per-bin positive rate vs mean score for the "
+                  "quality classifier",
+              tags=("traindata", "eval")),
     QuerySpec("td_curation_model_e2e", td_curation_model_e2e,
               CURATION_E2E_SQL,
               ref="scale op: composed model-based curation — DCLM "

@@ -545,6 +545,116 @@ LIMIT 10
 """
 
 
+_RRF_K = 60      # the Cormack et al. / ES `rank_constant` default
+_RRF_DEPTH = 60  # per-branch retrieval depth (`rank_window_size`)
+
+
+def hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009; the ES/OpenSearch
+    ``rrf`` retriever): fuse the lexical and vector branches by RANK,
+    not score — rrf(d) = Σ_branches 1/(k + rank_b(d)) with k=60 over
+    each branch's top-60 list, docs absent from a branch contributing
+    0.  Rank fusion is scale-free: branches with incomparable score
+    distributions fuse without the per-branch max-normalization
+    broadcast ``q3_hybrid_fusion`` needs, which is why serving stacks
+    default to RRF for BM25+kNN hybrids.
+
+    Scale shape: each branch ends in TakeOrderedAndProject(60) — no
+    global corpus sort; the row_number windows run on LIMIT-bounded
+    ≤60-row frames (never corpus-sized), and the full-outer fusion
+    join unions two 60-row lists.  Determinism: branch order keys are
+    the 9-dp-rounded scores with doc_id tiebreak; the RRF sum adds two
+    doubles in a fixed expression order, identical in both engines.
+
+    Ref: chatbot_api.py:244-274 (the reference's hybrid fusion point)
+    re-based on rank fusion — the modern default its ES stack exposes
+    as the `rrf` retriever."""
+    from pyspark.sql import Window
+
+    lex_top = (
+        bm25_scores(spark, sf)
+        .select("doc_id", F.round("bm25_raw", 9).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    vec_top = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(F.col("embedding"), F.col("q_emb")) + F.lit(1.0), 9
+            ).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    # LIMIT-bounded frames: these global windows sort 60 rows, not the corpus
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    lex_r = lex_top.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("lex_rank")
+    )
+    vec_r = vec_top.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("vec_rank")
+    )
+    fused = lex_r.join(vec_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+HYBRID_RRF_SQL = f"""
+WITH {_bm25_sql_core().strip()},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         round(({_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_Q})) + 1.0, 9) AS s
+  FROM embeddings, q
+),
+lex_top AS (
+  SELECT doc_id, round(bm25_raw, 9) AS s FROM bm25
+  ORDER BY s DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+vec_top AS (
+  SELECT doc_id, s FROM vec ORDER BY s DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+lex_r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS lex_rank
+  FROM lex_top
+),
+vec_r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS vec_rank
+  FROM vec_top
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         round(COALESCE(1.0e0 / ({_RRF_K} + l.lex_rank), 0.0e0)
+               + COALESCE(1.0e0 / ({_RRF_K} + v.vec_rank), 0.0e0), 9) AS rrf_score
+  FROM lex_r l FULL OUTER JOIN vec_r v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Q4 query preprocessing (chatbot_api.py:69-119): stopword-filtered
     keyword extraction.  The reference skips short queries (≤5 words) and
@@ -930,5 +1040,12 @@ SPECS = [
               ref="README.md:35 (Gaussian Decay Scoring) — ES function_score "
                   "gauss clause folded into the fusion as one column expr",
               doc="hybrid fusion × exp(-(age/τ)²·ln2) recency decay top-10",
+              tags=("retrieval",)),
+    QuerySpec("q3_hybrid_rrf", hybrid_rrf, HYBRID_RRF_SQL,
+              ref="chatbot_api.py:244-274 re-based on rank fusion — the ES "
+                  "`rrf` retriever (Cormack et al. 2009), scale-free "
+                  "BM25+kNN hybrid without score normalization",
+              doc="reciprocal-rank fusion of top-60 lexical and vector "
+                  "lists, k=60, top-10",
               tags=("retrieval",)),
 ]

@@ -134,6 +134,93 @@ ORDER BY source, epoch
 """
 
 
+_FE_HI = ("src0", "src1", "src2", "src3", "src4")
+
+
+def fractional_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fractional-epoch corpus materialization (the UniMax / LLaMA
+    data-recipe convention: per-source epoch budgets like "2.5 epochs
+    of curated sources, 1.25 of the rest" rather than integer repeats):
+    every doc appears floor(e) times, and a DETERMINISTIC md5 hash gate
+    on (source, doc_id) selects the frac(e) share that gets the final
+    partial epoch — re-runs pick the same docs, no RNG, no sampling
+    shuffle.  High-quality sources (src0-4) get e=2.5; the rest e=1.25.
+    Output is the per-(source, epoch) manifest with the fill ratio the
+    sampler audits (epoch_fill ≈ 1.0 for full epochs, ≈ frac(e) for the
+    partial one).
+
+    Scale shape: map-only explode (≤3× row fan-out) + one combinable
+    groupBy; the per-source base counts broadcast back.  Zero windows,
+    zero corpus-sized sorts — the same plan at 100 TB.
+
+    Ref: scale op beyond the reference — pretraining mixture
+    materialization with fractional epoch budgets (complements
+    td_corpus_mixing's integer epochs and td_temperature_mixing's
+    share computation)."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    hi = F.col("source").isin(*_FE_HI)
+    full = F.when(hi, 2).otherwise(1)
+    gate_pct = F.when(hi, 50).otherwise(25)  # frac(e)·100
+    epochs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), full)).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("long"))
+    key = F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))
+    frac = docs.filter(_bucket(key, 100) < gate_pct).select(
+        "doc_id", "source", (full + 1).cast("long").alias("epoch")
+    )
+    man = (
+        epochs.unionByName(frac)
+        .groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("base_docs"))
+    return (
+        man.join(F.broadcast(base), "source")
+        .select(
+            "source",
+            "epoch",
+            "n_docs",
+            "base_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("base_docs"), 9
+            ).alias("epoch_fill"),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
+_FE_IN = ", ".join(f"'{s}'" for s in _FE_HI)
+
+FRACTIONAL_EPOCHS_SQL = f"""
+WITH docs AS (SELECT doc_id, source FROM documents),
+epochs AS (
+  SELECT doc_id, source,
+         CAST(unnest(generate_series(1, CASE WHEN source IN ({_FE_IN})
+                                            THEN 2 ELSE 1 END)) AS BIGINT) AS epoch
+  FROM docs
+),
+frac AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN source IN ({_FE_IN}) THEN 3 ELSE 2 END AS BIGINT) AS epoch
+  FROM docs
+  WHERE {_bucket_sql("source || '|' || CAST(doc_id AS VARCHAR)", 100)}
+        < CASE WHEN source IN ({_FE_IN}) THEN 50 ELSE 25 END
+),
+man AS (
+  SELECT source, epoch, COUNT(*) AS n_docs
+  FROM (SELECT * FROM epochs UNION ALL SELECT * FROM frac)
+  GROUP BY 1, 2
+),
+base AS (SELECT source, COUNT(*) AS base_docs FROM docs GROUP BY 1)
+SELECT m.source, m.epoch, m.n_docs, b.base_docs,
+       round(CAST(m.n_docs AS DOUBLE) / b.base_docs, 9) AS epoch_fill
+FROM man m JOIN base b USING (source)
+ORDER BY source, epoch
+"""
+
+
 def temperature_mixing(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled corpus mixture (mT5 / UNIMAX family, α=0.5):
     sampling share q_i ∝ p_i^α flattens the natural source distribution
@@ -1698,6 +1785,15 @@ SPECS = [
     QuerySpec("td_corpus_mixing", corpus_mixing, MIXING_SQL,
               ref="new capability (weighted epoch mixing)",
               doc="2-epoch upsampling of high-quality sources",
+              tags=("traindata",)),
+    QuerySpec("td_fractional_epochs", fractional_epochs,
+              FRACTIONAL_EPOCHS_SQL,
+              ref="scale op: UniMax/LLaMA-recipe fractional epoch "
+                  "budgets — deterministic hash gate selects the "
+                  "partial-epoch share, map-only + one combinable "
+                  "groupBy",
+              doc="per-(source, epoch) manifest for e=2.5/1.25 epoch "
+                  "budgets with fill ratios",
               tags=("traindata",)),
     QuerySpec("td_temperature_mixing", temperature_mixing, TEMPERATURE_SQL,
               ref="scale op: mT5/UNIMAX-style alpha=0.5 temperature "
