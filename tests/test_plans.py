@@ -611,3 +611,50 @@ def test_ccnet_buckets_windows_are_histogram_bounded(spark):
         assert "doc_id" not in inp, f"corpus-sized window input: {inp}"
         assert "c#" in inp, f"window not over the histogram counts: {inp}"
     assert audit.broadcast_join_count(df) >= 2  # totals row + bounds table
+
+
+def test_hybrid_rrf_branches_take_ordered(spark):
+    """RRF's corpus-sized work must end in per-branch
+    TakeOrderedAndProject(60) — the rank windows then sort LIMIT-bounded
+    60-row frames, never the corpus.  A regression that ranks before
+    limiting turns each branch into a global sort."""
+    df = _build(spark, "q3_hybrid_rrf")
+    plan = audit.simple_plan(df)
+    assert plan.count("TakeOrderedAndProject(limit=60") == 2, plan
+    assert plan.count("TakeOrderedAndProject(limit=10") == 1, plan
+
+
+def test_compaction_plan_window_is_partitioned(spark):
+    """Compaction planning is metadata-sized after the manifest groupBy:
+    its bin-assignment window must carry a partition spec (per date
+    partition, <= 32 files each), never a global file sort; and the
+    whole plan stays within manifest-agg + window + final-agg
+    exchanges."""
+    df = _build(spark, "layout_compaction_plan")
+    plan = audit.formatted_plan(df)
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            saw_window = True
+            spec = line.lower().split("windowspecdefinition(", 1)[1]
+            assert not spec.startswith(","), f"empty partition spec: {line[:160]}"
+    assert saw_window
+    assert audit.exchange_count(df) <= 3
+
+
+def test_fractional_epochs_map_only_plus_combinable_aggs(spark):
+    """The epoch materialization is explode + combinable groupBys with a
+    broadcast base-count join — no windows, no corpus-sized sorts."""
+    df = _build(spark, "td_fractional_epochs")
+    plan = audit.simple_plan(df)
+    assert "Window" not in plan, plan
+    assert audit.exchange_count(df) <= 3
+    assert audit.broadcast_join_count(df) >= 1
+
+
+def test_calibration_bins_exchange_budget(spark):
+    """The reliability table may not add corpus-sized passes beyond the
+    classifier's own scoring: 1-row min/max broadcast + a 10-group
+    combinable aggregate on top."""
+    df = _build(spark, "ml_calibration_bins")
+    assert audit.exchange_count(df) <= 7
