@@ -846,7 +846,15 @@ ORDER BY qs.q_id
 
 
 _NDCG_AT = 10
-_RANK_Q_MOD = 50  # query sampling rate — THE scale lever of the harness
+_RANK_Q_MOD = 50  # query sampling stride
+# HARD bound on the query-set id range: with the stride it caps the
+# sample at <=500 queries (250 per planted-twin class) at ANY corpus
+# size.  The original fraction-only rule (id % 50 ∈ {0,5}, no bound)
+# was the exact anti-pattern ann_recall_eval documents: a fixed 4%
+# sample makes the eval O(N²/25) — the round-9 sf10 probe (600k
+# augmented vectors → 8k queries × 600k candidates ≈ 5e9 cosines)
+# wedged for >10 minutes where the bounded form takes seconds.
+_RANK_Q_BOUND = _RANK_Q_MOD * 250
 
 
 def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
@@ -858,10 +866,11 @@ def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     metrics span both
     the trivial cos=1 case and the genuinely-ranked cos≈0.98 case).
 
-    Scale shape: the query set is a DETERMINISTIC SAMPLE (id % 50 ∈
-    {0,5}) broadcast against one corpus scan — the crossJoin's small
-    side is O(corpus/‖sample‖), the documented eval-harness lever (at
-    100 TB you grade on thousands of sampled queries, not all of them).
+    Scale shape: the query set is a DETERMINISTIC, HARD-BOUNDED sample
+    (id % 50 ∈ {0,5} AND id < 12500 → ≤500 queries at any corpus size)
+    broadcast against one corpus scan, so the eval is O(|Q|·N) linear —
+    at 100 TB you grade on a fixed panel of sampled queries, never a
+    fixed fraction (a fraction-only rule is O(N²); see _RANK_Q_BOUND).
     The relevant-doc RANK is computed WITHOUT a per-query window: rank
     = 1 + count(strictly-better candidates), a combinable aggregate —
     the r7 sf10 lesson (hot-key window sorts wedge; count/argmin
@@ -876,7 +885,9 @@ def ml_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
     corpus = _augmented_embeddings(spark, sf)
     qs = corpus.filter(
-        (F.col("vec_id") < COPY_OFFSET) & (F.col("vec_id") % _RANK_Q_MOD).isin(0, 5)
+        (F.col("vec_id") < COPY_OFFSET)
+        & (F.col("vec_id") < _RANK_Q_BOUND)
+        & (F.col("vec_id") % _RANK_Q_MOD).isin(0, 5)
     ).select(
         F.col("vec_id").alias("qid"),
         F.col("vec").alias("qvec"),
@@ -949,7 +960,8 @@ qs AS (
   SELECT vec_id AS qid, vec AS qvec,
          CASE WHEN vec_id % 10 = 0 THEN vec_id + {COPY_OFFSET}
               ELSE vec_id + {NEAR_OFFSET} END AS rel_id
-  FROM corpus WHERE vec_id < {COPY_OFFSET} AND vec_id % {_RANK_Q_MOD} IN (0, 5)
+  FROM corpus WHERE vec_id < {COPY_OFFSET} AND vec_id < {_RANK_Q_BOUND}
+        AND vec_id % {_RANK_Q_MOD} IN (0, 5)
 ),
 scored AS MATERIALIZED (
   SELECT q.qid, q.rel_id, c.vec_id AS cand_id, round({cos}, 9) AS cos
