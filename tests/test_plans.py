@@ -658,3 +658,24 @@ def test_calibration_bins_exchange_budget(spark):
     combinable aggregate on top."""
     df = _build(spark, "ml_calibration_bins")
     assert audit.exchange_count(df) <= 7
+
+
+def test_cusum_windows_run_on_day_histogram(spark):
+    """ts_cusum_changepoint's prefix windows must run over the per-type
+    DAY frame (bounded by the time horizon), never the row-level event
+    stream — and must carry a partition spec."""
+    df = _build(spark, "ts_cusum_changepoint")
+    plan = audit.formatted_plan(df)
+    lines = plan.splitlines()
+    win_inputs = [
+        lines[i + 1] for i, ln in enumerate(lines)
+        if ln.strip().endswith(" Window") or ") Window" in ln
+    ]
+    assert win_inputs, "expected the per-type prefix window"
+    for inp in win_inputs:
+        assert "event_id" not in inp, f"row-level window input: {inp}"
+        assert "day_idx" in inp, f"window not over the day frame: {inp}"
+    for line in lines:
+        if "windowspecdefinition(" in line.lower():
+            spec = line.lower().split("windowspecdefinition(", 1)[1]
+            assert not spec.startswith(","), f"empty partition spec: {line[:160]}"

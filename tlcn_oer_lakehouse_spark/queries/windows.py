@@ -1190,7 +1190,138 @@ FROM per_user
 """
 
 
+def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection per event_type (Page 1954, the
+    classic mean-shift detector): S_d = Σ_{days≤d}(x_day − x̄) over the
+    daily value series; the change point is the day of max |S| — where
+    the cumulative deviation from the global mean peaks, i.e. where the
+    series' level shifts.
+
+    Determinism: the whole statistic stays in INTEGER arithmetic —
+    daily values in floor-scaled micro-units, and instead of
+    S_d = prefix_d − d·(total/n) (a division) both engines compare
+    T_d = n·prefix_d − d·total, an exact BIGINT (n·S_d scaled by 10⁶).
+    The argmax is then an exact-integer comparison (peak = MAX|T|,
+    change point = earliest day attaining it) — no float ties anywhere;
+    |T| stays under 2⁶³ while n_days·Σ|value|·10⁶ < 9.2e18 (≈10¹²
+    value-units over a 2000-day horizon — headroom documented, not
+    assumed).  S ships as T/(n·10⁶) at presentation only.
+
+    Scale shape: one combinable (type, day) groupBy over the stream is
+    the only corpus-sized pass; the prefix windows run per type over
+    the DAY-histogram frame — bounded by the time horizon regardless of
+    corpus size (the td_ccnet_buckets window class), never row-level.
+
+    Ref: scale op beyond the reference — streaming-adjacent drift/shift
+    detection over the events stream (complements ts_mad_anomalies'
+    pointwise outliers with a level-shift detector)."""
+    ev = load_events(spark, sf).select("event_type", "ts_sec", "value")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts_sec div 86400").alias("day_idx"),
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_u"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("v_u").alias("xsum"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("xsum").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    pre = daily.select(
+        "event_type",
+        "day_idx",
+        F.sum("xsum").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("prefix"),
+        F.row_number().over(w).cast("long").alias("idx"),
+    )
+    cus = pre.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day_idx",
+        F.abs(
+            F.col("n_days") * F.col("prefix") - F.col("idx") * F.col("total")
+        ).alias("abs_t"),
+    )
+    peak = cus.groupBy("event_type").agg(F.max("abs_t").alias("peak"))
+    cp = (
+        cus.join(F.broadcast(peak), "event_type")
+        .filter(F.col("abs_t") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(F.min("day_idx").alias("cp_day_idx"))
+    )
+    return (
+        cp.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(peak), "event_type")
+        .select(
+            "event_type",
+            F.expr("date_add(DATE'1970-01-01', CAST(cp_day_idx AS INT))").alias(
+                "changepoint_day"
+            ),
+            "n_days",
+            F.round(
+                F.col("peak").cast("double")
+                / (F.col("n_days").cast("double") * F.lit(1000000.0)),
+                9,
+            ).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_CUSUM_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 AS ts_sec, value FROM events
+),
+daily AS (
+  SELECT event_type, ts_sec // 86400 AS day_idx,
+         CAST(SUM(CAST(floor(value * 1000000.0e0) AS BIGINT)) AS BIGINT) AS xsum
+  FROM ev GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(xsum) AS BIGINT) AS total, COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+),
+pre AS (
+  SELECT event_type, day_idx,
+         CAST(SUM(xsum) OVER (PARTITION BY event_type ORDER BY day_idx) AS BIGINT)
+           AS prefix,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS BIGINT)
+           AS idx
+  FROM daily
+),
+cus AS (
+  SELECT p.event_type, p.day_idx,
+         abs(t.n_days * p.prefix - p.idx * t.total) AS abs_t
+  FROM pre p JOIN tot t USING (event_type)
+),
+peak AS (SELECT event_type, MAX(abs_t) AS peak FROM cus GROUP BY 1),
+cp AS (
+  SELECT c.event_type, MIN(c.day_idx) AS cp_day_idx
+  FROM cus c JOIN peak k ON c.event_type = k.event_type AND c.abs_t = k.peak
+  GROUP BY 1
+)
+SELECT cp.event_type,
+       DATE '1970-01-01' + CAST(cp.cp_day_idx AS INT) AS changepoint_day,
+       t.n_days,
+       round(CAST(k.peak AS DOUBLE) / (CAST(t.n_days AS DOUBLE) * 1000000.0e0), 9)
+         AS cusum_peak
+FROM cp
+JOIN tot t USING (event_type)
+JOIN peak k USING (event_type)
+ORDER BY event_type
+"""
+
+
 SPECS = [
+    QuerySpec("ts_cusum_changepoint", ts_cusum_changepoint, TS_CUSUM_SQL,
+              ref="scale op: CUSUM mean-shift change-point per event "
+                  "type — exact-integer n·S statistic, day-histogram "
+                  "bounded windows, combinable daily rollup",
+              doc="per-type CUSUM peak day + scaled peak deviation "
+                  "over the daily value series",
+              tags=("timeseries",)),
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
                   "Databricks range-join bin analog)",
