@@ -223,3 +223,39 @@ def test_jaccard_neighbors_hand_fixture(spark):
     # J(1,2): common {3,4}, union {1,2,3,4} minus... N(1)={2,3,4},
     # N(2)={1,3,4} → common=2, union=4
     assert out[(1, 2)] == (2, 4)
+
+
+def test_scc_hand_graphs(spark):
+    """strongly_connected_components on hand graphs: cycles, tendrils,
+    bridged cycles, and the adversarial decreasing-id singleton path
+    (which exercises the trim prelude — pure coloring would need
+    O(chain) peel rounds on it)."""
+    from tlcn_oer_lakehouse_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (5, 6), (6, 5), (4, 1), (3, 7), (8, 9)],
+        ["u", "v"],
+    )
+    out = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+    path = spark.createDataFrame([(i + 1, i) for i in range(1, 9)], ["u", "v"])
+    out2 = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(path).collect()
+    }
+    assert out2 == {i: i for i in range(1, 10)}
+
+    bridged = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)], ["u", "v"]
+    )
+    out3 = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(bridged).collect()
+    }
+    assert out3 == {1: 1, 2: 1, 3: 3, 4: 3}

@@ -474,3 +474,192 @@ def label_propagation(
             "is acceptable"
         )
     return labels
+
+
+def strongly_connected_components(
+    edges_df: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    max_peel_rounds: int = 20,
+    max_prop_rounds: int = 40,
+    trim_rounds: int = 3,
+) -> DataFrame:
+    """(node, scc_id) for every node of a DIRECTED edge set; scc_id is
+    the minimum node id in the strongly connected component — the
+    coloring / FW-BW algorithm (Orzan 2004; Slota et al. 2014
+    "MultiStep"), the standard label-propagation SCC for vertex-centric
+    engines:
+
+    per peel round, on the still-unassigned subgraph:
+      0. bounded TRIM: nodes with no in-edges or no out-edges are
+         singleton SCCs — assign and drop them (cheap DAG peeling; a
+         bounded optimization, correctness never depends on it).
+      1. forward MAX-color fixpoint: color(v) = max id that reaches v
+         (monotone, converges in diameter rounds; raises past the
+         budget like every iterative operator here).
+      2. roots are nodes with color(c) = c.  A BACKWARD reached-root
+         flag fixpoint restricted to same-color edges marks
+         {v : v →* c within color class c} — provably exactly SCC(c):
+         color(v) = c already implies c →* v, and every node on a
+         v →* c path shares the color (a higher-id ancestor of a path
+         node would reach c, contradicting color(c) = c).
+      3. assign each flagged class scc_id = min member id; peel.
+
+    Every step is an equi-join + combinable aggregate; per-round
+    ``localCheckpoint`` keeps plans one-round shallow (see
+    connected_components).  Adversarial id-orderings (a decreasing-id
+    path of singleton SCCs) need O(chain) peel rounds — the bounded-trim
+    prelude handles the common DAG tendrils, and the budget raise is the
+    documented contract for pathological condensation chains."""
+    edges0 = (
+        edges_df.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges0.select(F.col("u").alias("node"))
+        .unionByName(edges0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned_parts: list[DataFrame] = []
+    active_nodes = nodes
+    active_edges = edges0
+    for _ in range(max_peel_rounds):
+        if active_nodes.isEmpty():
+            break
+        # 0. bounded trim of in-degree-0 / out-degree-0 nodes
+        for _ in range(trim_rounds):
+            has_out = active_edges.select(F.col("u").alias("node")).distinct()
+            has_in = active_edges.select(F.col("v").alias("node")).distinct()
+            core = has_out.join(has_in, "node").localCheckpoint()
+            trimmed = active_nodes.join(core, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned_parts.append(
+                trimmed.select("node", F.col("node").alias("scc_id"))
+                .localCheckpoint()
+            )
+            active_nodes = active_nodes.join(core, "node").localCheckpoint()
+            active_edges = (
+                active_edges.join(
+                    active_nodes.select(F.col("node").alias("u")), "u"
+                )
+                .join(active_nodes.select(F.col("node").alias("v")), "v")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+        if active_nodes.isEmpty():
+            break
+        # 1. forward MAX-color fixpoint
+        colors = active_nodes.withColumn("color", F.col("node")).localCheckpoint()
+        for _ in range(max_prop_rounds):
+            in_max = (
+                active_edges.join(
+                    colors.select(F.col("node").alias("u"), "color"), "u"
+                )
+                .groupBy("v")
+                .agg(F.max("color").alias("in_color"))
+            )
+            new_colors = (
+                colors.join(in_max, colors.node == in_max.v, "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("color"),
+                        F.coalesce(F.col("in_color"), F.col("color")),
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), "node")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc color propagation did not converge in "
+                f"{max_prop_rounds} rounds (graph diameter exceeds the "
+                "budget)"
+            )
+        # 2. backward reached-root flag fixpoint within color classes
+        flags = colors.withColumn(
+            "flag", F.col("color") == F.col("node")
+        ).localCheckpoint()
+        # same-color directed edges only
+        for _ in range(max_prop_rounds):
+            fwd_flag = (
+                active_edges.join(
+                    flags.select(
+                        F.col("node").alias("v"),
+                        F.col("color").alias("v_color"),
+                        F.col("flag").alias("v_flag"),
+                    ),
+                    "v",
+                )
+                .filter(F.col("v_flag"))
+                .select("u", "v_color")
+                .distinct()
+            )
+            new_flags = (
+                flags.join(
+                    fwd_flag,
+                    (flags.node == fwd_flag.u)
+                    & (flags.color == fwd_flag.v_color),
+                    "left",
+                )
+                .select(
+                    "node",
+                    "color",
+                    (F.col("flag") | F.col("u").isNotNull()).alias("flag"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_flags.alias("n")
+                .join(flags.alias("o"), "node")
+                .filter(F.col("n.flag") != F.col("o.flag"))
+                .count()
+            )
+            flags = new_flags
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc backward propagation did not converge in "
+                f"{max_prop_rounds} rounds"
+            )
+        members = flags.filter(F.col("flag")).select("node", "color")
+        scc_min = members.groupBy("color").agg(F.min("node").alias("scc_id"))
+        assigned_parts.append(
+            members.join(scc_min, "color").select("node", "scc_id")
+            .localCheckpoint()
+        )
+        active_nodes = active_nodes.join(
+            members.select("node"), "node", "left_anti"
+        ).localCheckpoint()
+        active_edges = (
+            active_edges.join(
+                active_nodes.select(F.col("node").alias("u")), "u"
+            )
+            .join(active_nodes.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        if active_nodes.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"scc peeling did not finish in {max_peel_rounds} rounds — "
+            "the condensation chain exceeds the budget"
+        )
+    out = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        out = out.unionByName(part)
+    return out
