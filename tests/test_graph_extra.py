@@ -259,3 +259,27 @@ def test_scc_hand_graphs(spark):
         for r in strongly_connected_components(bridged).collect()
     }
     assert out3 == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_scc_degenerate_inputs(spark):
+    """Empty edge set → empty typed frame (not IndexError); a node
+    appearing only in self-loops is a singleton SCC, not a
+    disappearance."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from tlcn_oer_lakehouse_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("u", LongType()), StructField("v", LongType())])
+    )
+    out = strongly_connected_components(empty)
+    assert out.columns == ["node", "scc_id"] and out.count() == 0
+
+    loops = spark.createDataFrame([(3, 3), (1, 2), (2, 1)], ["u", "v"])
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(loops).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3}

@@ -511,17 +511,17 @@ def strongly_connected_components(
     path of singleton SCCs) need O(chain) peel rounds — the bounded-trim
     prelude handles the common DAG tendrils, and the budget raise is the
     documented contract for pathological condensation chains."""
-    edges0 = (
-        edges_df.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = edges_df.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # nodes come from the UNFILTERED input: a node appearing only in
+    # self-loops is a singleton SCC, not a disappearance
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        edges0.select(F.col("u").alias("node"))
-        .unionByName(edges0.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint()
+    edges0 = (
+        raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     )
     assigned_parts: list[DataFrame] = []
     active_nodes = nodes
@@ -659,6 +659,10 @@ def strongly_connected_components(
             f"scc peeling did not finish in {max_peel_rounds} rounds — "
             "the condensation chain exceeds the budget"
         )
+    if not assigned_parts:
+        # empty edge set → no nodes: a correctly-typed empty frame, not
+        # an IndexError
+        return nodes.select("node", F.col("node").alias("scc_id"))
     out = assigned_parts[0]
     for part in assigned_parts[1:]:
         out = out.unionByName(part)
