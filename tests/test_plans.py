@@ -207,6 +207,7 @@ _BNLJ_ALLOWED = {
     "q3_hybrid_rrf",          # inherits BM25's 1-row corpus-stats broadcast
                               # + 1-row query vector
     "ml_calibration_bins",    # 1-row score-min/max broadcast
+    "ml_psi_drift",           # 1-row day-range broadcast (time split)
     "q_tiered_search",        # 1-row summary-tier BM25 stats broadcast
     "rag_serve_e2e",          # 1-row stats/maxes/gate broadcasts (composed)
     "rag_serve_ann",          # same 1-row broadcasts + 1-row query vector
@@ -679,3 +680,12 @@ def test_cusum_windows_run_on_day_histogram(spark):
         if "windowspecdefinition(" in line.lower():
             spec = line.lower().split("windowspecdefinition(", 1)[1]
             assert not spec.startswith(","), f"empty partition spec: {line[:160]}"
+
+
+def test_psi_drift_no_windows_bounded_exchanges(spark):
+    """PSI is two linear combinable passes + O(#types) broadcasts —
+    zero windows anywhere, bounded exchange census."""
+    df = _build(spark, "ml_psi_drift")
+    plan = audit.simple_plan(df)
+    assert "Window" not in plan, plan
+    assert audit.exchange_count(df) <= 7

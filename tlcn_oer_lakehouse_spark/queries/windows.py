@@ -1314,7 +1314,143 @@ ORDER BY event_type
 """
 
 
+_PSI_BINS = 10
+
+
+def ml_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of the stream's time range — the standard production
+    ML-monitoring drift metric (banking scorecard lineage; the
+    threshold folklore: <0.1 stable, >0.2 drifted): PSI =
+    Σ_bins (p_b − q_b)·ln(p_b/q_b) over a shared binning of the value
+    distribution, Laplace-smoothed so empty bins stay finite.
+
+    Determinism: the time split is integer day arithmetic ((min+max+1)
+    div 2 from a 1-row broadcast); bins are the calibration-table
+    discipline (equal-width over the per-type [min,max], floor on
+    identical IEEE doubles); each bin's contribution is rounded to 9 dp
+    THEN summed as exact DECIMAL (the td_quality_classifier ln
+    discipline — both engines agree on the rounded per-term doubles,
+    and decimal addition is order-independent).
+
+    Scale shape: zero windows — two linear passes (range aggregates,
+    then one combinable (type, bin, half) count) with O(#types)-row
+    broadcasts; the PSI fold is a 10-row-per-type aggregate.
+
+    Ref: scale op beyond the reference — distribution-drift monitoring
+    for the pipeline-observability family (complements
+    ts_cusum_changepoint's level shifts with shape drift)."""
+    ev = load_events(spark, sf).select(
+        "event_type",
+        F.expr("ts_sec div 86400").alias("day_idx"),
+        "value",
+    )
+    drange = ev.agg(
+        F.min("day_idx").alias("mn_d"), F.max("day_idx").alias("mx_d")
+    )
+    vrange = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn_v"), F.max("value").alias("mx_v")
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(drange))
+        .join(F.broadcast(vrange), "event_type")
+        .select(
+            "event_type",
+            (
+                F.col("day_idx")
+                >= F.expr("(mn_d + mx_d + 1) div 2")
+            ).alias("is_b"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn_v"))
+                    / (F.col("mx_v") - F.col("mn_v"))
+                    * F.lit(_PSI_BINS)
+                ),
+                F.lit(_PSI_BINS - 1).cast("long"),
+            ).alias("b"),
+        )
+    )
+    counts = binned.groupBy("event_type", "b").agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("nb"),
+    )
+    tots = counts.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    p = (F.col("na") + F.lit(1.0)) / (F.col("ta") + F.lit(float(_PSI_BINS)))
+    q = (F.col("nb") + F.lit(1.0)) / (F.col("tb") + F.lit(float(_PSI_BINS)))
+    contrib = F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)")
+    return (
+        counts.join(F.broadcast(tots), "event_type")
+        .select("event_type", contrib.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("string").cast("double").alias("psi"),
+        )
+        .select(
+            "event_type",
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day_idx, value
+  FROM events
+),
+drange AS (SELECT MIN(day_idx) AS mn_d, MAX(day_idx) AS mx_d FROM ev),
+vrange AS (
+  SELECT event_type, MIN(value) AS mn_v, MAX(value) AS mx_v
+  FROM ev GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         e.day_idx >= (d.mn_d + d.mx_d + 1) // 2 AS is_b,
+         LEAST(CAST(floor((e.value - v.mn_v) / (v.mx_v - v.mn_v)
+                          * {_PSI_BINS}) AS BIGINT), {_PSI_BINS - 1}) AS b
+  FROM ev e CROSS JOIN drange d JOIN vrange v USING (event_type)
+),
+counts AS (
+  SELECT event_type, b,
+         CAST(SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM binned GROUP BY 1, 2
+),
+tots AS (
+  SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM counts GROUP BY 1
+),
+contribs AS (
+  SELECT c.event_type,
+         CAST(round(((c.na + 1.0e0) / (t.ta + {float(_PSI_BINS)!r}e0)
+                     - (c.nb + 1.0e0) / (t.tb + {float(_PSI_BINS)!r}e0))
+                    * ln(((c.na + 1.0e0) / (t.ta + {float(_PSI_BINS)!r}e0))
+                         / ((c.nb + 1.0e0) / (t.tb + {float(_PSI_BINS)!r}e0))), 9)
+              AS DECIMAL(20,9)) AS contrib
+  FROM counts c JOIN tots t USING (event_type)
+),
+psis AS (
+  SELECT event_type,
+         CAST(CAST(SUM(contrib) AS VARCHAR) AS DOUBLE) AS psi
+  FROM contribs GROUP BY 1
+)
+SELECT event_type, psi, psi > 0.2 AS drifted
+FROM psis ORDER BY event_type
+"""
+
+
 SPECS = [
+    QuerySpec("ml_psi_drift", ml_psi_drift, PSI_SQL,
+              ref="scale op: Population Stability Index drift monitor "
+                  "per event type — two linear combinable passes, "
+                  "O(#types) broadcasts, zero windows; the round-9dp-"
+                  "then-decimal-sum ln discipline",
+              doc="PSI between first/second time halves of the value "
+                  "distribution + the 0.2 drift flag",
+              tags=("timeseries", "eval")),
     QuerySpec("ts_cusum_changepoint", ts_cusum_changepoint, TS_CUSUM_SQL,
               ref="scale op: CUSUM mean-shift change-point per event "
                   "type — exact-integer n·S statistic, day-histogram "
