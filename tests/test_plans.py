@@ -143,7 +143,8 @@ def test_dedup_semdedup_pair_work_is_cluster_bounded(spark):
 
 @pytest.mark.parametrize("name", [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "td_contamination_check",
+    "dedup_prefix_filter", "dedup_embedding_cosine",
+    "td_contamination_check",
 ])
 def test_dedup_family_never_all_pairs(spark, name):
     """Every near-dup / contamination pipeline must generate candidates

@@ -280,6 +280,68 @@ def ngram_jaccard_pairs(
     return jaccard_verify_from(sh, pairs).filter(F.col("jaccard") >= threshold)
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    al. ICDE'06; PPJoin, Xiao et al. WWW'08; distributed form: Vernica
+    et al. SIGMOD'10): every pair with Jaccard ≥ τ is returned, with a
+    correctness GUARANTEE on candidate generation — unlike
+    :func:`ngram_jaccard_pairs`' df-cap heuristic (which bounds skew by
+    dropping hot shingles and documents the semantic change) and unlike
+    MinHash (probabilistic recall).
+
+    Prefix-filter theorem: order each document's shingles by a global
+    total order; if J(A,B) ≥ τ, A and B must share a shingle within
+    their first |s| − ⌈τ·|s|⌉ + 1 shingles.  Candidates therefore come
+    from an equi-join on PREFIX shingles only, plus the length filter
+    τ·max(|A|,|B|) ≤ min(|A|,|B|); the exact Jaccard verify over full
+    sets keeps the output identical to all-pairs.
+
+    The global order is ascending document frequency (ties by shingle
+    string) — the rarest shingles land in prefixes, which is ALSO the
+    skew guard: a stop-phrase shingle shared by 10⁶ docs enters a
+    prefix only for documents made of nothing but ubiquitous shingles,
+    so the candidate join's per-key fan-out collapses without any
+    semantic cap.  Plan shape: two combinable groupBys (df counts,
+    per-doc ordered arrays), one equi-join on prefix shingles, the
+    shared verify joins — no cartesian, no window."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select("doc", "shingle").persist()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks"))
+    )
+    n = F.size("toks")
+    plen = n - F.ceil(F.lit(threshold) * n).cast("int") + F.lit(1)
+    prefix = ordered.select(
+        F.col("doc"),
+        n.alias("n"),
+        F.explode(
+            F.transform(F.slice("toks", F.lit(1), plen), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    tau = F.lit(threshold)
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.n") >= tau * F.col("b.n"))
+            & (F.col("b.n") >= tau * F.col("a.n")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    return jaccard_verify_from(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, nbits: int = 64
 ) -> DataFrame:

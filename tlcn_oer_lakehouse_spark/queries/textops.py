@@ -330,6 +330,44 @@ WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
 """
 
 
+def dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 pairs via prefix filtering (PPJoin / Vernica
+    et al. SIGMOD'10, operators/dedup.py:prefix_filter_jaccard_pairs).
+    Same output contract as an all-pairs Jaccard join — the oracle is
+    the UNCAPPED shared-shingle computation, so the green certifies the
+    prefix filter's exactness guarantee, not a heuristic's agreement."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(
+        augmented_corpus(spark, sf), "doc_id", "text",
+        shingle_n=3, threshold=0.5,
+    )
+
+
+# Exact all-pairs Jaccard (no df cap, no prefix): any pair with J >= 0.5
+# shares >= 1 shingle, so counting over the shared-shingle join IS the
+# exact answer — feasible at oracle scale, and precisely the semantics
+# the prefix filter must reproduce.
+PREFIX_FILTER_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip()},
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.doc_a, i.doc_b,
+       i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc = i.doc_a
+JOIN sizes nb ON nb.doc = i.doc_b
+WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_duplicates(
         augmented_corpus(spark, sf), "doc_id", "text", max_hamming=6, nbits=64
@@ -1300,6 +1338,14 @@ SPECS = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL,
               ref="scale op; exact 3-gram Jaccard via shared-shingle join",
               doc="n-gram Jaccard near-dup pairs", tags=("dedup",)),
+    QuerySpec("dedup_prefix_filter", dedup_prefix_filter, PREFIX_FILTER_SQL,
+              ref="scale op: EXACT set-similarity join via prefix "
+                  "filtering (PPJoin, Xiao et al. WWW'08; Vernica et "
+                  "al. SIGMOD'10) — candidates from the df-rarest "
+                  "prefix shingles only, provably lossless at τ=0.5; "
+                  "oracle is the uncapped all-shared-shingle join",
+              doc="exact Jaccard>=0.5 pairs, prefix-filtered candidates",
+              tags=("dedup",)),
     QuerySpec("dedup_clusters", dedup_clusters, _clusters_oracle(),
               ref="scale op: near-dup cluster resolution (Kiveris et al. SoCC'14 family)",
               doc="connected components over minhash pairs -> canonical clusters",
