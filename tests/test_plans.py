@@ -316,6 +316,24 @@ def test_contamination_two_wide_shuffles(spark):
     assert audit.exchange_count(df) <= 4
 
 
+def test_spatial_grid_join_is_broadcast_equi_join(spark):
+    """The spatial radius join's scale claim: candidates come from a
+    BroadcastHashJoin keyed on grid cell coordinates (cx, cy) — a naive
+    dist² theta-join would plan as BroadcastNestedLoopJoin/cartesian,
+    the O(|A|·|B|) spatial scale-killer."""
+    df = _build(spark, "j_spatial_grid")
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln)
+        and "cx" in ln and "cy" in ln
+    ]
+    assert key_lines, f"no equi-join keyed on grid cells in plan:\n{plan}"
+
+
 def test_contamination_bloom_is_register_blocked(spark):
     """The Bloom gate's 100 TB plan shape (r9 register-blocked rewrite):
     the test-shingle stream probes the bitset through EXACTLY ONE

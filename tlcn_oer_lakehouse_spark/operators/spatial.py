@@ -1,0 +1,80 @@
+"""Grid-bucketed spatial radius join.
+
+Spark has no native spatial join strategy: a naive ``dx*dx + dy*dy <=
+r*r`` theta-join plans as a BroadcastNestedLoopJoin (or a cartesian),
+O(|A|·|B|) work — the spatial analog of the range-join problem
+``operators/rangejoin.py`` solves in one dimension.  The standard scale
+design (GeoSpark/Apache Sedona, PostGIS ST_DWithin tiling) buckets both
+sides into square grid cells of side = radius: every true match lies in
+the SAME or an ADJACENT cell, so candidates come from an equi-join on
+cell id after expanding one side to its 3×3 cell neighborhood, and an
+exact residual filter keeps the output identical to the theta-join.
+
+Scale shape: the only corpus-sized pass is the map-side cell-id
+derivation; the join is an equi-join on (cx, cy) — broadcastable when
+one side is a dimension, shuffle-partitioned on cell otherwise.  The
+9× expansion multiplies the SMALLER side.  Cell density skew (a hot
+cell holding a city's worth of points) shards like any hot equi-join
+key: AQE skew-split handles it because candidates are a plain equi-join,
+which is the point of the design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_cells(x: Column, y: Column, cell: int) -> tuple[Column, Column]:
+    """Cell coordinates for a point; integer floor-div (non-negative
+    coordinate domain assumed, as produced by the callers' hash layout)."""
+    return (x / F.lit(cell)).cast("long"), (y / F.lit(cell)).cast("long")
+
+
+def grid_radius_join(
+    small: DataFrame,
+    big: DataFrame,
+    radius: int,
+    keys: tuple[str, str] = ("a_id", "b_id"),
+) -> DataFrame:
+    """All pairs (small, big) with Euclidean distance ≤ ``radius``.
+
+    Both inputs carry integer columns ``x``, ``y`` and an id column
+    (``keys``).  ``small`` is expanded to its 3×3 neighbor cells and
+    broadcast; ``big`` maps each row to its single home cell — so every
+    candidate pair shares an exact cell key and the join is a
+    BroadcastHashJoin on (cx, cy), never a nested loop.  The residual
+    filter compares EXACT INTEGER squared distances (no sqrt, no float):
+    the output column ``dist_sq`` is engine-portable bit-for-bit.
+    """
+    a_id, b_id = keys
+    r2 = radius * radius
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ])
+    ).alias("off")
+    acx, acy = grid_cells(F.col("x"), F.col("y"), radius)
+    exp = small.select(
+        F.col(a_id), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        acx.alias("acx"), acy.alias("acy"), off,
+    ).select(
+        a_id, "ax", "ay",
+        (F.col("acx") + F.col("off.dx")).alias("cx"),
+        (F.col("acy") + F.col("off.dy")).alias("cy"),
+    )
+    bcx, bcy = grid_cells(F.col("x"), F.col("y"), radius)
+    bpts = big.select(
+        F.col(b_id), F.col("x").alias("bx"), F.col("y").alias("by"),
+        bcx.alias("cx"), bcy.alias("cy"),
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    return (
+        bpts.join(F.broadcast(exp), ["cx", "cy"])
+        .withColumn("dist_sq", dx * dx + dy * dy)
+        .filter(F.col("dist_sq") <= F.lit(r2))
+        .select(a_id, b_id, "dist_sq")
+    )

@@ -182,6 +182,66 @@ ORDER BY interval_id
 """
 
 
+# --- spatial radius join -----------------------------------------------
+# Deterministic point layout: each entity hashes to integer coordinates
+# in [0, 1e6)² via md5 (portable across engines, the simhash/minhash
+# hash-family discipline).  Distances stay EXACT INTEGERS (squared, no
+# sqrt) so the output is engine-identical with zero float discipline.
+_GEO_EXTENT = 1_000_000
+_GEO_RADIUS = 20_000  # cell side; ~1.26e-3 of the area per probe disk
+
+
+def _geo_xy(key: Column, tag: str) -> tuple[Column, Column]:
+    h = F.md5(F.concat(key.cast("string"), F.lit(tag)))
+    x = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _GEO_EXTENT
+    y = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % _GEO_EXTENT
+    return x, y
+
+
+def j_spatial_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial radius join (operators/spatial.py): which customers sit
+    within 20k distance units of each supplier site, on a deterministic
+    md5 point layout.  Candidates via 3×3 neighbor-cell equi-join with
+    the 100-row supplier side expanded and broadcast; exact integer
+    dist² residual — the oracle is the naive theta-join, so the green
+    certifies the grid decomposition is lossless."""
+    from tlcn_oer_lakehouse_spark.operators.spatial import grid_radius_join
+
+    sx, sy = _geo_xy(F.col("s_suppkey"), "s")
+    sites = load(spark, sf, "supplier").select(
+        "s_suppkey", sx.alias("x"), sy.alias("y")
+    )
+    cx, cy = _geo_xy(F.col("c_custkey"), "c")
+    custs = load(spark, sf, "customer").select(
+        "c_custkey", cx.alias("x"), cy.alias("y")
+    )
+    return grid_radius_join(
+        sites, custs, _GEO_RADIUS, keys=("s_suppkey", "c_custkey")
+    ).orderBy("s_suppkey", "c_custkey")
+
+
+J_SPATIAL_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey,
+         CAST('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || 's'), 1, 8) AS BIGINT) % {_GEO_EXTENT} AS x,
+         CAST('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || 's'), 9, 8) AS BIGINT) % {_GEO_EXTENT} AS y
+  FROM supplier
+),
+c AS (
+  SELECT c_custkey,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'c'), 1, 8) AS BIGINT) % {_GEO_EXTENT} AS x,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'c'), 9, 8) AS BIGINT) % {_GEO_EXTENT} AS y
+  FROM customer
+)
+SELECT s.s_suppkey, c.c_custkey,
+       (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS dist_sq
+FROM s, c
+WHERE (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
+      <= {_GEO_RADIUS * _GEO_RADIUS}
+ORDER BY s_suppkey, c_custkey
+"""
+
+
 def w8_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
     """Longest consecutive-day activity streak per user — the
     gaps-and-islands pattern on distinct active days: ``day -
@@ -1458,6 +1518,13 @@ SPECS = [
               doc="per-type CUSUM peak day + scaled peak deviation "
                   "over the daily value series",
               tags=("timeseries",)),
+    QuerySpec("j_spatial_grid", j_spatial_grid, J_SPATIAL_SQL,
+              ref="scale op: grid-bucketed spatial radius join "
+                  "(Sedona/PostGIS tiling strategy) — 3×3 neighbor-cell "
+                  "equi-join, broadcast small side, exact-integer dist² "
+                  "residual; oracle is the naive theta-join",
+              doc="customers within 20k units of each supplier site",
+              tags=("join", "spatial")),
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
                   "Databricks range-join bin analog)",
