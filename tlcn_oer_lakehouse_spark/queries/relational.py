@@ -489,6 +489,71 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def a_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al. ICDE'01): parts
+    not dominated in (minimize p_retailprice, maximize p_size) — the
+    multi-objective shortlist query (cheapest-per-capability).
+
+    A naive formulation is the O(n²) dominance anti-join.  The
+    distributed shape here never compares corpus rows pairwise: ONE
+    combinable groupBy collapses the corpus to (price-bucket, price)
+    group summaries with max-size; the dominance sweep (a running max
+    over ~20 fixed-width bucket summaries, plus a per-bucket window
+    over DISTINCT prices) runs on group summaries whose cardinality is
+    bounded by the price domain (≤10k two-decimal prices), not by row
+    count; corpus rows then join back on (bucket, price) for the final
+    keep test: size == its price-group max AND size > every
+    strictly-cheaper group's max.  Ties on both dims are all kept
+    (neither dominates — strictness in at least one dim required),
+    matching the NOT EXISTS oracle."""
+    parts = load(spark, sf, "part").select("p_partkey", "p_retailprice", "p_size")
+    rows = parts.withColumn(
+        "bkt", F.floor(F.col("p_retailprice") / F.lit(5.0)).cast("long")
+    )
+    groups = rows.groupBy("bkt", "p_retailprice").agg(
+        F.max("p_size").alias("gmax")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = groups.withColumn("prev_in", F.max("gmax").over(w_in))
+    bsum = groups.groupBy("bkt").agg(F.max("gmax").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bsum2 = bsum.select("bkt", F.max("bmax").over(w_b).alias("prev_cross"))
+    thresh = g2.join(F.broadcast(bsum2), "bkt").select(
+        "bkt",
+        "p_retailprice",
+        "gmax",
+        F.greatest(
+            F.coalesce(F.col("prev_in"), F.lit(-1)),
+            F.coalesce(F.col("prev_cross"), F.lit(-1)),
+        ).alias("prev_max"),
+    )
+    return (
+        rows.join(F.broadcast(thresh), ["bkt", "p_retailprice"])
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("p_size") > F.col("prev_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+A_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
 def a_cube(spark: SparkSession, sf: str) -> DataFrame:
     """Cube (completes the rollup / grouping-sets / pivot subtotal
     family): the full 2^d lattice — rollup's supersets plus the
@@ -1075,6 +1140,13 @@ SPECS = [
     QuerySpec("a_rollup", a_rollup, A_ROLLUP_SQL,
               ref="beyond reference (SURVEY §2.4: rollup absent)",
               doc="rollup subtotal lattice", tags=("agg", "extension")),
+    QuerySpec("a_skyline_pareto", a_skyline_pareto, A_SKYLINE_SQL,
+              ref="scale op: distributed skyline (Börzsönyi et al. "
+                  "ICDE'01) — dominance sweep over bucketed GROUP "
+                  "summaries (domain-bounded), never pairwise rows; "
+                  "oracle is the naive NOT EXISTS dominance anti-join",
+              doc="Pareto frontier of parts: min price, max size",
+              tags=("agg",)),
     QuerySpec("a_cube", a_cube, A_CUBE_SQL,
               ref="beyond reference; completes the subtotal-lattice family",
               doc="full cube lattice incl. column marginals",
