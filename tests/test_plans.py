@@ -197,6 +197,7 @@ _BNLJ_ALLOWED = {
     "ml_quantile_bucketize",  # 1-row percentile-cutoffs broadcast
     "ml_naive_bayes_langid",  # C-row class totals × 1-row vocab size/doc total
     "ml_chi2_features",       # 1-row corpus doc count broadcast
+    "w14_association_rules",  # 1-row basket-count broadcast (N for support)
     "a_kmv_distinct",         # 1-row k-th-hash/exact-count frames
     "a_kmv_set_ops",          # 1-row sketch × 1-row exact counters
     "td_unigram_segment",     # 1-row vocab-total broadcast (cost denominator)

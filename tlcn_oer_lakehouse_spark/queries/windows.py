@@ -198,6 +198,103 @@ def _geo_xy(key: Column, tag: str) -> tuple[Column, Column]:
     return x, y
 
 
+def w14_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed association rules A→B over order baskets (Agrawal &
+    Srikant VLDB'94 — the rule-mining step ON TOP of the co-occurrence
+    counting w10 covers): support, confidence and lift per ordered
+    brand pair, pruned at min-support 1% and min-confidence 10%.
+
+    Baskets are per-order DISTINCT brand sets (items = lineitem ⋈
+    broadcast part dim), so the pair self-join keyed on order is
+    bounded by (|brand vocabulary| choose 2) per order — a constant —
+    and every aggregate is a combinable count.  Thresholds compare
+    EXACT INTEGERS (n_pair·100 ≥ N, n_pair·10 ≥ n_antecedent): no
+    float boundary can flip a rule in or out between engines; the
+    ratio columns themselves ship as single unrounded divisions of
+    identical integers (the r9 unrounded-estimate discipline)."""
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("ok").alias("n_baskets"))
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("ok", F.col("item").alias("item_a"))
+    b = items.select("ok", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    rules = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_pair",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_pair",
+        )
+    )
+    sa = supp.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante"))
+    sb = supp.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_cons"))
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("n_pair") * 100 >= F.col("n_baskets"))
+            & (F.col("n_pair") * 10 >= F.col("n_ante"))
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_pair").alias("n_joint"),
+            (F.col("n_pair") / F.col("n_baskets")).alias("support"),
+            (F.col("n_pair") / F.col("n_ante")).alias("confidence"),
+            (
+                (F.col("n_pair") * F.col("n_baskets"))
+                / (F.col("n_ante") * F.col("n_cons"))
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+W14_RULES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+supp AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+rules AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, n_pair FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_pair AS n_joint,
+       r.n_pair / n.n_baskets AS support,
+       r.n_pair / sa.n_item AS confidence,
+       (r.n_pair * n.n_baskets) / (sa.n_item * sb.n_item) AS lift
+FROM rules r
+CROSS JOIN n
+JOIN supp sa ON sa.item = r.antecedent
+JOIN supp sb ON sb.item = r.consequent
+WHERE r.n_pair * 100 >= n.n_baskets AND r.n_pair * 10 >= sa.n_item
+ORDER BY antecedent, consequent
+"""
+
+
 def j_spatial_grid(spark: SparkSession, sf: str) -> DataFrame:
     """Spatial radius join (operators/spatial.py): which customers sit
     within 20k distance units of each supplier site, on a deterministic
@@ -1518,6 +1615,13 @@ SPECS = [
               doc="per-type CUSUM peak day + scaled peak deviation "
                   "over the daily value series",
               tags=("timeseries",)),
+    QuerySpec("w14_association_rules", w14_association_rules, W14_RULES_SQL,
+              ref="scale op: Apriori rule mining (Agrawal & Srikant "
+                  "VLDB'94) over order baskets — vocabulary-bounded "
+                  "pair fan-out, exact-integer support/confidence "
+                  "thresholds, unrounded ratio outputs",
+              doc="brand association rules with support/confidence/lift",
+              tags=("mining",)),
     QuerySpec("j_spatial_grid", j_spatial_grid, J_SPATIAL_SQL,
               ref="scale op: grid-bucketed spatial radius join "
                   "(Sedona/PostGIS tiling strategy) — 3×3 neighbor-cell "
