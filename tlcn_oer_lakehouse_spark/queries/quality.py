@@ -33,7 +33,11 @@ from tlcn_oer_lakehouse_spark.functions.pii import (
     redact_pii,
 )
 from tlcn_oer_lakehouse_spark.functions.text import shingles, tokens
-from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+from tlcn_oer_lakehouse_spark.queries.base import (
+    QuerySpec,
+    load,
+    parquet_num_rows,
+)
 
 # ---------------------------------------------------------------------------
 # PII scrub
@@ -1228,7 +1232,93 @@ ORDER BY lang, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+def pii_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-record k-anonymity generalization (Sweeney 2002; the ladder
+    step of Mondrian-style release pipelines): each customer is
+    published at the FIRST generalization level of its quasi-identifier
+    (nation, market segment) whose equivalence class reaches k=10 —
+    level 0 = (nation, segment), level 1 = nation only, level 2 =
+    global suppress.  Generalized QI columns are nulled past the
+    chosen level, so the output itself satisfies k-anonymity.
+
+    Scale shape: the equivalence classes are two COMBINABLE groupBys
+    whose output is bounded by the QI domain (nations × segments), not
+    by row count; records pick their level through broadcast joins
+    against those class tables — one corpus scan, zero windows, zero
+    row-pairwise work.  The global count comes from the parquet footer
+    (parquet_num_rows, required=True — must equal the oracle's
+    COUNT(*) or parity would silently break)."""
+    total = parquet_num_rows(sf, "customer", required=True)
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    g0 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    g1 = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n1"))
+    k = F.lit(_KANON_K)
+    lvl = (
+        F.when(F.col("n0") >= k, F.lit(0))
+        .when(F.col("n1") >= k, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    size = (
+        F.when(F.col("n0") >= k, F.col("n0"))
+        .when(F.col("n1") >= k, F.col("n1"))
+        .otherwise(F.lit(total).cast("long"))
+    )
+    return (
+        cust.join(F.broadcast(g0), ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(g1), "c_nationkey")
+        .select(
+            "c_custkey",
+            lvl.alias("anon_level"),
+            size.alias("class_size"),
+            F.when(lvl <= 1, F.col("c_nationkey")).alias("qi_nation"),
+            F.when(lvl == 0, F.col("c_mktsegment")).alias("qi_segment"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+PII_KANON_SQL = f"""
+WITH g0 AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n0
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+g1 AS (SELECT c_nationkey, COUNT(*) AS n1 FROM customer GROUP BY c_nationkey),
+t AS (SELECT COUNT(*) AS nt FROM customer)
+SELECT c.c_custkey,
+       CASE WHEN n0 >= {_KANON_K} THEN 0
+            WHEN n1 >= {_KANON_K} THEN 1 ELSE 2 END AS anon_level,
+       CASE WHEN n0 >= {_KANON_K} THEN n0
+            WHEN n1 >= {_KANON_K} THEN n1 ELSE t.nt END AS class_size,
+       CASE WHEN n0 >= {_KANON_K} OR n1 >= {_KANON_K}
+            THEN c.c_nationkey END AS qi_nation,
+       CASE WHEN n0 >= {_KANON_K} THEN c.c_mktsegment END AS qi_segment
+FROM customer c
+JOIN g0 ON g0.c_nationkey = c.c_nationkey AND g0.c_mktsegment = c.c_mktsegment
+JOIN g1 ON g1.c_nationkey = c.c_nationkey
+CROSS JOIN t
+ORDER BY c_custkey
+"""
+
+
 SPECS = [
+    QuerySpec("pii_k_anonymity", pii_k_anonymity, PII_KANON_SQL,
+              ref="scale op: k-anonymity generalization ladder (Sweeney "
+                  "2002) — domain-bounded class tables via combinable "
+                  "groupBys + broadcast level pick; footer-sourced "
+                  "global count (required=True parity discipline)",
+              doc="per-record minimal QI generalization to k=10 classes",
+              tags=("privacy",)),
     QuerySpec("qual_boilerplate_strip", boilerplate_strip, BOILERPLATE_SQL,
               ref="scale op: main-content extraction from HTML chrome "
                   "(trafilatura-shape) — pure column regexes, map-only, "
