@@ -335,6 +335,22 @@ def test_spatial_grid_join_is_broadcast_equi_join(spark):
     assert key_lines, f"no equi-join keyed on grid cells in plan:\n{plan}"
 
 
+def test_ivm_join_delta_decomposition_is_four_joins(spark):
+    """The JOIN-view delta rule must stay structurally incremental:
+    V_old ⋈, ΔO⋈C, O⋈ΔC and ΔO⋈ΔC as FOUR separate join nodes (a
+    collapsed plan would mean Catalyst rewrote it back into one full
+    join — correct but no longer O(delta)), with the delta sides
+    broadcast as hinted."""
+    import re
+
+    df = _build(spark, "ivm_incremental_join")
+    plan = audit.simple_plan(df)
+    n_joins = len(re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan))
+    assert n_joins == 4, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
 def test_contamination_bloom_is_register_blocked(spark):
     """The Bloom gate's 100 TB plan shape (r9 register-blocked rewrite):
     the test-shingle stream probes the bitset through EXACTLY ONE

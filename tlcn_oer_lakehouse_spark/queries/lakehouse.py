@@ -484,6 +484,68 @@ GROUP BY o_orderstatus
 """
 
 
+def ivm_incremental_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the delta rule for
+    equi-joins, Blakeley et al. SIGMOD'86; DBSP/differential-dataflow
+    bilinear form): V = orders ⋈ customers maintained under insert
+    batches on BOTH sides as
+
+        ΔV = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    — never re-joining the old×old bulk.  Splits are deterministic
+    (customers ≡0 mod 5 and orders ≡0 mod 7 arrive in the batch); the
+    published view is the per-(nation, status) count + exact decimal
+    revenue, folded from the four partial aggregates.
+
+    The oracle recomputes the view DIRECTLY from the merged state (one
+    big join over everything): a hash match proves the three-term
+    delta decomposition is exactly equivalent to full recomputation.
+    Scale shape: both delta terms broadcast the O(batch) side, so the
+    only full-table pass is O_old ⋈ ΔC's fact scan (and in deployment
+    V_old's aggregate is the STORED gold table — an O(groups) read,
+    the medallion_incremental convention)."""
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c_old = cust.filter(F.col("c_custkey") % 5 != 0)
+    c_new = cust.filter(F.col("c_custkey") % 5 == 0)
+    o_old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    o_new = orders.filter(F.col("o_orderkey") % 7 == 0)
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_nationkey", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("price").alias("s")
+        )
+
+    on = F.col("o_custkey") == F.col("c_custkey")
+    v_old = _agg(o_old.join(c_old, on))
+    d_oc = _agg(F.broadcast(o_new).join(c_old, on))
+    d_co = _agg(o_old.join(F.broadcast(c_new), on))
+    d_nn = _agg(F.broadcast(o_new).join(c_new, on))
+    return (
+        v_old.unionByName(d_oc).unionByName(d_co).unionByName(d_nn)
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("string").cast("double").alias("revenue"),
+        )
+        .orderBy("c_nationkey", "o_orderstatus")
+    )
+
+
+IVM_JOIN_SQL = """
+SELECT c_nationkey, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey, o_orderstatus
+ORDER BY c_nationkey, o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Z-order data layout
 # ---------------------------------------------------------------------------
@@ -689,6 +751,14 @@ SPECS = [
     QuerySpec("gold_bridge_weighted", gold_bridge_weighted, GOLD_BRIDGE_SQL,
               ref="gold_analytics.py:725-774 (bridge_oer_subjects)",
               doc="M:N weighted bridge with RI inner joins", tags=("gold",)),
+    QuerySpec("ivm_incremental_join", ivm_incremental_join, IVM_JOIN_SQL,
+              ref="scale op: JOIN-view delta rule (Blakeley et al. "
+                  "SIGMOD'86) — ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC with broadcast "
+                  "delta sides; oracle is the full recompute over the "
+                  "merged state",
+              doc="orders⋈customer view maintained under two-sided "
+                  "insert batches",
+              tags=("lakehouse", "incremental")),
     QuerySpec("ivm_incremental_aggregate", ivm_incremental_aggregate, IVM_SQL,
               ref="scale op; CDF-fold view maintenance (Delta CDF / "
                   "Iceberg changelog consumer pattern) — O(changes) "
