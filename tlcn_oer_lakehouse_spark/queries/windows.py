@@ -187,8 +187,17 @@ ORDER BY interval_id
 # in [0, 1e6)² via md5 (portable across engines, the simhash/minhash
 # hash-family discipline).  Distances stay EXACT INTEGERS (squared, no
 # sqrt) so the output is engine-identical with zero float discipline.
+#
+# The probe radius ADAPTS to point density: r = 0.8·extent/√n_points,
+# giving ≈2 expected matches per probe site at every scale factor — a
+# FIXED radius with both tables growing inside a fixed extent would
+# make the output (and any engine's work) quadratic in scale, the
+# exact trap the r9b fraction-sampling kill documented (a rate that
+# looks like a lever at one sf is a quadratic at the next decade).
+# Derived from the parquet footer (required=True parity discipline) on
+# the Spark side and FLOOR(SQRT(COUNT(*))) in the oracle — the
+# isqrt-schedule convention the kmeans family established.
 _GEO_EXTENT = 1_000_000
-_GEO_RADIUS = 20_000  # cell side; ~1.26e-3 of the area per probe disk
 
 
 def _geo_xy(key: Column, tag: str) -> tuple[Column, Column]:
@@ -212,10 +221,15 @@ def w14_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     float boundary can flip a rule in or out between engines; the
     ratio columns themselves ship as single unrounded divisions of
     identical integers (the r9 unrounded-estimate discipline)."""
+    # NOTE: no broadcast hint on the part lookup — part is fact-sized
+    # (2M rows at sf10, 20B at 100 TB), so the brand lookup must stay a
+    # planner decision (auto-broadcast at test scale, shuffle join at
+    # cluster scale); a true brand DIM would be the broadcast side, but
+    # the registry works off the raw tables.
     part = load(spark, sf, "part").select("p_partkey", "p_brand")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     items = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .distinct()
     )
@@ -295,15 +309,27 @@ ORDER BY antecedent, consequent
 """
 
 
+def _geo_radius(sf: str) -> int:
+    """Density-adaptive probe radius: ≈2 expected customer matches per
+    supplier site at any scale (see module comment above)."""
+    import math
+
+    from tlcn_oer_lakehouse_spark.queries.base import parquet_num_rows
+
+    n_cust = parquet_num_rows(sf, "customer", required=True)
+    return (4 * _GEO_EXTENT) // (5 * math.isqrt(n_cust))
+
+
 def j_spatial_grid(spark: SparkSession, sf: str) -> DataFrame:
     """Spatial radius join (operators/spatial.py): which customers sit
-    within 20k distance units of each supplier site, on a deterministic
-    md5 point layout.  Candidates via 3×3 neighbor-cell equi-join with
-    the 100-row supplier side expanded and broadcast; exact integer
-    dist² residual — the oracle is the naive theta-join, so the green
-    certifies the grid decomposition is lossless."""
+    within the density-adaptive radius of each supplier site, on a
+    deterministic md5 point layout.  Candidates via 3×3 neighbor-cell
+    equi-join with the supplier side expanded and broadcast; exact
+    integer dist² residual — the oracle is the banded theta-join, so
+    the green certifies the grid decomposition is lossless."""
     from tlcn_oer_lakehouse_spark.operators.spatial import grid_radius_join
 
+    radius = _geo_radius(sf)
     sx, sy = _geo_xy(F.col("s_suppkey"), "s")
     sites = load(spark, sf, "supplier").select(
         "s_suppkey", sx.alias("x"), sy.alias("y")
@@ -313,12 +339,19 @@ def j_spatial_grid(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey", cx.alias("x"), cy.alias("y")
     )
     return grid_radius_join(
-        sites, custs, _GEO_RADIUS, keys=("s_suppkey", "c_custkey")
+        sites, custs, radius, keys=("s_suppkey", "c_custkey")
     ).orderBy("s_suppkey", "c_custkey")
 
 
+# The |dx|<=r / |dy|<=r band predicates are REDUNDANT with dist²<=r²
+# (lossless) — they exist so DuckDB can plan an IEJoin instead of a
+# full cross product at the bigger probe scales.
 J_SPATIAL_SQL = f"""
-WITH s AS (
+WITH params AS (
+  SELECT (4 * {_GEO_EXTENT}) //
+         (5 * CAST(FLOOR(SQRT((SELECT COUNT(*) FROM customer))) AS BIGINT)) AS r
+),
+s AS (
   SELECT s_suppkey,
          CAST('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || 's'), 1, 8) AS BIGINT) % {_GEO_EXTENT} AS x,
          CAST('0x' || substring(md5(CAST(s_suppkey AS VARCHAR) || 's'), 9, 8) AS BIGINT) % {_GEO_EXTENT} AS y
@@ -332,9 +365,10 @@ c AS (
 )
 SELECT s.s_suppkey, c.c_custkey,
        (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS dist_sq
-FROM s, c
-WHERE (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
-      <= {_GEO_RADIUS * _GEO_RADIUS}
+FROM s, c, params p
+WHERE c.x BETWEEN s.x - p.r AND s.x + p.r
+  AND c.y BETWEEN s.y - p.r AND s.y + p.r
+  AND (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) <= p.r * p.r
 ORDER BY s_suppkey, c_custkey
 """
 
