@@ -425,6 +425,62 @@ ORDER BY term
 """
 
 
+_PHRASE = ("fast", "table")
+
+
+def phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional-index phrase query (the Lucene/ES ``match_phrase``
+    primitive ``q1_inverted_index`` lacks — that index is doc-level):
+    exact adjacent-term match via POSITIONAL postings (doc, pos, term)
+    and a chain of equi-joins pos_{k} = pos_0 + k, one join per extra
+    phrase term.
+
+    Scale shape: the posting stream filters to the phrase's terms
+    BEFORE any join (the selective index-lookup step — at deployment
+    the postings store is partitioned by term, so this is a pruned
+    point read per term), and every join is an equi-join on (doc,
+    pos+k); no windows, no arrays carried past the explode.  The
+    oracle replays the naive positional scan over the raw text, so the
+    green certifies the index decomposition, not two copies of one
+    method."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    first = postings.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos0")
+    )
+    matched = first
+    for k, term in enumerate(_PHRASE[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - k).alias("pos0")
+        )
+        matched = matched.join(nxt, ["doc_id", "pos0"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            (F.min("pos0") + 1).cast("long").alias("first_pos"),  # 1-based like the oracle
+        )
+        .orderBy("doc_id")
+    )
+
+
+PHRASE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_matches, MIN(i) AS first_pos
+FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {len(_PHRASE) - 1})) AS i
+      FROM toks)
+WHERE {" AND ".join(f"t[i+{k}] = '{w}'" for k, w in enumerate(_PHRASE))}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # Rabin-style rolling hash over 4-token windows; anchors where the hash
 # ≡ 0 (mod 8) give content-defined chunk boundaries (the rolling-hash
 # fingerprinting a CDC dedup pipeline uses).
@@ -1015,6 +1071,14 @@ SPECS = [
     QuerySpec("q3_hybrid_lang_weighted", hybrid_lang_weighted, HYBRID_LANG_SQL,
               ref="chatbot_api.py:37-40 (language-dependent fusion weights)",
               doc="hybrid fusion, EN .5/.5 vs other .2/.8", tags=("retrieval",)),
+    QuerySpec("q_phrase_search", phrase_search, PHRASE_SQL,
+              ref="scale op: positional phrase match (Lucene "
+                  "match_phrase) — term-filtered postings, equi-join "
+                  "chain on (doc, pos+k); oracle replays the naive "
+                  "positional text scan",
+              doc=f"docs containing the phrase {' '.join(_PHRASE)!r} "
+                  "with match count + first position",
+              tags=("retrieval",)),
     QuerySpec("q1_inverted_index", inverted_index, INVERTED_INDEX_SQL,
               ref="elasticsearch_sync.py:277-335 (index build) → engine-native posting lists",
               doc="term → (df, tf, sorted postings) index table", tags=("retrieval",)),
