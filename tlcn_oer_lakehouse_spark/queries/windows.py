@@ -1381,6 +1381,93 @@ FROM per_user
 """
 
 
+def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation (ACF) of the per-type daily event-count series at
+    lags 1/2/3/7 — the seasonality/persistence diagnostic that decides
+    a forecast model's order (complements ts_holt_forecast's fixed
+    smoothing and ts_seasonal_decompose's hour-of-day profile).
+
+    Determinism: Pearson terms accumulate as EXACT BIGINT moments (n,
+    Σx, Σy, Σxy, Σx², Σy² of integer daily counts); the coefficient is
+    ONE final double expression over those integers — (n·Σxy − ΣxΣy) /
+    √((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²)) with the two variance factors cast
+    to double before the product (their integer product could exceed
+    2⁶³; each factor alone stays ≤ ~4e12 at sf10 — headroom documented,
+    not assumed).  Zero-variance series yield NULL via an explicit
+    integer-compared CASE on both engines.
+
+    Scale shape: one combinable (type, day) groupBy is the only
+    corpus-sized pass; the lag pairing is an equi-join of the
+    DAY-HISTOGRAM frame against itself shifted by an exploded constant
+    lag set (4 rows per histogram row), horizon-bounded like the CUSUM
+    prefix windows.  Missing days pair with nothing — the ACF is over
+    observed-day pairs, identically in both engines."""
+    ev = load_events(spark, sf).select("event_type", "ts_sec")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_sec div 86400").alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lagged = daily.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(v) for v in (1, 2, 3, 7)])).alias("lag"),
+        (F.col("day_idx") - F.col("lag")).alias("day_idx"),
+        F.col("x").alias("y"),
+    )
+    pairs = daily.join(lagged, ["event_type", "day_idx"])
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+TS_ACF_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day_idx,
+         COUNT(*) AS x
+  FROM events GROUP BY event_type, day_idx
+),
+lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+agg AS (
+  SELECT a.event_type, l.lag,
+         COUNT(*) AS n,
+         CAST(SUM(a.x) AS BIGINT) AS sx,
+         CAST(SUM(b.x) AS BIGINT) AS sy,
+         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(SUM(b.x * b.x) AS BIGINT) AS syy
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day_idx = a.day_idx + l.lag
+  GROUP BY a.event_type, l.lag
+)
+SELECT event_type, lag, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS acf
+FROM agg
+ORDER BY event_type, lag
+"""
+
+
 def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     """CUSUM change-point detection per event_type (Page 1954, the
     classic mean-shift detector): S_d = Σ_{days≤d}(x_day − x̄) over the
@@ -1642,6 +1729,12 @@ SPECS = [
               doc="PSI between first/second time halves of the value "
                   "distribution + the 0.2 drift flag",
               tags=("timeseries", "eval")),
+    QuerySpec("ts_autocorrelation", ts_autocorrelation, TS_ACF_SQL,
+              ref="scale op: ACF at lags 1/2/3/7 over the per-type day "
+                  "histogram — exact BIGINT Pearson moments, one final "
+                  "double expression; horizon-bounded lag equi-join",
+              doc="daily event-count autocorrelation per event type",
+              tags=("timeseries",)),
     QuerySpec("ts_cusum_changepoint", ts_cusum_changepoint, TS_CUSUM_SQL,
               ref="scale op: CUSUM mean-shift change-point per event "
                   "type — exact-integer n·S statistic, day-histogram "
