@@ -335,6 +335,18 @@ def test_spatial_grid_join_is_broadcast_equi_join(spark):
     assert key_lines, f"no equi-join keyed on grid cells in plan:\n{plan}"
 
 
+def test_interval_overlap_join_no_dedup_shuffle(spark):
+    """The overlap join's dedup-free claim: candidates are emitted in
+    the first shared bucket only (an exact filter), so the plan needs
+    NO pair-keyed dropDuplicates aggregate — the only exchanges are the
+    session aggregation's; the 100-row interval side broadcasts."""
+    df = _build(spark, "j_interval_overlap")
+    plan = audit.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert audit.exchange_count(df) <= 3, plan
+
+
 def test_ivm_join_delta_decomposition_is_four_joins(spark):
     """The JOIN-view delta rule must stay structurally incremental:
     V_old ⋈, ΔO⋈C, O⋈ΔC and ΔO⋈ΔC as FOUR separate join nodes (a

@@ -54,3 +54,62 @@ def bucketed_range_join(
         )
         .drop("__bucket")
     )
+
+
+def bucketed_interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (``a_lo <= b_hi AND a_hi >= b_lo``,
+    closed bounds) via bucket tiling — the two-sided generalization of
+    :func:`bucketed_range_join` (PostgreSQL ``&&``, Databricks range-join
+    type 2).
+
+    Both sides explode to the buckets they cover and equi-join on bucket
+    id.  Overlapping intervals share EVERY bucket of their intersection,
+    so naive tiling emits duplicates; instead of a dropDuplicates
+    shuffle, each candidate is kept only in the FIRST shared bucket —
+    ``bucket == greatest(floor(a_lo/W), floor(b_lo/W))`` — which every
+    overlapping pair hits exactly once (the standard dedup-free
+    refinement from grid spatial joins, e.g. the PBSM/partition-based
+    join trick).  Exact residual overlap filter keeps the output
+    identical to the theta-join; the dedup condition itself is exact
+    integer arithmetic."""
+    a_binned = a.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_lo) / bucket_width),
+                F.floor(F.col(a_hi) / bucket_width),
+            )
+        ),
+    )
+    b_binned = b.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_lo) / bucket_width),
+                F.floor(F.col(b_hi) / bucket_width),
+            )
+        ),
+    )
+    return (
+        a_binned.join(b_binned, "__bucket")
+        .filter(
+            (F.col(a_lo) <= F.col(b_hi))
+            & (F.col(a_hi) >= F.col(b_lo))
+            & (
+                F.col("__bucket")
+                == F.greatest(
+                    F.floor(F.col(a_lo) / bucket_width),
+                    F.floor(F.col(b_lo) / bucket_width),
+                )
+            )
+        )
+        .drop("__bucket")
+    )

@@ -207,6 +207,86 @@ def _geo_xy(key: Column, tag: str) -> tuple[Column, Column]:
     return x, y
 
 
+def j_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval×interval OVERLAP join (operators/rangejoin.py:
+    bucketed_interval_overlap_join): which user sessions overlap which
+    campaign windows, and by how many seconds — the two-sided range
+    join ``j_range_interval``'s point-in-interval operator can't
+    express.  Both sides tile into 6h buckets and equi-join; each
+    overlapping pair is emitted in its FIRST shared bucket only (an
+    exact integer condition — no dropDuplicates shuffle, plan-pinned),
+    then the exact residual filter applies.  The oracle is the naive
+    overlap theta-join over gaps-and-islands sessions, so the green
+    certifies tiling + dedup are lossless.  All arithmetic is integer
+    epoch seconds."""
+    from tlcn_oer_lakehouse_spark.operators.rangejoin import (
+        bucketed_interval_overlap_join,
+    )
+
+    ev = load_events(spark, sf)
+    sess = (
+        ev.groupBy(F.session_window(F.col("ts"), "6 hours"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("s_lo"),
+            F.col("session_window.end").cast("long").alias("s_hi"),
+        )
+    )
+    base = F.lit(_EPOCH_2024) + F.col("id") * _IV_STRIDE
+    iv = spark.range(100).select(
+        F.col("id").alias("interval_id"),
+        base.alias("iv_lo"),
+        (base + _IV_LEN).alias("iv_hi"),
+    )
+    joined = bucketed_interval_overlap_join(
+        sess, iv, "s_lo", "s_hi", "iv_lo", "iv_hi", bucket_width=_IV_LEN
+    )
+    return joined.select(
+        "interval_id",
+        "user_id",
+        F.col("s_lo").alias("session_start_sec"),
+        (
+            F.least(F.col("s_hi"), F.col("iv_hi"))
+            - F.greatest(F.col("s_lo"), F.col("iv_lo"))
+        ).alias("overlap_sec"),
+    ).orderBy("interval_id", "user_id", "session_start_sec")
+
+
+J_OVERLAP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events
+),
+flagged AS (
+  SELECT user_id, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 21600
+              OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sess AS (
+  SELECT user_id, s,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, MIN(s) AS s_lo, MAX(s) + 21600 AS s_hi
+  FROM sess GROUP BY user_id, sid
+),
+iv AS (
+  SELECT i AS interval_id,
+         {_EPOCH_2024} + i * {_IV_STRIDE} AS iv_lo,
+         {_EPOCH_2024} + i * {_IV_STRIDE} + {_IV_LEN} AS iv_hi
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+)
+SELECT interval_id, user_id, s_lo AS session_start_sec,
+       least(s_hi, iv_hi) - greatest(s_lo, iv_lo) AS overlap_sec
+FROM sessions JOIN iv ON s_lo <= iv_hi AND s_hi >= iv_lo
+ORDER BY interval_id, user_id, session_start_sec
+"""
+
+
 def w14_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Directed association rules A→B over order baskets (Agrawal &
     Srikant VLDB'94 — the rule-mining step ON TOP of the co-occurrence
@@ -1749,6 +1829,13 @@ SPECS = [
                   "thresholds, unrounded ratio outputs",
               doc="brand association rules with support/confidence/lift",
               tags=("mining",)),
+    QuerySpec("j_interval_overlap", j_interval_overlap, J_OVERLAP_SQL,
+              ref="scale op: interval×interval overlap join via bucket "
+                  "tiling with dedup-free first-shared-bucket emission "
+                  "(no dropDuplicates shuffle); oracle is the naive "
+                  "overlap theta-join over gaps-and-islands sessions",
+              doc="user sessions × campaign windows with overlap seconds",
+              tags=("join",)),
     QuerySpec("j_spatial_grid", j_spatial_grid, J_SPATIAL_SQL,
               ref="scale op: grid-bucketed spatial radius join "
                   "(Sedona/PostGIS tiling strategy) — 3×3 neighbor-cell "
