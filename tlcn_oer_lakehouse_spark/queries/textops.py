@@ -1345,7 +1345,7 @@ SPECS = [
                   "prefix shingles only, provably lossless at τ=0.5; "
                   "oracle is the uncapped all-shared-shingle join",
               doc="exact Jaccard>=0.5 pairs, prefix-filtered candidates",
-              tags=("dedup",)),
+              tags=("dedup", "bench")),
     QuerySpec("dedup_clusters", dedup_clusters, _clusters_oracle(),
               ref="scale op: near-dup cluster resolution (Kiveris et al. SoCC'14 family)",
               doc="connected components over minhash pairs -> canonical clusters",

@@ -1841,8 +1841,8 @@ SPECS = [
                   "(Sedona/PostGIS tiling strategy) — 3×3 neighbor-cell "
                   "equi-join, broadcast small side, exact-integer dist² "
                   "residual; oracle is the naive theta-join",
-              doc="customers within 20k units of each supplier site",
-              tags=("join", "spatial")),
+              doc="customers within the adaptive radius of each supplier site",
+              tags=("join", "spatial", "bench")),
     QuerySpec("j_range_interval", range_interval_join, RANGE_INTERVAL_SQL,
               ref="scale op: bucketed range join (no native Spark strategy; "
                   "Databricks range-join bin analog)",
