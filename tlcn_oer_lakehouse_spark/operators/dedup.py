@@ -324,8 +324,8 @@ def prefix_filter_jaccard_pairs(
     two per-doc sorted token arrays (two doc-keyed equi-joins against
     the one persisted corpus frame) and |A∩B| is a map-side
     ``array_intersect`` per pair — the exploded alternative shuffles
-    ~100 skinny rows per candidate through two joins (measured 2.5×
-    slower end-to-end at sf0.1: 11.5 s → 4.6 s cold).
+    ~100 skinny rows per candidate through two joins (measured at
+    sf0.1: 11.5 s → ~3.5-4 s cold end-to-end).
 
     Plan shape: two combinable groupBys (df counts, per-doc ordered
     arrays — the single persisted frame), one equi-join on prefix

@@ -690,6 +690,44 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def o8_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot / melt (the inverse of ``a_pivot``, completing the
+    reshape pair): the wide per-returnflag quantity/price/discount
+    aggregate melts into (flag, measure, value) long form via
+    ``DataFrame.unpivot`` — Spark's native UNPIVOT, one map-side
+    Expand node, no shuffle beyond the feeding aggregate."""
+    li = load(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("string").cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string").cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)"))
+        .cast("string").cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")
+
+
+O8_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value
+FROM wide
+UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, measure
+"""
+
+
 def a_exact_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles per group (beyond reference —
     legacy DDL implies quality quartiles, create_schema.py:272-290).
@@ -1174,6 +1212,11 @@ SPECS = [
               ref="beyond reference; single-pass ingest-gate profiling",
               doc="rowcount/distincts/nulls/range/mean in one aggregate",
               tags=("relational",)),
+    QuerySpec("o8_unpivot", o8_unpivot, O8_UNPIVOT_SQL,
+              ref="beyond reference: native UNPIVOT/melt — the inverse "
+                  "reshape of a_pivot; map-side Expand, no added shuffle",
+              doc="wide per-flag aggregates melted to (flag, measure, value)",
+              tags=("setop",)),
     QuerySpec("a_pivot", a_pivot, A_PIVOT_SQL,
               ref="beyond reference (SURVEY §2.4: pivot absent)",
               doc="pivot on linestatus", tags=("agg", "extension")),
