@@ -35,9 +35,14 @@ _MODULES = (
 # registry query has a driver-proven row, none older than r4.  The
 # vintage drives the rank-3 ordering below so each round's spare window
 # slots refresh the OLDEST driver rows first.  Round-9 window budget:
-# 5 changed-builder re-verifies (_REVERIFY_FIRST), 3 new round-9
-# queries, then ~42 spare rank-3 slots — all 29 r4-vintage rows plus
-# the oldest r5 rows; after this round no green predates r5.
+# 23 changed-builder re-verifies (_REVERIFY_FIRST — the CCNet flip,
+# Bloom rewrite, MMR laziness, k-sizing, and the augmentation-offset
+# family), then the never-sampled round-9 additions (7 from sessions
+# 1-2 + 10 r9c: dedup_prefix_filter, j_spatial_grid, j_interval_overlap,
+# ivm_incremental_join, a_skyline_pareto, w14_association_rules,
+# pii_k_anonymity, q_phrase_search, ts_autocorrelation, o8_unpivot) at
+# rank 1 — 40 of the 50 window slots; the remaining ~10 refresh the
+# oldest r4-vintage rows.
 _GREEN_VINTAGE: dict[int, frozenset[str]] = {
     2: frozenset({
         "td_vocab_coverage"
