@@ -286,6 +286,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    persist=None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
     al. ICDE'06; PPJoin, Xiao et al. WWW'08; distributed form: Vernica
@@ -331,13 +332,23 @@ def prefix_filter_jaccard_pairs(
     arrays — the single persisted frame), one equi-join on prefix
     shingles, a combinable pair aggregate, two doc-keyed array-fetch
     joins — no cartesian, no window."""
+    # ``persist`` — (key, frame) -> persisted frame.  Registry callers
+    # pass a persist_replacing partial so a long-lived session holds at
+    # most ONE live cached copy of each corpus-sized frame per query
+    # (the ADVICE-r8 dedup_semdedup discipline); ad-hoc callers get a
+    # plain .persist().
+    if persist is None:
+        persist = lambda _key, frame: frame.persist()  # noqa: E731
     # persisted: the tokenize→shingle→distinct→explode scan feeds BOTH
     # the df aggregate and the ordering join — uncached it runs twice,
     # and the scan (not the joins) dominates the build (sf1.0: 18 s →
     # 11 s for the ordered frame after caching)
-    sh = shingle_rows(df, id_col, text_col, shingle_n).select("doc", "shingle").persist()
+    sh = persist(
+        "sh", shingle_rows(df, id_col, text_col, shingle_n).select("doc", "shingle")
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
+    ordered = persist(
+        "ordered",
         sh.join(freq, "shingle")
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks"))
@@ -345,8 +356,7 @@ def prefix_filter_jaccard_pairs(
             "doc",
             F.transform("toks", lambda s: s["shingle"]).alias("tok_arr"),
             F.size("toks").alias("n"),
-        )
-        .persist()
+        ),
     )
     plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + F.lit(1)
     prefix = ordered.select(

@@ -339,10 +339,14 @@ def dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
     from tlcn_oer_lakehouse_spark.operators.dedup import (
         prefix_filter_jaccard_pairs,
     )
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
 
     return prefix_filter_jaccard_pairs(
         augmented_corpus(spark, sf), "doc_id", "text",
         shingle_n=3, threshold=0.5,
+        persist=lambda key, frame: persist_replacing(
+            f"dedup_prefix_filter/{key}", frame
+        ),
     )
 
 
