@@ -209,7 +209,13 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   batch in the incremental split.  Every query whose OUTPUT carries
 #   augmented ids changed values and needs a fresh row (td_data_card
 #   aggregates — values unchanged — but its builder subtree changed):
+#   q10_returned_items' output column c_acctbal is now sign-normalized
+#   (+0.0) on both sides: the r9c sf10 probe caught a single NEGATIVE-
+#   ZERO balance (1 customer in 15M) where Spark normalizes −0.0 in
+#   grouping keys (SPARK-26021) but DuckDB emits the stored −0.0 —
+#   values changed for that key class, fresh row required:
 _REVERIFY_FIRST = (
+    "q10_returned_items",
     "td_ccnet_buckets",
     "td_contamination_scalable",
     "q5_context_mmr",

@@ -179,7 +179,16 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 
 
 def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q10 shape: revenue lost to returned items per customer."""
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+
+    ``c_acctbal`` is grouped raw but OUTPUT as ``c_acctbal + 0.0``: the
+    sf10 probe caught a single NEGATIVE-ZERO balance (one customer in
+    15M; no smaller scale has one) — Spark normalizes −0.0 → +0.0 in
+    grouping keys (SPARK-26021) while DuckDB emits the stored −0.0, so
+    the two canonical frames sorted differently and hash-diverged.
+    IEEE (−0.0)+(+0.0) = +0.0 normalizes both engines identically; the
+    general rule joins the decade-kill list: a FLOAT grouping key that
+    is also an output column must be sign-normalized on both sides."""
     cust = load(spark, sf, "customer")
     orders = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -193,12 +202,17 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.col("c_acctbal") + F.lit(0.0)).alias("c_acctbal"),
+            "revenue",
+        )
     )
 
 
 Q10_SQL = """
 SELECT
-  c_custkey, c_name, n_name, c_acctbal,
+  c_custkey, c_name, n_name, c_acctbal + 0.0 AS c_acctbal,
   CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
