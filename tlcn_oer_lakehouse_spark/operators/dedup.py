@@ -339,6 +339,27 @@ def prefix_filter_jaccard_pairs(
     # plain .persist().
     if persist is None:
         persist = lambda _key, frame: frame.persist()  # noqa: E731
+    # EXACT-RATIONAL bounds (ADVICE r9): the prefix length n−⌈τn⌉+1 and
+    # the PPJoin required overlap ⌈τ/(1+τ)·(na+nb)⌉ must never round
+    # the wrong way — a float ⌈0.55·n⌉ whose double product lands just
+    # above an exact integer overshoots the ceil, shortening the prefix
+    # and silently breaking the EXACT guarantee.  τ is therefore read
+    # as the decimal the caller wrote (Fraction of its shortest repr,
+    # e.g. 0.55 → 11/20) and both ceils become integer ceil-division
+    # ((p·n + q − 1) div q) — pure BIGINT arithmetic on both sides of
+    # every comparison, no float ever touches a bound.
+    from fractions import Fraction
+
+    tau_f = Fraction(str(float(threshold)))
+    if not 0 < tau_f <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    p, q = tau_f.numerator, tau_f.denominator
+    if q > 1_000_000:
+        raise ValueError(
+            f"threshold {threshold} has no short exact decimal form "
+            f"(denominator {q}); pass a rounded decimal so the exact "
+            f"integer bounds stay within BIGINT range"
+        )
     # persisted: the tokenize→shingle→distinct→explode scan feeds BOTH
     # the df aggregate and the ordering join — uncached it runs twice,
     # and the scan (not the joins) dominates the build (sf1.0: 18 s →
@@ -358,21 +379,27 @@ def prefix_filter_jaccard_pairs(
             F.size("toks").alias("n"),
         ),
     )
-    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + F.lit(1)
+    # n − ⌈p·n/q⌉ + 1, with the ceil as integer ceil-division
+    plen = (
+        F.col("n")
+        - F.expr(f"({p} * n + {q - 1}) div {q}").cast("int")
+        + F.lit(1)
+    )
     prefix = ordered.select(
         F.col("doc"),
         F.col("n"),
         F.posexplode(F.slice("tok_arr", F.lit(1), plen)).alias("pos0", "shingle"),
     )
-    tau = F.lit(threshold)
+    # length filter τ·max ≤ min as cross-multiplied integers:
+    # q·na ≥ p·nb ∧ q·nb ≥ p·na
     matches = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("a.n") >= tau * F.col("b.n"))
-            & (F.col("b.n") >= tau * F.col("a.n")),
+            & (F.col("a.n").cast("long") * q >= F.col("b.n").cast("long") * p)
+            & (F.col("b.n").cast("long") * q >= F.col("a.n").cast("long") * p),
         )
         .select(
             F.col("a.doc").alias("doc_a"),
@@ -392,11 +419,10 @@ def prefix_filter_jaccard_pairs(
             F.min("jb").alias("jb"),
         )
         .filter(
+            # required overlap ⌈τ/(1+τ)·(na+nb)⌉ = ⌈p·(na+nb)/(p+q)⌉,
+            # again as integer ceil-division
             F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
-            >= F.ceil(
-                F.lit(threshold / (1.0 + threshold))
-                * (F.col("na") + F.col("nb"))
-            )
+            >= F.expr(f"({p} * (na + nb) + {p + q - 1}) div {p + q}")
         )
         .select("doc_a", "doc_b")
     )

@@ -11,8 +11,9 @@ cell id after expanding one side to its 3×3 cell neighborhood, and an
 exact residual filter keeps the output identical to the theta-join.
 
 Scale shape: the only corpus-sized pass is the map-side cell-id
-derivation; the join is an equi-join on (cx, cy) — broadcastable when
-one side is a dimension, shuffle-partitioned on cell otherwise.  The
+derivation; the join is an equi-join on (cx, cy) — broadcast when one
+side is a dimension (``broadcast=True``, the default), shuffle-
+partitioned on cell otherwise (``broadcast=False``).  The
 9× expansion multiplies the SMALLER side.  Cell density skew (a hot
 cell holding a city's worth of points) shards like any hot equi-join
 key: AQE skew-split handles it because candidates are a plain equi-join,
@@ -26,9 +27,16 @@ from pyspark.sql import functions as F
 
 
 def grid_cells(x: Column, y: Column, cell: int) -> tuple[Column, Column]:
-    """Cell coordinates for a point; integer floor-div (non-negative
-    coordinate domain assumed, as produced by the callers' hash layout)."""
-    return (x / F.lit(cell)).cast("long"), (y / F.lit(cell)).cast("long")
+    """Cell coordinates for a point: FLOOR division (rangejoin.py's
+    convention), not cast-truncation — a truncating ``(x/cell)
+    .cast('long')`` collapses cells −1 and 0 for negative coordinates,
+    so adjacency-based candidate generation would silently miss true
+    matches near the origin (ADVICE r9).  Floor keeps the cell lattice
+    uniform over the full signed domain."""
+    return (
+        F.floor(x / F.lit(cell)).cast("long"),
+        F.floor(y / F.lit(cell)).cast("long"),
+    )
 
 
 def grid_radius_join(
@@ -36,16 +44,24 @@ def grid_radius_join(
     big: DataFrame,
     radius: int,
     keys: tuple[str, str] = ("a_id", "b_id"),
+    broadcast: bool = True,
 ) -> DataFrame:
     """All pairs (small, big) with Euclidean distance ≤ ``radius``.
 
     Both inputs carry integer columns ``x``, ``y`` and an id column
-    (``keys``).  ``small`` is expanded to its 3×3 neighbor cells and
-    broadcast; ``big`` maps each row to its single home cell — so every
+    (``keys``).  ``small`` is expanded to its 3×3 neighbor cells and —
+    with ``broadcast=True``, the default — broadcast, so every
     candidate pair shares an exact cell key and the join is a
-    BroadcastHashJoin on (cx, cy), never a nested loop.  The residual
-    filter compares EXACT INTEGER squared distances (no sqrt, no float):
-    the output column ``dist_sq`` is engine-portable bit-for-bit.
+    BroadcastHashJoin on (cx, cy), never a nested loop.  The broadcast
+    therefore carries a DIMENSION-SIZED contract on ``small``: its 9×
+    cell expansion must fit the driver/executor broadcast budget.  For
+    a fact-sized ``small`` pass ``broadcast=False`` — the same 3×3
+    expansion joins as a shuffle hash/sort-merge equi-join on (cx, cy)
+    instead of OOMing the driver (ADVICE r9: the module docstring
+    promised this fallback; now it exists as a parameter rather than a
+    claim).  The residual filter compares EXACT INTEGER squared
+    distances (no sqrt, no float): the output column ``dist_sq`` is
+    engine-portable bit-for-bit.
     """
     a_id, b_id = keys
     r2 = radius * radius
@@ -73,7 +89,7 @@ def grid_radius_join(
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
     return (
-        bpts.join(F.broadcast(exp), ["cx", "cy"])
+        bpts.join(F.broadcast(exp) if broadcast else exp, ["cx", "cy"])
         .withColumn("dist_sq", dx * dx + dy * dy)
         .filter(F.col("dist_sq") <= F.lit(r2))
         .select(a_id, b_id, "dist_sq")

@@ -1486,11 +1486,21 @@ def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.expr("ts_sec div 86400").alias("day_idx")
     ).agg(F.count(F.lit(1)).alias("x"))
+    # two selects: materialize the exploded `lag` first, THEN shift —
+    # `day_idx - lag` in the same select list as the explode resolved
+    # only via Spark 3.4+ lateral column aliasing interacting with
+    # generator extraction (ADVICE r9: fragile on older analyzers /
+    # with LCA disabled); the split is the same physical plan
     lagged = daily.select(
         "event_type",
         F.explode(F.array(*[F.lit(v) for v in (1, 2, 3, 7)])).alias("lag"),
-        (F.col("day_idx") - F.col("lag")).alias("day_idx"),
+        "day_idx",
         F.col("x").alias("y"),
+    ).select(
+        "event_type",
+        "lag",
+        (F.col("day_idx") - F.col("lag")).alias("day_idx"),
+        "y",
     )
     pairs = daily.join(lagged, ["event_type", "day_idx"])
     agg = pairs.groupBy("event_type", "lag").agg(
