@@ -121,6 +121,41 @@ def test_prefix_filter_integer_bounds_match_rational_ground_truth(spark):
         assert r.ceil_tau_n == -(-p * int(r.n) // q), r
 
 
+def test_incremental_prefix_equals_full_restricted(spark, sf_dir):
+    """O(delta) exact dedup: pairs from (existing, batch) under the
+    FROZEN standing-index order must equal the full-corpus prefix
+    filter's pairs restricted to batch-touching pairs — exactness is
+    order-independent, so the frozen order loses nothing."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        prefix_filter_incremental_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from tlcn_oer_lakehouse_spark.queries.textops import (
+        COPY_OFFSET,
+        augmented_corpus,
+    )
+
+    corpus = augmented_corpus(spark, sf_dir).persist()
+    batch = corpus.filter(F.col("doc_id") >= COPY_OFFSET)
+    existing = corpus.filter(F.col("doc_id") < COPY_OFFSET)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(corpus, "doc_id", "text").collect()
+    }
+    expected = {
+        p for p in full if p[0] >= COPY_OFFSET or p[1] >= COPY_OFFSET
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_incremental_pairs(
+            existing, batch, "doc_id", "text"
+        ).collect()
+    }
+    corpus.unpersist()
+    assert expected, "fixture must contain batch-touching exact pairs"
+    assert got == expected
+
+
 def test_prefix_filter_rejects_unrepresentable_threshold(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="decimal"):

@@ -141,9 +141,20 @@ def test_dedup_semdedup_pair_work_is_cluster_bounded(spark):
     assert key_lines, "no equi-join keyed on cluster_id in the plan"
 
 
+def test_layout_dpp_star_join_prunes_at_runtime(spark):
+    """The registry DPP query's whole point: the fact scan must carry a
+    dynamicpruningexpression PartitionFilter injected from the dim-side
+    label predicate — static pruning can't see through the join."""
+    df = _build(spark, "layout_dpp_star_join")
+    plan = audit.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert audit.broadcast_join_count(df) >= 1
+
+
 @pytest.mark.parametrize("name", [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_prefix_filter", "dedup_embedding_cosine",
+    "dedup_prefix_filter", "dedup_prefix_incremental",
+    "dedup_embedding_cosine",
     "td_contamination_check",
 ])
 def test_dedup_family_never_all_pairs(spark, name):

@@ -292,6 +292,61 @@ def test_near_dup_ingest_flags_cross_batch_duplicates(spark, tmp_path):
     assert table.read().count() == 6
 
 
+def test_exact_dedup_ingest_flags_cross_batch_duplicates(spark, tmp_path):
+    """Streaming EXACT prefix-filter dedup: same cross-batch contract as
+    near_dup_ingest, but with the exactness guarantee — every J≥0.5
+    pair touching a batch is flagged, none invented.  Batch 2 probes
+    the standing corpus under its frozen df order."""
+    from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        exact_dedup_ingest,
+        landing_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now ok")],
+        schema,
+    ).coalesce(1).write.parquet(f"{landing}/b1")
+
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "corpus"), key="doc_id", fingerprint_col="text"
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    from pyspark.sql.types import _parse_datatype_string
+
+    stream = landing_stream(spark, f"{landing}/*", _parse_datatype_string(schema))
+    q = exact_dedup_ingest(
+        stream, table, pairs_dir, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(11, base), (12, "one two three four five six seven eight nine ten"),
+         (13, "one two three four five six seven eight nine ten")],
+        schema,
+    ).coalesce(1).write.parquet(f"{landing}/b2")
+    q2 = exact_dedup_ingest(
+        landing_stream(spark, f"{landing}/*", _parse_datatype_string(schema)),
+        table, pairs_dir, str(tmp_path / "ckpt"), threshold=0.5,
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(pairs_dir).select("doc_a", "doc_b").collect()
+    }
+    assert (1, 2) in got          # batch-1 internal near-dup (J = 8/11)
+    assert (1, 11) in got         # cross-batch exact duplicate
+    assert (2, 11) in got         # cross-batch near-dup via shared base
+    assert (12, 13) in got        # batch-2 internal duplicate
+    # exactness: doc 3 shares no shingle with anything — never paired
+    assert not any(3 in p for p in got)
+    assert table.read().count() == 6
+
+
 def test_scd2_streaming_dimension(spark, tmp_path):
     """Streaming type-2 dimension maintenance: two micro-batches build a
     version chain; replaying the second batch is a no-op on the chain."""

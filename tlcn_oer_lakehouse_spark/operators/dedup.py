@@ -280,6 +280,72 @@ def ngram_jaccard_pairs(
     return jaccard_verify_from(sh, pairs).filter(F.col("jaccard") >= threshold)
 
 
+def _tau_fraction(threshold: float) -> tuple[int, int]:
+    """EXACT-RATIONAL threshold (ADVICE r9): the prefix length n−⌈τn⌉+1
+    and the PPJoin required overlap ⌈τ/(1+τ)·(na+nb)⌉ must never round
+    the wrong way — a float ⌈0.55·n⌉ whose double product lands just
+    above an exact integer overshoots the ceil, shortening the prefix
+    and silently breaking the EXACT guarantee.  τ is therefore read as
+    the decimal the caller wrote (Fraction of its shortest repr, e.g.
+    0.55 → 11/20) and every ceil becomes integer ceil-division
+    ((p·n + q − 1) div q) — pure BIGINT arithmetic on both sides of
+    every comparison, no float ever touches a bound."""
+    from fractions import Fraction
+
+    tau_f = Fraction(str(float(threshold)))
+    if not 0 < tau_f <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    p, q = tau_f.numerator, tau_f.denominator
+    if q > 1_000_000:
+        raise ValueError(
+            f"threshold {threshold} has no short exact decimal form "
+            f"(denominator {q}); pass a rounded decimal so the exact "
+            f"integer bounds stay within BIGINT range"
+        )
+    return p, q
+
+
+def _df_ordered_arrays(sh: DataFrame, freq: DataFrame, how: str = "inner") -> DataFrame:
+    """Per-doc shingle arrays sorted by the (df, shingle) global order
+    ``freq`` defines.  ``how='left'`` admits shingles absent from
+    ``freq`` at df=0 — rarer than everything observed, so a frozen
+    standing-index order extends consistently to batch-only tokens
+    (any TOTAL order preserves prefix-filter exactness; df-freshness
+    only affects pruning power)."""
+    df_key = F.coalesce(F.col("df"), F.lit(0)) if how == "left" else F.col("df")
+    return (
+        sh.join(freq, "shingle", how)
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(df_key.alias("df"), F.col("shingle").alias("shingle"))
+                )
+            ).alias("toks")
+        )
+        .select(
+            "doc",
+            F.transform("toks", lambda s: s["shingle"]).alias("tok_arr"),
+            F.size("toks").alias("n"),
+        )
+    )
+
+
+def _prefix_rows(ordered: DataFrame, p: int, q: int) -> DataFrame:
+    """Explode each doc's first n − ⌈p·n/q⌉ + 1 ordered shingles (the
+    prefix-filter theorem's window), ceil as integer ceil-division."""
+    plen = (
+        F.col("n")
+        - F.expr(f"({p} * n + {q - 1}) div {q}").cast("int")
+        + F.lit(1)
+    )
+    return ordered.select(
+        F.col("doc"),
+        F.col("n"),
+        F.posexplode(F.slice("tok_arr", F.lit(1), plen)).alias("pos0", "shingle"),
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -339,27 +405,7 @@ def prefix_filter_jaccard_pairs(
     # plain .persist().
     if persist is None:
         persist = lambda _key, frame: frame.persist()  # noqa: E731
-    # EXACT-RATIONAL bounds (ADVICE r9): the prefix length n−⌈τn⌉+1 and
-    # the PPJoin required overlap ⌈τ/(1+τ)·(na+nb)⌉ must never round
-    # the wrong way — a float ⌈0.55·n⌉ whose double product lands just
-    # above an exact integer overshoots the ceil, shortening the prefix
-    # and silently breaking the EXACT guarantee.  τ is therefore read
-    # as the decimal the caller wrote (Fraction of its shortest repr,
-    # e.g. 0.55 → 11/20) and both ceils become integer ceil-division
-    # ((p·n + q − 1) div q) — pure BIGINT arithmetic on both sides of
-    # every comparison, no float ever touches a bound.
-    from fractions import Fraction
-
-    tau_f = Fraction(str(float(threshold)))
-    if not 0 < tau_f <= 1:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    p, q = tau_f.numerator, tau_f.denominator
-    if q > 1_000_000:
-        raise ValueError(
-            f"threshold {threshold} has no short exact decimal form "
-            f"(denominator {q}); pass a rounded decimal so the exact "
-            f"integer bounds stay within BIGINT range"
-        )
+    p, q = _tau_fraction(threshold)
     # persisted: the tokenize→shingle→distinct→explode scan feeds BOTH
     # the df aggregate and the ordering join — uncached it runs twice,
     # and the scan (not the joins) dominates the build (sf1.0: 18 s →
@@ -368,28 +414,8 @@ def prefix_filter_jaccard_pairs(
         "sh", shingle_rows(df, id_col, text_col, shingle_n).select("doc", "shingle")
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ordered = persist(
-        "ordered",
-        sh.join(freq, "shingle")
-        .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks"))
-        .select(
-            "doc",
-            F.transform("toks", lambda s: s["shingle"]).alias("tok_arr"),
-            F.size("toks").alias("n"),
-        ),
-    )
-    # n − ⌈p·n/q⌉ + 1, with the ceil as integer ceil-division
-    plen = (
-        F.col("n")
-        - F.expr(f"({p} * n + {q - 1}) div {q}").cast("int")
-        + F.lit(1)
-    )
-    prefix = ordered.select(
-        F.col("doc"),
-        F.col("n"),
-        F.posexplode(F.slice("tok_arr", F.lit(1), plen)).alias("pos0", "shingle"),
-    )
+    ordered = persist("ordered", _df_ordered_arrays(sh, freq))
+    prefix = _prefix_rows(ordered, p, q)
     # length filter τ·max ≤ min as cross-multiplied integers:
     # q·na ≥ p·nb ∧ q·nb ≥ p·na
     matches = (
@@ -438,6 +464,131 @@ def prefix_filter_jaccard_pairs(
         )
         .join(
             ordered.select(
+                F.col("doc").alias("doc_b"),
+                F.col("tok_arr").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("na") + F.col("nb") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_filter_incremental_pairs(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    persist=None,
+) -> DataFrame:
+    """Ingest-time EXACT set-similarity: all Jaccard ≥ τ pairs touching
+    the NEW batch (new×existing ∪ new×new) — the O(delta) incremental
+    form of :func:`prefix_filter_jaccard_pairs`, completing the dedup
+    family's incrementality story for the exact tier the way
+    :func:`minhash_incremental_pairs` does for the probabilistic one.
+
+    THE GLOBAL ORDER IS FROZEN AT INDEX-BUILD TIME: prefix filtering
+    needs one total order shared by every doc in a candidate pair, so
+    the standing corpus's (df, shingle) order — its document
+    frequencies as of the last full build — ranks BOTH sides.  Batch
+    shingles join the standing vocabulary with ``how='left'`` and
+    unseen tokens take df=0 (rarer than everything observed, ties by
+    shingle string).  Exactness holds under ANY fixed total order (the
+    prefix theorem never references df); freshness of the frequencies
+    affects only pruning power, so a deployment refreshes the order at
+    compaction time, exactly like rewriting the banded MinHash index.
+
+    Scale shape: only the batch is shingled, ordered, and
+    prefix-exploded in full; the standing side contributes (a) its df
+    vocabulary (one combinable groupBy — on a deployment a persisted
+    table keyed by shingle), (b) its prefix rows for the candidate
+    probe (likewise a persisted, shingle-bucketed index in production;
+    derived in-plan here, the :func:`minhash_incremental_pairs`
+    convention), and (c) full token arrays for ONLY the candidate docs
+    (semi-join pruned).  Per-ingest work scales with the batch and its
+    collision set.  Candidate generation, the positional filter, and
+    the array-intersect verify are the full operator's, bounds in
+    exact integer arithmetic."""
+    if persist is None:
+        persist = lambda _key, frame: frame.persist()  # noqa: E731
+    p, q = _tau_fraction(threshold)
+    sh_e = persist(
+        "sh_e",
+        shingle_rows(existing, id_col, text_col, shingle_n).select("doc", "shingle"),
+    )
+    sh_b = persist(
+        "sh_b",
+        shingle_rows(batch, id_col, text_col, shingle_n).select("doc", "shingle"),
+    )
+    # frozen standing-index order: df over the EXISTING corpus only
+    freq = sh_e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered_e = persist("ordered_e", _df_ordered_arrays(sh_e, freq))
+    ordered_b = persist("ordered_b", _df_ordered_arrays(sh_b, freq, how="left"))
+    pref_b = _prefix_rows(ordered_b, p, q)
+    pref_all = pref_b.unionByName(_prefix_rows(ordered_e, p, q))
+    # probe: batch prefixes against ALL prefixes.  a.doc != b.doc keeps
+    # batch×batch pairs once per orientation; canonicalization below
+    # collapses them in the min-aggregate (positions swap with docs, so
+    # the aggregate stays side-consistent).
+    lo_is_a = F.col("a.doc") < F.col("b.doc")
+    matches = (
+        pref_b.alias("a")
+        .join(
+            pref_all.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") != F.col("b.doc"))
+            & (F.col("a.n").cast("long") * q >= F.col("b.n").cast("long") * p)
+            & (F.col("b.n").cast("long") * q >= F.col("a.n").cast("long") * p),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+            F.when(lo_is_a, F.col("a.n")).otherwise(F.col("b.n")).alias("na"),
+            F.when(lo_is_a, F.col("b.n")).otherwise(F.col("a.n")).alias("nb"),
+            (F.when(lo_is_a, F.col("a.pos0")).otherwise(F.col("b.pos0")) + 1).alias("ia"),
+            (F.when(lo_is_a, F.col("b.pos0")).otherwise(F.col("a.pos0")) + 1).alias("jb"),
+        )
+    )
+    cand = (
+        matches.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+            F.min("ia").alias("ia"),
+            F.min("jb").alias("jb"),
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+            >= F.expr(f"({p} * (na + nb) + {p + q - 1}) div {p + q}")
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    # existing-side arrays only for candidate docs; batch arrays in full
+    arrs = ordered_b.unionByName(ordered_e.join(cand_docs, "doc", "leftsemi"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc").alias("doc_a"),
+                F.col("tok_arr").alias("ta"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
                 F.col("doc").alias("doc_b"),
                 F.col("tok_arr").alias("tb"),
                 F.col("n").alias("nb"),

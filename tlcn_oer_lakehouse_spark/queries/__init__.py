@@ -27,22 +27,19 @@ _MODULES = (
 )
 
 
-# Driver-verified-green union across CORRECTNESS_r01..r08, keyed by the
+# Driver-verified-green union across CORRECTNESS_r01..r09, keyed by the
 # LATEST round each query's newest green row was produced in (its
 # "vintage"; a name in several rounds resolves to the LAST set that
-# contains it — insertion order matters).  CORRECTNESS_r08 was 50/50
-# green — the cross-round union is 204/204 pre-round-9 queries: every
-# registry query has a driver-proven row, none older than r4.  The
-# vintage drives the rank-3 ordering below so each round's spare window
-# slots refresh the OLDEST driver rows first.  Round-9 window budget:
-# 23 changed-builder re-verifies (_REVERIFY_FIRST — the CCNet flip,
-# Bloom rewrite, MMR laziness, k-sizing, and the augmentation-offset
-# family), then the never-sampled round-9 additions (7 from sessions
-# 1-2 + 10 r9c: dedup_prefix_filter, j_spatial_grid, j_interval_overlap,
-# ivm_incremental_join, a_skyline_pareto, w14_association_rules,
-# pii_k_anonymity, q_phrase_search, ts_autocorrelation, o8_unpivot) at
-# rank 1 — 40 of the 50 window slots; the remaining ~10 refresh the
-# oldest r4-vintage rows.
+# contains it — insertion order matters).  CORRECTNESS_r09 was 50/50
+# green — the cross-round union is 227/227 pre-round-10 queries: every
+# registry query has a driver-proven row.  The vintage drives the
+# rank-3 ordering below so each round's spare window slots refresh the
+# OLDEST driver rows first.  Round-10 window budget: 3 changed-builder
+# re-verifies (_REVERIFY_FIRST — the ADVICE-r9 exact-bounds, floor-cell
+# and lag-select fixes), 2 never-sampled round-10 additions
+# (dedup_prefix_incremental, layout_dpp_star_join) at rank 1, and ~45
+# spare slots retiring the r4 green vintage (VERDICT r9 #1) with
+# r5-vintage rows behind them.
 _GREEN_VINTAGE: dict[int, frozenset[str]] = {
     2: frozenset({
         "td_vocab_coverage"
@@ -167,6 +164,28 @@ _GREEN_VINTAGE: dict[int, frozenset[str]] = {
         "td_unigram_surprisal", "td_vocab_coverage",
         "w4_distribution_ranks"
     }),
+    9: frozenset({
+        "a_skyline_pareto", "dedup_clusters", "dedup_clusters_star",
+        "dedup_embedding_cosine", "dedup_exact",
+        "dedup_minhash_incremental", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_prefix_filter",
+        "dedup_recall_eval", "dedup_semdedup", "dedup_simhash",
+        "dedup_soft_sample", "g_jaccard_neighbors", "g_kcore",
+        "g_label_propagation", "g_lpa_converged", "g_modularity",
+        "g_pagerank", "g_pointer_doubling_depth", "g_scc",
+        "g_triangle_count", "ivm_incremental_join",
+        "j_interval_overlap", "j_range_interval", "j_spatial_grid",
+        "layout_compaction_plan", "layout_zorder",
+        "ml_calibration_bins", "ml_psi_drift", "ml_ranking_metrics",
+        "o8_unpivot", "pii_k_anonymity", "q10_returned_items",
+        "q3_hybrid_rrf", "q5_context_mmr", "q_phrase_search",
+        "st_sliding_window", "st_tumbling_window", "td_ccnet_buckets",
+        "td_contamination_scalable", "td_curation_model_e2e",
+        "td_data_card", "td_dataset_overlap", "td_fractional_epochs",
+        "td_quality_classifier", "td_ssl_prototypes",
+        "ts_autocorrelation", "ts_cusum_changepoint",
+        "w14_association_rules"
+    }),
 }
 
 _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
@@ -174,80 +193,42 @@ _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
 _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 
 
-# Queries whose green driver row predates a material round-9 code change
-# — pinned to the very front of the window so round 9 produces a fresh
-# row for each:
+# Queries whose green driver row predates a material round-10 code
+# change — pinned to the very front of the window so round 10 produces
+# a fresh row for each (all three outputs proven identical via the
+# strict driver sim at sf0.01/0.1 before rotation; the PLANS changed):
 #
-#   td_ccnet_buckets' bucket ORIENTATION flipped to match Wenzek et al.
-#   (ADVICE r8: head = LOWEST surprisal/perplexity tercile, the paper's
-#   convention; the r8 green certified the inverse labeling).  Output
-#   changed → fresh row required:
-#     td_ccnet_buckets
-#   contamination_check_scalable's Bloom gate was rebuilt REGISTER-
-#   BLOCKED (all k=3 bits in one 64-bit word: 1 broadcast join instead
-#   of 3, no build-side explode, zero added hash calls — word/bit
-#   positions derive from the existing xxhash64 key's bit fields).
-#   Output proven identical (the oracle IS the ungated computation and
-#   the strict sim is green), but the plan changed materially:
-#     td_contamination_scalable
-#   q5_context_mmr's candidate checkpoint is now lazy
-#   (localCheckpoint(eager=False), ADVICE r8 — plan construction was
-#   running the BM25 corpus scan eagerly); same values, changed
-#   materialization path:
-#     q5_context_mmr
-#   dedup_semdedup moved its corpus-sized persist behind
-#   persist_replacing (ADVICE r8 cache-accumulation fix) and its
-#   k-sizing now FAILS LOUDLY on an unreadable footer instead of
-#   silently flooring to k=4 (ADVICE r8); td_ssl_prototypes shares the
-#   k-sizing change:
-#     dedup_semdedup, td_ssl_prototypes
-#   the augmentation id offsets moved from +100000/+200000 to
-#   +10M/+20M: the r9 sf10 probe (500k base docs) caught the old
-#   offsets COLLIDING with genuine doc_ids — two rows sharing one id
-#   double-counted shingles on the Spark side (per-row array_distinct
-#   vs the oracle's cross-row DISTINCT) and misclassified base docs as
-#   batch in the incremental split.  Every query whose OUTPUT carries
-#   augmented ids changed values and needs a fresh row (td_data_card
-#   aggregates — values unchanged — but its builder subtree changed):
-#   q10_returned_items' output column c_acctbal is now sign-normalized
-#   (+0.0) on both sides: the r9c sf10 probe caught a single NEGATIVE-
-#   ZERO balance (1 customer in 15M) where Spark normalizes −0.0 in
-#   grouping keys (SPARK-26021) but DuckDB emits the stored −0.0 —
-#   values changed for that key class, fresh row required:
+#   dedup_prefix_filter's bounds moved from float ceil to exact
+#   integer ceil-division on the threshold's decimal fraction
+#   (ADVICE r9 — float ⌈τ·n⌉ could overshoot and silently shorten
+#   prefixes for τ like 0.55); same output at the registry τ=0.5,
+#   materially different join/filter expressions:
+#     dedup_prefix_filter
+#   j_spatial_grid's cell derivation moved from cast-truncation to
+#   FLOOR division (ADVICE r9 — negative coordinates collapsed cells
+#   −1 and 0); same output on the non-negative md5 layout, changed
+#   scan expressions:
+#     j_spatial_grid
+#   ts_autocorrelation's lag shift was split out of the explode's
+#   select list (ADVICE r9 — it resolved only via Spark 3.4+ lateral
+#   column aliasing); same plan semantics, changed builder subtree:
+#     ts_autocorrelation
 _REVERIFY_FIRST = (
-    "q10_returned_items",
-    "td_ccnet_buckets",
-    "td_contamination_scalable",
-    "q5_context_mmr",
-    "dedup_semdedup",
-    "td_ssl_prototypes",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_recall_eval",
-    "dedup_soft_sample",
-    "dedup_embedding_cosine",
-    "g_pagerank",
-    "g_pointer_doubling_depth",
-    "g_triangle_count",
-    "g_kcore",
-    "g_label_propagation",
-    "g_lpa_converged",
-    "g_jaccard_neighbors",
-    "g_modularity",
-    "td_data_card",
+    "dedup_prefix_filter",
+    "j_spatial_grid",
+    "ts_autocorrelation",
 )
 
 
-# Round-9 rotation: greens freshly sampled in ROUND 8 (CORRECTNESS_r08
-# keys) go to the very back; never-sampled round-9 additions
-# (td_quality_classifier, td_dataset_overlap, dedup_minhash_incremental)
-# rank 1; the remaining slots refresh the oldest-vintage greens (the 29
-# r4-vintage rows first — after this round no green predates r5).
-_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[8]
+# Round-10 rotation: greens freshly sampled in ROUND 9 (CORRECTNESS_r09
+# keys) go to the very back; never-sampled round-10 additions
+# (dedup_prefix_incremental, layout_dpp_star_join) rank 1; the
+# remaining ~45 slots refresh the oldest-vintage greens — the 26
+# r4-vintage rows first (w5-w11 event windows, mm_* codecs, td_bpe_*,
+# td_pipeline_e2e, ts_mad/subsequence, rec_item_item_cf,
+# st_session_window, a_countmin_sketch, ...; VERDICT r9 #1), then
+# r5-vintage fills.  After this round no green predates r5.
+_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[9]
 
 
 def _collect() -> dict[str, QuerySpec]:

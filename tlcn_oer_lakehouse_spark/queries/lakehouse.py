@@ -731,6 +731,83 @@ ORDER BY part_month, bin_id
 """
 
 
+def layout_dpp_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning, driver-certified: a star join whose
+    fact-side partition filter is only knowable at RUNTIME (it comes
+    from a dim-side predicate on a non-partition attribute), over a
+    REAL status-partitioned fact store.
+
+    Store setup (documented, z-order-style): the orders fact is written
+    ``partitionBy(o_orderstatus)`` to a scratch store and read back —
+    DPP exists only for file-source scans, so the layout must be
+    materialized, exactly as ``layout_zorder``'s serving claim is
+    pinned against a zbucket-partitioned store.  In production this
+    write IS the table's layout, done once; the probe below is the
+    every-query read path.
+
+    The probe joins the fact against a tiny status dim filtered on its
+    ``label`` attribute — static pruning can't see through the join, so
+    Spark injects a ``dynamicpruningexpression`` subquery into the fact
+    scan's PartitionFilters (pinned in tests/test_dpp.py and for THIS
+    builder in test_plans.py) and a 100 TB status-partitioned fact
+    reads exactly one partition.  Output: per-month open-order revenue,
+    decimal-exact.
+
+    Ref: scale op beyond the reference — the join-driven partition
+    pruning every date/status-partitioned lakehouse fact depends on;
+    completes layout_zorder (static 2-D pruning) with the dynamic form."""
+    import hashlib
+    import os
+    import tempfile
+
+    orders = load(spark, sf, "orders")
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dpp_store_{key}", "orders_by_status"
+    )
+    (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderstatus",
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(store)
+    )
+    fact = spark.read.parquet(store)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "open")
+    return (
+        fact.join(F.broadcast(dim), fact["o_orderstatus"] == dim["status"])
+        .groupBy(
+            F.trunc(F.to_date(F.col("o_orderdate")), "month").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string").cast("double").alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+DPP_STAR_SQL = """
+WITH dim AS (
+  SELECT * FROM (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+       AS d(status, label)
+  WHERE label = 'open'
+)
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM orders JOIN dim ON o_orderstatus = dim.status
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 SPECS = [
     QuerySpec("silver_normalize", silver_normalize, SILVER_NORMALIZE_SQL,
               ref="transformer.py:479-567 (U1) as pure column expressions",
@@ -785,5 +862,15 @@ SPECS = [
                   "manifest groupBy",
               doc="next-fit-decreasing compaction bins per date "
                   "partition with rewrite manifest",
+              tags=("lakehouse",)),
+    QuerySpec("layout_dpp_star_join", layout_dpp_star_join, DPP_STAR_SQL,
+              ref="scale op: dynamic partition pruning on a status-"
+                  "partitioned fact store — the dim-side filter's "
+                  "partition set is injected into the fact scan at "
+                  "runtime (dynamicpruningexpression, plan-pinned); "
+                  "store written during the documented setup step, "
+                  "z-order-style",
+              doc="runtime-pruned star join over a partitioned fact "
+                  "store: per-month open-order revenue",
               tags=("lakehouse",)),
 ]

@@ -350,6 +350,42 @@ def dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_prefix_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time EXACT near-dup: the augmented copies/jitters (doc_id
+    >= COPY_OFFSET) arrive as TODAY'S BATCH against the base corpus as
+    the standing index — ``prefix_filter_incremental_pairs`` emits
+    exactly the Jaccard ≥ 0.5 pairs touching a batch document,
+    completing the O(delta) ingest story for the EXACT dedup tier the
+    way ``dedup_minhash_incremental`` does for the probabilistic one.
+
+    The standing index's global token order is FROZEN at build time
+    (df over the base corpus; batch-only tokens rank rarest at df=0) —
+    exactness holds under any fixed total order, so the oracle is the
+    FULL prefix-filter pipeline's semantics (the uncapped all-pairs
+    Jaccard) restricted to batch-touching pairs: the green certifies
+    the incremental plan loses and invents nothing vs a from-scratch
+    rerun, frozen order and all.
+
+    Ref: scale op beyond the reference — LLM-pipeline incremental
+    corpus maintenance (same O(delta) family as medallion_incremental,
+    dedup_minhash_incremental, q7_index_diff)."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        prefix_filter_incremental_pairs,
+    )
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
+
+    corpus = augmented_corpus(spark, sf)
+    existing = corpus.filter(F.col("doc_id") < COPY_OFFSET)
+    batch = corpus.filter(F.col("doc_id") >= COPY_OFFSET)
+    return prefix_filter_incremental_pairs(
+        existing, batch, "doc_id", "text",
+        shingle_n=3, threshold=0.5,
+        persist=lambda key, frame: persist_replacing(
+            f"dedup_prefix_incremental/{key}", frame
+        ),
+    )
+
+
 # Exact all-pairs Jaccard (no df cap, no prefix): any pair with J >= 0.5
 # shares >= 1 shingle, so counting over the shared-shingle join IS the
 # exact answer — feasible at oracle scale, and precisely the semantics
@@ -370,6 +406,13 @@ JOIN sizes na ON na.doc = i.doc_a
 JOIN sizes nb ON nb.doc = i.doc_b
 WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
 """
+
+# the incremental twin's oracle: the SAME exact all-pairs computation,
+# restricted to pairs touching a batch (augmented-id) document
+PREFIX_INCR_SQL = (
+    PREFIX_FILTER_SQL.rstrip()
+    + f"\n  AND (i.doc_a >= {COPY_OFFSET} OR i.doc_b >= {COPY_OFFSET})\n"
+)
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1350,6 +1393,17 @@ SPECS = [
                   "oracle is the uncapped all-shared-shingle join",
               doc="exact Jaccard>=0.5 pairs, prefix-filtered candidates",
               tags=("dedup", "bench")),
+    QuerySpec("dedup_prefix_incremental", dedup_prefix_incremental,
+              PREFIX_INCR_SQL,
+              ref="scale op: O(delta) ingest-time EXACT set-similarity "
+                  "vs a standing prefix index with a FROZEN global "
+                  "token order (df as of the last full build; batch-"
+                  "only tokens rank rarest) — exactness holds under "
+                  "any fixed total order; oracle = uncapped all-pairs "
+                  "Jaccard restricted to batch-touching pairs",
+              doc="incremental exact prefix-filter dedup: batch-vs-"
+                  "corpus Jaccard>=0.5 pairs",
+              tags=("dedup",)),
     QuerySpec("dedup_clusters", dedup_clusters, _clusters_oracle(),
               ref="scale op: near-dup cluster resolution (Kiveris et al. SoCC'14 family)",
               doc="connected components over minhash pairs -> canonical clusters",

@@ -272,6 +272,60 @@ def near_dup_ingest(
     return writer.start()
 
 
+def exact_dedup_ingest(
+    stream_df: DataFrame,
+    corpus_table: ParquetMergeTable,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming EXACT set-similarity dedup at ingest — the prefix-filter
+    twin of :func:`near_dup_ingest`: each micro-batch is (1) joined
+    against the already-ingested corpus AND itself with
+    ``prefix_filter_incremental_pairs`` (every Jaccard ≥ τ pair touching
+    the batch, guaranteed — no LSH recall loss), (2) appended to the
+    corpus table via MERGE, and (3) its pairs appended to ``pairs_dir``
+    before admission (crash-replay yields duplicate bit-identical pair
+    rows, never lost ones; :func:`read_pairs` collapses them).
+
+    The standing index's global token order is frozen per trigger at
+    the CURRENT corpus's df (operator docstring: exactness holds under
+    any fixed total order, freshness only tunes pruning); a deployment
+    persists the ordered-array/prefix tables and refreshes them at
+    compaction, exactly like the banded MinHash index."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        prefix_filter_incremental_pairs,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(id_col, text_col).persist()
+        spark = batch.sparkSession
+        if corpus_table.exists():
+            existing = corpus_table.read().select(id_col, text_col)
+        else:
+            existing = spark.createDataFrame([], batch.schema)
+        pairs = prefix_filter_incremental_pairs(
+            existing, batch, id_col, text_col, threshold=threshold
+        ).withColumn("batch_id", F.lit(batch_id))
+        pairs.write.mode("append").parquet(pairs_dir)
+        corpus_table.merge_upsert(batch)
+        batch.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def corpus_prep_ingest(
     stream_df: DataFrame,
     corpus_table: ParquetMergeTable,
