@@ -96,6 +96,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         calibration = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
+    # second calibration tier (VERDICT r9 #3): the single-stage scan-agg
+    # is I/O-bound and moved the OPPOSITE direction from the r8→r9
+    # headline drift (0.80× vs 1.14×) — the sf0.1 bench is scheduler/
+    # orchestration-bound, so host drift needs a MULTI-STAGE probe to
+    # deflate it.  calibration_multi_sec times a fixed ~10-stage plan
+    # (3-join TPC-H shape + group + window) with the same protocol;
+    # comparing rounds, divide headline totals by the ratio of
+    # calibration_multi_sec for scheduler drift and calibration_sec for
+    # I/O drift — if both ratios agree, the residual is code.
+    try:
+        calibration_multi = _calibration_multi(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        calibration_multi = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -107,6 +121,7 @@ def main() -> None:
         "queries_min": minimums,
         "stages": stages,
         "calibration_sec": calibration,
+        "calibration_multi_sec": calibration_multi,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -129,6 +144,52 @@ def _calibration(spark, sf_dir: str) -> float:
                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
+        )
+
+    plan().write.format("noop").mode("overwrite").save()  # warmup
+    reps = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        plan().write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    return round(reps[len(reps) // 2], 4)
+
+
+def _calibration_multi(spark, sf_dir: str) -> float:
+    """Median time of a FIXED multi-stage plan: lineitem⋈orders⋈customer
+    (two fact-side shuffle joins), a grouped decimal aggregate, and one
+    25-row ranking window — ~10 stages under AQE, the shape of the
+    bench's own TPC-H headliners.  Untouched round-over-round, so its
+    ratio between two rounds isolates SCHEDULER/orchestration drift the
+    way the single-stage ``_calibration`` isolates I/O drift; the r8→r9
+    adjudication needed out-of-band reruns precisely because the
+    single-stage row couldn't see multi-stage host load."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def plan():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        agg = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        # nation-count rows only — the window is O(25), the stages are the point
+        return agg.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("rev").desc()))
         )
 
     plan().write.format("noop").mode("overwrite").save()  # warmup
