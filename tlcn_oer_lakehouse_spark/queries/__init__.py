@@ -213,10 +213,17 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   select list (ADVICE r9 — it resolved only via Spark 3.4+ lateral
 #   column aliasing); same plan semantics, changed builder subtree:
 #     ts_autocorrelation
+#   dedup_recall_eval's quadratic ground-truth side is now bounded to a
+#   fixed 20k-base-id audit panel on BOTH sides (the r10 sf10 probe
+#   watched the unbounded truth join GC-wedge at 550k docs; the panel
+#   covers the whole corpus at sf ≤ 0.1 so gate-scale values are
+#   unchanged, but the builder and oracle both changed):
+#     dedup_recall_eval
 _REVERIFY_FIRST = (
     "dedup_prefix_filter",
     "j_spatial_grid",
     "ts_autocorrelation",
+    "dedup_recall_eval",
 )
 
 

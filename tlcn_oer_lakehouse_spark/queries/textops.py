@@ -1002,6 +1002,15 @@ def g_modularity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Audit-panel bound for the recall eval's quadratic ground-truth side:
+# base doc ids < _RECALL_PANEL (and their +10M/+20M augmented twins stay
+# in-panel via the modulo).  5k docs at sf0.1 — the panel covers every
+# corpus the driver gates on; at sf1.0/sf10 it caps the truth join at a
+# fixed ~24k-doc workload while the banded index under test stays the
+# production path.
+_RECALL_PANEL = 20_000
+
+
 def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """LSH index quality eval — the dedup twin of ann_recall_eval: per
     exact-Jaccard bucket, how many true near-dup pairs (exact verify
@@ -1017,18 +1026,27 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     varies; a property test pins the subset claim.
 
     100 TB note: the exact shared-shingle side is O(Σ df(shingle)²) —
-    the quadratic path LSH exists to avoid — so at scale this eval runs
-    on a bounded corpus sample (ann_recall_eval's convention); the
-    banded side under test stays the production path.  Buckets are
-    floor(10·j)/10 on IEEE-identical doubles, so bucket edges replay
-    exactly."""
+    the quadratic path LSH exists to avoid — so the eval runs on a
+    FIXED AUDIT PANEL of {_RECALL_PANEL:,} base doc ids (plus their
+    augmented twins; the panel covers the whole corpus at sf ≤ 0.1, so
+    the quadratic truth work is bounded at any corpus size — a fixed
+    panel, not a sampling rate, per the determinism contract; the r10
+    sf10 probe watched the UNBOUNDED truth join GC-wedge at 550k docs,
+    the round's decade kill).  Grading the panel grades the production
+    index: a MinHash signature is a per-document function and band
+    collisions are pairwise, so the panel-restricted banded pipeline
+    emits exactly the full index's hit set restricted to panel pairs.
+    Buckets are floor(10·j)/10 on IEEE-identical doubles, so bucket
+    edges replay exactly."""
     from tlcn_oer_lakehouse_spark.operators.dedup import (
         jaccard_verify_from,
         minhash_near_duplicates,
         shingle_rows,
     )
 
-    corpus = augmented_corpus(spark, sf)
+    corpus = augmented_corpus(spark, sf).filter(
+        (F.col("doc_id") % COPY_OFFSET) < _RECALL_PANEL
+    )
     sh = shingle_rows(corpus, "doc_id", "text", 3).persist()
     truth_cands = (
         sh.alias("a")
@@ -1069,9 +1087,11 @@ def _dedup_recall_oracle() -> str:
     # the full minhash oracle whose `sh` is MATERIALIZED, and DuckDB
     # rejects shadowing a MATERIALIZED name ("Duplicate alias") where
     # plain CTE shadowing was allowed
+    panel = f"doc_id % {COPY_OFFSET} < {_RECALL_PANEL}"
     return f"""
 WITH {CORPUS_SQL.strip()},
-toks_t AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM corpus),
+toks_t AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM corpus
+           WHERE {panel}),
 sh_t AS MATERIALIZED (
   SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS shingle
   FROM (SELECT doc, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks_t)
@@ -1095,7 +1115,12 @@ truth AS (
   JOIN sizes nb ON nb.doc = i.doc_b
   WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.5
 ),
-pred AS ({_minhash_oracle().strip()})
+pred AS ({_minhash_oracle(
+    extra_where=(
+        f" AND i.doc_a % {COPY_OFFSET} < {_RECALL_PANEL}"
+        f" AND i.doc_b % {COPY_OFFSET} < {_RECALL_PANEL}"
+    )
+).strip()})
 SELECT floor(t.jaccard * 10) / 10 AS jacc_bucket,
        COUNT(*) AS n_truth,
        CAST(SUM(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
