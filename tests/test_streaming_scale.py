@@ -16,8 +16,13 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-SF1 = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                   "testdata_local", "sf1.0")
+# overridable so a scratch-generated corpus (e.g. /tmp/sfdata/sf1.0)
+# can drive the scale tests without copying it into the repo
+SF1 = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                 "testdata_local", "sf1.0"),
+)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF1),
@@ -156,5 +161,73 @@ def test_near_dup_ingest_stream_equals_batch_at_sf1(spark, tmp_path):
     assert table.read().count() == n_docs
     print(
         f"sf1.0 near_dup_ingest: {n_docs} docs, {len(got)} pairs, "
+        f"{elapsed:.1f}s over {len(q.recentProgress)} triggers"
+    )
+
+
+def test_exact_dedup_ingest_stream_equals_batch_at_sf1(spark, tmp_path):
+    """The EXACT prefix-filter ingest flow at the 50k-doc sf1.0 corpus
+    (round 10 — the exact tier's twin of the minhash test above):
+    streaming the corpus in 5 parquet micro-batches through
+    ``exact_dedup_ingest`` must produce EXACTLY the pair set of the
+    one-shot batch pipeline (``prefix_filter_jaccard_pairs``).  Each
+    trigger freezes its OWN standing-index order (df of the corpus as
+    admitted so far) — exactness is order-independent, so the union
+    over triggers equals the batch result computed under the final
+    global order: the strongest empirical form of the frozen-order
+    claim."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+    from tlcn_oer_lakehouse_spark.streaming.ingest import (
+        exact_dedup_ingest,
+        read_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text")
+    n_docs = docs.count()
+    assert n_docs == 50_000
+
+    landing = str(tmp_path / "landing")
+    docs.repartition(5).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    table = ParquetMergeTable(
+        spark, str(tmp_path / "corpus"), key="doc_id", fingerprint_col="text"
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    t0 = time.perf_counter()
+    q = exact_dedup_ingest(
+        stream, table, pairs_dir, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    try:
+        assert q.awaitTermination(3000), "ingest still running after 3000s"
+    finally:
+        q.stop()
+    elapsed = time.perf_counter() - t0
+    assert len(q.recentProgress) >= 5  # genuinely incremental
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in read_pairs(spark, pairs_dir).select("doc_a", "doc_b").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    spark.catalog.clearCache()  # the batch reference persists its corpus frames
+    assert got == want, (
+        f"stream-only: {sorted(got - want)[:5]} "
+        f"batch-only: {sorted(want - got)[:5]}"
+    )
+    assert table.read().count() == n_docs
+    print(
+        f"sf1.0 exact_dedup_ingest: {n_docs} docs, {len(got)} pairs, "
         f"{elapsed:.1f}s over {len(q.recentProgress)} triggers"
     )
