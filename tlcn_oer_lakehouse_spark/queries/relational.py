@@ -575,6 +575,90 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+_AQP_MOD = 16  # 1/16 deterministic sample
+
+
+def a_aqp_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate query processing (BlinkDB / online-aggregation
+    family): per-priority order counts and revenue estimated from a
+    1/16 DETERMINISTIC hash sample (Horvitz-Thompson with uniform
+    inclusion p = 1/16: estimate = 16 × sample aggregate), returned
+    BESIDE the exact values with the relative error — the output
+    certifies the estimator's math AND shows the error shrinking with
+    scale (≈1/√n per group), which is the AQP contract a dashboard
+    relies on when it scans the 1% sample table instead of 100 TB.
+
+    Determinism: the sample gate is an md5-prefix bucket of the order
+    key (the portable engine-agnostic hash used throughout the
+    training-data layer) — re-runs and both engines select the SAME
+    rows, so the estimate itself is hash-stable, unlike rand()-based
+    sampling.  Counts stay BIGINT; revenue sums are decimal-exact on
+    both the exact and sample sides (scaling by 16 in decimal before
+    the string→double hop); each relative error is ONE final double
+    expression over those exact quantities.
+
+    Scale shape: one combinable groupBy over the fact — the exact and
+    sample aggregates ride the SAME pass (conditional aggregation), so
+    the demo costs one scan; in production only the sample aggregate
+    runs, over a 16×-smaller pre-materialized sample table (the hash
+    gate makes that table maintainable incrementally: membership is a
+    pure row function, no coordination).
+
+    Ref: scale op beyond the reference — sample-based approximate
+    aggregation (BlinkDB, Agarwal et al. EuroSys'13) as plain Spark."""
+    orders = load(spark, sf, "orders")
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % _AQP_MOD == 0
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    zero = F.lit("0").cast("decimal(18,2)")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(dec).alias("rev_exact_dec"),
+        F.sum(F.when(in_sample, dec).otherwise(zero)).alias("rev_sample_dec"),
+    )
+    rev_exact = F.col("rev_exact_dec").cast("string").cast("double")
+    rev_est = (F.col("rev_sample_dec") * _AQP_MOD).cast("string").cast("double")
+    n_est = F.col("n_sampled") * _AQP_MOD
+    return agg.select(
+        "o_orderpriority",
+        "n_exact",
+        n_est.alias("n_est"),
+        F.round((n_est - F.col("n_exact")).cast("double") / F.col("n_exact"), 9)
+        .alias("n_rel_err"),
+        rev_exact.alias("rev_exact"),
+        rev_est.alias("rev_est"),
+        F.round((rev_est - rev_exact) / rev_exact, 9).alias("rev_rel_err"),
+    ).orderBy("o_orderpriority")
+
+
+A_AQP_SQL = f"""
+WITH agg AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_exact,
+         CAST(SUM(CASE WHEN CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % {_AQP_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_exact_dec,
+         SUM(CASE WHEN CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % {_AQP_MOD} = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST('0' AS DECIMAL(18,2)) END) AS rev_sample_dec
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       n_exact,
+       n_sampled * {_AQP_MOD} AS n_est,
+       round(CAST(n_sampled * {_AQP_MOD} - n_exact AS DOUBLE) / n_exact, 9) AS n_rel_err,
+       CAST(CAST(rev_exact_dec AS VARCHAR) AS DOUBLE) AS rev_exact,
+       CAST(CAST(rev_sample_dec * {_AQP_MOD} AS VARCHAR) AS DOUBLE) AS rev_est,
+       round((CAST(CAST(rev_sample_dec * {_AQP_MOD} AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(rev_exact_dec AS VARCHAR) AS DOUBLE))
+             / CAST(CAST(rev_exact_dec AS VARCHAR) AS DOUBLE), 9) AS rev_rel_err
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+
 def j_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     """Full outer join as a two-sided reconciliation report — the only
     join type the registry lacked: event activity vs a customer slice
@@ -1184,6 +1268,15 @@ SPECS = [
                   "summaries (domain-bounded), never pairwise rows; "
                   "oracle is the naive NOT EXISTS dominance anti-join",
               doc="Pareto frontier of parts: min price, max size",
+              tags=("agg",)),
+    QuerySpec("a_aqp_estimate", a_aqp_estimate, A_AQP_SQL,
+              ref="scale op: sample-based approximate aggregation "
+                  "(BlinkDB, Agarwal et al. EuroSys'13) — deterministic "
+                  "md5-gate 1/16 sample, Horvitz-Thompson scale-up, "
+                  "exact values + relative error in-output so the green "
+                  "certifies the estimator math",
+              doc="AQP: per-priority count/revenue estimates from a "
+                  "deterministic 1/16 sample beside exact values",
               tags=("agg",)),
     QuerySpec("a_cube", a_cube, A_CUBE_SQL,
               ref="beyond reference; completes the subtotal-lattice family",
