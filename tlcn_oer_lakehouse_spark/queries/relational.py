@@ -575,6 +575,108 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+_SNM_WINDOW = 5  # sorted-neighborhood rank window
+
+
+def er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution via the sorted-neighborhood method (Hernández
+    & Stolfo SIGMOD'95): sort records by a blocking key (here part
+    name, tie-broken by key for a unique total order), slide a
+    w-record window down the sorted order, and score only pairs whose
+    RANKS are within w — the third blocking strategy in the engine
+    beside LSH banding (probabilistic) and prefix filtering (exact
+    set-similarity): SNM catches near-matches that share a sort-key
+    PREFIX even when token sets diverge, at a guaranteed w·n candidate
+    bound.
+
+    Scale shape: the global sort rank is the repo's two-phase
+    distributed prefix pattern (range-partition by the sort key →
+    per-partition row_number → O(P) partition totals broadcast back as
+    offsets — no global-order window ever touches row-level data, the
+    ml_auc_roc discipline).  The w-window pairing is an equi-join on
+    rank-bucket (bucket = rank div w; each left row probes its own and
+    the next bucket, so every in-window pair joins on exactly one
+    bucket key — 2 probe rows per record, never a cartesian).  Match
+    scoring is word-set Jaccard ≥ 0.5, integer counts to one final
+    double division.
+
+    Ref: scale op beyond the reference — classic ER blocking
+    (Hernández & Stolfo 1995) as plain Spark."""
+    from tlcn_oer_lakehouse_spark.queries.base import (
+        persist_replacing,
+        prefix_sum_partitions,
+    )
+
+    part = load(spark, sf, "part").select("p_partkey", "p_name")
+    ranked0 = persist_replacing(
+        "er_sorted_neighborhood/parts",
+        part.repartitionByRange(
+            prefix_sum_partitions(spark), "p_name", "p_partkey"
+        ).withColumn("pid", F.spark_partition_id()),
+    )
+    totals = ranked0.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    running = 0
+    offset_rows = []
+    for row in sorted(totals, key=lambda r: r.pid):
+        offset_rows.append((row.pid, running))
+        running += row.n
+    offsets = spark.createDataFrame(offset_rows, "pid INT, part_offset LONG")
+    w_loc = Window.partitionBy("pid").orderBy("p_name", "p_partkey")
+    base = (
+        ranked0.withColumn("local_rn", F.row_number().over(w_loc) - 1)
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "p_partkey",
+            (F.col("local_rn") + F.col("part_offset")).alias("rank"),
+            F.array_distinct(F.split("p_name", " ")).alias("toks"),
+        )
+    )
+    w = _SNM_WINDOW
+    probe = base.select(
+        "p_partkey", "rank", "toks",
+        F.explode(F.expr(f"array(rank div {w}, rank div {w} + 1)")).alias("bkt"),
+    )
+    right = base.withColumn("bkt", F.expr(f"rank div {w}"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    return (
+        probe.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("b.rank") - F.col("a.rank")).between(1, w),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ER_SNM_SQL = f"""
+WITH ranked AS (
+  SELECT p_partkey,
+         list_distinct(string_split(p_name, ' ')) AS toks,
+         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) - 1 AS rank
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS n_inter,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union
+  FROM ranked a JOIN ranked b
+    ON b.rank - a.rank BETWEEN 1 AND {_SNM_WINDOW}
+)
+SELECT id_a, id_b, CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM pairs
+WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 _AQP_MOD = 16  # 1/16 deterministic sample
 
 
@@ -1269,6 +1371,15 @@ SPECS = [
                   "oracle is the naive NOT EXISTS dominance anti-join",
               doc="Pareto frontier of parts: min price, max size",
               tags=("agg",)),
+    QuerySpec("er_sorted_neighborhood", er_sorted_neighborhood, ER_SNM_SQL,
+              ref="scale op: sorted-neighborhood ER blocking (Hernández "
+                  "& Stolfo SIGMOD'95) — two-phase distributed rank, "
+                  "rank-bucket equi-join caps candidates at w·n; the "
+                  "third blocking family beside LSH banding and prefix "
+                  "filtering",
+              doc="w=5 sorted-neighborhood candidate pairs over part "
+                  "names, word-Jaccard >= 0.5",
+              tags=("dedup",)),
     QuerySpec("a_aqp_estimate", a_aqp_estimate, A_AQP_SQL,
               ref="scale op: sample-based approximate aggregation "
                   "(BlinkDB, Agarwal et al. EuroSys'13) — deterministic "
