@@ -1526,6 +1526,69 @@ def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "lag")
 
 
+def ts_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend per event type (Theil 1950; Sen 1968):
+    the MEDIAN of all pairwise slopes (x_j − x_i)/(d_j − d_i) over the
+    daily count series — the robust complement to ``ml_ols_regression``
+    (a single outlier day moves OLS arbitrarily; Theil–Sen tolerates
+    ~29% contamination), and the trend statistic production metric
+    monitors alert on.
+
+    Determinism: each slope is ONE double division of exact integers
+    (int/int is correctly rounded identically in both engines); the
+    median is exact linear interpolation over those doubles (the
+    w13 ``percentile`` ↔ ``quantile_cont`` mapping), rounded 9dp once.
+
+    Scale shape: the only corpus-sized pass is the combinable
+    (type, day) groupBy; the pair join runs on the DAY HISTOGRAM —
+    horizon-bounded (h² pairs per type, independent of corpus rows),
+    the same envelope as the ACF/CUSUM family."""
+    ev = load_events(spark, sf).select("event_type", "ts_sec")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_sec div 86400").alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    slopes = (
+        daily.alias("a")
+        .join(daily.alias("b"), "event_type")
+        .where(F.col("b.day_idx") > F.col("a.day_idx"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.x") - F.col("a.x")).cast("double")
+                / (F.col("b.day_idx") - F.col("a.day_idx"))
+            ).alias("slope"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile(F.col("slope"), F.lit(0.5)), 9).alias(
+                "trend_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day_idx,
+         COUNT(*) AS x
+  FROM events GROUP BY event_type, day_idx
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.x - a.x AS DOUBLE) / (b.day_idx - a.day_idx) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day_idx > a.day_idx
+)
+SELECT event_type, COUNT(*) AS n_pairs,
+       round(quantile_cont(slope, 0.5), 9) AS trend_slope
+FROM slopes GROUP BY event_type ORDER BY event_type
+"""
+
+
 TS_ACF_SQL = """
 WITH daily AS (
   SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day_idx,
@@ -1824,6 +1887,13 @@ SPECS = [
                   "histogram — exact BIGINT Pearson moments, one final "
                   "double expression; horizon-bounded lag equi-join",
               doc="daily event-count autocorrelation per event type",
+              tags=("timeseries",)),
+    QuerySpec("ts_theilsen_trend", ts_theilsen_trend, TS_THEILSEN_SQL,
+              ref="scale op: Theil–Sen median-of-slopes robust trend "
+                  "per event type — day-histogram pair join "
+                  "(horizon-bounded, h² pairs independent of corpus "
+                  "rows); robust complement to ml_ols_regression",
+              doc="robust daily-count trend slope per event type",
               tags=("timeseries",)),
     QuerySpec("ts_cusum_changepoint", ts_cusum_changepoint, TS_CUSUM_SQL,
               ref="scale op: CUSUM mean-shift change-point per event "
