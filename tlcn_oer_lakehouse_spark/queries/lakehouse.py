@@ -731,6 +731,99 @@ ORDER BY part_month, bin_id
 """
 
 
+_ANALYZE_BUCKETS = 16
+
+
+def layout_analyze_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column statistics — the stats layer a cost-based
+    optimizer reads (Spark CBO's `ANALYZE TABLE ... FOR COLUMNS`,
+    Delta/Iceberg column stats): row count, null count, NDV, min/max
+    and an equi-width histogram for ``o_totalprice``, one output row
+    per bucket with the table-level stats alongside.
+
+    Determinism: money values convert to EXACT INTEGER CENTS
+    (decimal(18,2) × 100 → BIGINT) before any bucket math, so bucket
+    edges are integer ceil-division — no float boundary can move a row
+    between buckets across engines (the same discipline as the
+    prefix-filter bounds).  NDV is an exact distinct (the approx path
+    is a_hll_sketch/a_approx_count_distinct; stats tables at 100 TB
+    typically accept approx — both forms exist in the registry, this
+    one is the oracle-checkable exact form).
+
+    Scale shape: pass 1 is a combinable 1-row stats aggregate
+    (broadcast back as literals via a cross-joined 1-row frame); pass 2
+    is a combinable 17-key bucket groupBy.  Both map-side-combine to
+    O(buckets) rows — no window, no skew surface; distinct-count is the
+    one shuffle keyed by value, the ANALYZE cost every engine pays.
+
+    Ref: scale op beyond the reference — lakehouse/CBO statistics
+    collection as plain Spark."""
+    orders = load(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(cents.alias("cents"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_rows_table"),
+        F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.countDistinct("cents").alias("ndv"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    b = _ANALYZE_BUCKETS
+    # integer width: ceil((max - min + 1) / b) so bucket ids stay 0..b-1
+    width = F.expr(f"(max_cents - min_cents + {b}) div {b}")
+    bucketed = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(cents - min_cents) div ((max_cents - min_cents + {b}) div {b})")
+            .alias("bucket"),
+            "n_rows_table", "n_null", "ndv", "min_cents", "max_cents",
+        )
+        .groupBy("bucket", "n_rows_table", "n_null", "ndv", "min_cents", "max_cents")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    lo = F.col("min_cents") + F.col("bucket") * width
+    return bucketed.select(
+        "bucket",
+        lo.alias("lo_cents"),
+        (lo + width - 1).alias("hi_cents"),
+        "n_rows",
+        "n_rows_table",
+        "n_null",
+        "ndv",
+        "min_cents",
+        "max_cents",
+    ).orderBy("bucket")
+
+
+ANALYZE_SQL = f"""
+WITH base AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+stats AS (
+  SELECT COUNT(*) AS n_rows_table,
+         CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         COUNT(DISTINCT cents) AS ndv,
+         MIN(cents) AS min_cents,
+         MAX(cents) AS max_cents
+  FROM base
+),
+bucketed AS (
+  SELECT (cents - min_cents) // ((max_cents - min_cents + {_ANALYZE_BUCKETS}) // {_ANALYZE_BUCKETS}) AS bucket,
+         n_rows_table, n_null, ndv, min_cents, max_cents
+  FROM base CROSS JOIN stats
+)
+SELECT bucket,
+       min_cents + bucket * ((max_cents - min_cents + {_ANALYZE_BUCKETS}) // {_ANALYZE_BUCKETS}) AS lo_cents,
+       min_cents + (bucket + 1) * ((max_cents - min_cents + {_ANALYZE_BUCKETS}) // {_ANALYZE_BUCKETS}) - 1 AS hi_cents,
+       COUNT(*) AS n_rows,
+       n_rows_table, n_null, ndv, min_cents, max_cents
+FROM bucketed
+GROUP BY bucket, n_rows_table, n_null, ndv, min_cents, max_cents
+ORDER BY bucket
+"""
+
+
 def layout_dpp_star_join(spark: SparkSession, sf: str) -> DataFrame:
     """Dynamic partition pruning, driver-certified: a star join whose
     fact-side partition filter is only knowable at RUNTIME (it comes
@@ -862,6 +955,15 @@ SPECS = [
                   "manifest groupBy",
               doc="next-fit-decreasing compaction bins per date "
                   "partition with rewrite manifest",
+              tags=("lakehouse",)),
+    QuerySpec("layout_analyze_stats", layout_analyze_stats, ANALYZE_SQL,
+              ref="scale op: ANALYZE-style CBO column statistics "
+                  "(row/null counts, exact NDV, min/max, equi-width "
+                  "histogram) — integer-cent bucket math so no float "
+                  "boundary moves a row between engines; two combinable "
+                  "passes, O(buckets) output",
+              doc="column stats + 16-bucket equi-width histogram over "
+                  "order totalprice",
               tags=("lakehouse",)),
     QuerySpec("layout_dpp_star_join", layout_dpp_star_join, DPP_STAR_SQL,
               ref="scale op: dynamic partition pruning on a status-"
