@@ -1873,7 +1873,164 @@ FROM psis ORDER BY event_type
 """
 
 
+def ml_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test per event type
+    between the first/second time halves — PSI's nonparametric sibling
+    (no binning choice, sensitive anywhere on the CDF): D =
+    max_v |F̂₁(v) − F̂₂(v)| over the pooled distinct values.
+
+    Determinism: the ENTIRE statistic is integer arithmetic —
+    D·(n₁·n₂) = max |n₂·cum₁(v) − n₁·cum₂(v)| over exact BIGINT
+    cumulative counts, the argmax location tie-broken to the smallest
+    value; only the final D = ks_scaled/(n₁·n₂) is ONE double division
+    (and n·cum products stay ≤ ~10¹⁴ at sf10, far under 2⁶³).
+
+    Scale shape: the value histogram is the one corpus-sized combinable
+    groupBy; the CDF is a GROUPED two-phase distributed prefix sum —
+    range-partition by (type, value), per-(pid, type) window, O(P·T)
+    per-partition totals collected once and broadcast back as per-type
+    offsets (the ml_auc_roc discipline generalized to grouped series;
+    no global-order window ever sees the histogram, and no per-type
+    single-partition sort can wedge on a high-cardinality value
+    domain).
+
+    Ref: scale op beyond the reference — nonparametric distribution
+    drift for the pipeline-observability family (PSI = binned shape,
+    CUSUM = level, KS = full-CDF)."""
+    from tlcn_oer_lakehouse_spark.queries.base import (
+        persist_replacing,
+        prefix_sum_partitions,
+    )
+
+    ev = load_events(spark, sf).select(
+        "event_type", F.expr("ts_sec div 86400").alias("day_idx"), "value"
+    )
+    drange = ev.agg(F.min("day_idx").alias("mn_d"), F.max("day_idx").alias("mx_d"))
+    hist = (
+        ev.crossJoin(F.broadcast(drange))
+        .select(
+            "event_type",
+            "value",
+            (F.col("day_idx") >= F.expr("(mn_d + mx_d + 1) div 2")).alias("is_b"),
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("nb"),
+        )
+    )
+    parts = persist_replacing(
+        "ml_ks_drift/hist",
+        hist.repartitionByRange(
+            prefix_sum_partitions(spark), "event_type", "value"
+        ).withColumn("pid", F.spark_partition_id()),
+    )
+    totals = parts.groupBy("pid", "event_type").agg(
+        F.sum("na").alias("pa"), F.sum("nb").alias("pb")
+    ).collect()
+    run: dict[str, tuple[int, int]] = {}
+    offset_rows = []
+    for row in sorted(totals, key=lambda r: (r.event_type, r.pid)):
+        oa, ob = run.get(row.event_type, (0, 0))
+        offset_rows.append((row.pid, row.event_type, oa, ob))
+        run[row.event_type] = (oa + row.pa, ob + row.pb)
+    offsets = spark.createDataFrame(
+        offset_rows, "pid INT, event_type STRING, off_a LONG, off_b LONG"
+    )
+    tot = spark.createDataFrame(
+        [(t, a, b) for t, (a, b) in sorted(run.items())],
+        "event_type STRING, ta LONG, tb LONG",
+    )
+    w = Window.partitionBy("pid", "event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = (
+        parts.withColumn("la", F.sum("na").over(w))
+        .withColumn("lb", F.sum("nb").over(w))
+        .join(F.broadcast(offsets), ["pid", "event_type"])
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "ta",
+            "tb",
+            F.abs(
+                F.col("tb") * (F.col("la") + F.col("off_a"))
+                - F.col("ta") * (F.col("lb") + F.col("off_b"))
+            ).alias("diff"),
+        )
+    )
+    peak = cdf.groupBy("event_type").agg(F.max("diff").alias("ks_scaled"))
+    return (
+        cdf.join(F.broadcast(peak), "event_type")
+        .filter(F.col("diff") == F.col("ks_scaled"))
+        .groupBy("event_type", "ta", "tb", "ks_scaled")
+        .agg(F.min("value").alias("ks_at_value"))
+        .select(
+            "event_type",
+            F.col("ta").alias("n_a"),
+            F.col("tb").alias("n_b"),
+            "ks_scaled",
+            (
+                F.col("ks_scaled").cast("double")
+                / (F.col("ta") * F.col("tb")).cast("double")
+            ).alias("ks_d"),
+            "ks_at_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+KS_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day_idx, value
+  FROM events
+),
+drange AS (SELECT MIN(day_idx) AS mn_d, MAX(day_idx) AS mx_d FROM ev),
+hist AS (
+  SELECT event_type, value,
+         CAST(SUM(CASE WHEN day_idx >= (mn_d + mx_d + 1) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN day_idx >= (mn_d + mx_d + 1) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM ev CROSS JOIN drange GROUP BY event_type, value
+),
+cdf AS (
+  SELECT event_type, value, na, nb,
+         CAST(SUM(na) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum_a,
+         CAST(SUM(nb) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum_b
+  FROM hist
+),
+tots AS (
+  SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM hist GROUP BY 1
+),
+diffs AS (
+  SELECT c.event_type, c.value, t.ta, t.tb,
+         CAST(ABS(t.tb * c.cum_a - t.ta * c.cum_b) AS BIGINT) AS diff
+  FROM cdf c JOIN tots t USING (event_type)
+),
+peaks AS (SELECT event_type, CAST(MAX(diff) AS BIGINT) AS ks_scaled FROM diffs GROUP BY 1)
+SELECT d.event_type,
+       d.ta AS n_a,
+       d.tb AS n_b,
+       p.ks_scaled,
+       CAST(p.ks_scaled AS DOUBLE) / CAST(d.ta * d.tb AS DOUBLE) AS ks_d,
+       MIN(d.value) AS ks_at_value
+FROM diffs d JOIN peaks p ON d.event_type = p.event_type AND d.diff = p.ks_scaled
+GROUP BY d.event_type, d.ta, d.tb, p.ks_scaled
+ORDER BY d.event_type
+"""
+
+
 SPECS = [
+    QuerySpec("ml_ks_drift", ml_ks_drift, KS_SQL,
+              ref="scale op: exact two-sample Kolmogorov-Smirnov drift "
+                  "per event type — pure-BIGINT scaled statistic over a "
+                  "GROUPED two-phase distributed prefix sum (the "
+                  "ml_auc_roc pattern generalized per-type); one final "
+                  "double division; argmax tie-broken to min value",
+              doc="exact KS statistic + location between first/second "
+                  "time halves per event type",
+              tags=("timeseries", "eval")),
     QuerySpec("ml_psi_drift", ml_psi_drift, PSI_SQL,
               ref="scale op: Population Stability Index drift monitor "
                   "per event type — two linear combinable passes, "
