@@ -731,6 +731,91 @@ ORDER BY part_month, bin_id
 """
 
 
+def dq_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformance over order totals — the forensic
+    data-quality screen (Benford 1938; Nigrini's audit practice):
+    naturally-occurring multi-magnitude amounts follow
+    P(d) = log₁₀(1 + 1/d); fabricated, truncated, or unit-mangled data
+    doesn't, so per-digit deviation and the χ² statistic flag ingestion
+    defects a null-count check can't see.
+
+    Determinism: the leading digit is pure integer arithmetic on exact
+    cents (value ≥ 1 cent: repeated div-by-10 via floor(log10) would be
+    float — instead the digit comes from string form, identical in both
+    engines since cents are exact BIGINT).  Counts are BIGINT; expected
+    shares and each digit's χ² term follow the PSI ln-discipline —
+    round the per-term double to 9 dp, sum as exact DECIMAL, one
+    string→double hop out.
+
+    Scale shape: one combinable 9-key groupBy over the fact plus a
+    1-row total broadcast — map-side-combine to 9 rows, no window, no
+    skew surface.
+
+    Ref: scale op beyond the reference — forensic DQ screening for the
+    observability family (complements dq_expectations' rule gates with
+    a distributional audit)."""
+    orders = load(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n_total"))
+    import math
+
+    # per-digit Benford share as an exact 9-dp literal — identical on
+    # both sides by construction (no runtime log in either engine)
+    p_lit = F.element_at(
+        F.array(*[
+            F.lit(round(math.log10(1 + 1 / d), 9)) for d in range(1, 10)
+        ]),
+        F.col("digit"),
+    )
+    expected = F.col("n_total") * p_lit
+    chi_term = F.round(
+        (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected, 9
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(p_lit, 9).alias("p_benford"),
+            F.round(F.col("n_obs").cast("double") / F.col("n_total"), 9)
+            .alias("p_observed"),
+            chi_term.alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_P = ", ".join(
+    f"({d}, {round(__import__('math').log10(1 + 1 / d), 9)})" for d in range(1, 10)
+)
+
+BENFORD_SQL = f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders
+  GROUP BY 1
+  HAVING digit >= 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts),
+benford(digit, p) AS (VALUES {_BENFORD_P})
+SELECT c.digit, c.n_obs,
+       round(b.p, 9) AS p_benford,
+       round(CAST(c.n_obs AS DOUBLE) / t.n_total, 9) AS p_observed,
+       round((c.n_obs - t.n_total * b.p) * (c.n_obs - t.n_total * b.p)
+             / (t.n_total * b.p), 9) AS chi2_term
+FROM counts c CROSS JOIN tot t JOIN benford b USING (digit)
+ORDER BY c.digit
+"""
+
+
 _ANALYZE_BUCKETS = 16
 
 
@@ -956,6 +1041,14 @@ SPECS = [
               doc="next-fit-decreasing compaction bins per date "
                   "partition with rewrite manifest",
               tags=("lakehouse",)),
+    QuerySpec("dq_benford_digits", dq_benford_digits, BENFORD_SQL,
+              ref="scale op: Benford first-digit forensic DQ screen — "
+                  "leading digit from the exact-cents string (no float "
+                  "log10), 9-key combinable groupBy, per-digit chi2 "
+                  "terms via the rounded-literal discipline",
+              doc="first-digit distribution vs Benford's law over order "
+                  "totals, per-digit chi2 terms",
+              tags=("lakehouse", "eval")),
     QuerySpec("layout_analyze_stats", layout_analyze_stats, ANALYZE_SQL,
               ref="scale op: ANALYZE-style CBO column statistics "
                   "(row/null counts, exact NDV, min/max, equi-width "
