@@ -755,17 +755,28 @@ def dq_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
     observability family (complements dq_expectations' rule gates with
     a distributional audit)."""
     orders = load(spark, sf, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    return benford_table(orders.select(F.col("o_totalprice").alias("amount")))
+
+
+def benford_table(amounts: DataFrame) -> DataFrame:
+    """Core of :func:`dq_benford_digits` over a 1-column ``amount``
+    frame — split out so constructed-input unit tests can pin the digit
+    extraction edges (sub-dollar amounts, zero/negative exclusion) and
+    the χ² terms (tests/test_queries_r10.py)."""
+    import math
+
+    cents = (F.col("amount").cast("decimal(18,2)") * 100).cast("long")
+    # try_cast: a negative amount's cents string leads with '-' — under
+    # ANSI cast that is a runtime error, not an excluded row (pinned by
+    # test_benford_digit_extraction_edges); try_cast -> NULL -> filtered
+    digit = F.substring(cents.cast("string"), 1, 1).try_cast("int")
     counts = (
-        orders.select(digit.alias("digit"))
+        amounts.select(digit.alias("digit"))
         .filter(F.col("digit") >= 1)
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
     tot = counts.agg(F.sum("n_obs").alias("n_total"))
-    import math
-
     # per-digit Benford share as an exact 9-dp literal — identical on
     # both sides by construction (no runtime log in either engine)
     p_lit = F.element_at(
@@ -798,7 +809,7 @@ _BENFORD_P = ", ".join(
 
 BENFORD_SQL = f"""
 WITH counts AS (
-  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+  SELECT TRY_CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
          COUNT(*) AS n_obs
   FROM orders
   GROUP BY 1

@@ -601,59 +601,22 @@ def er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     double division.
 
     Ref: scale op beyond the reference — classic ER blocking
-    (Hernández & Stolfo 1995) as plain Spark."""
-    from tlcn_oer_lakehouse_spark.queries.base import (
-        persist_replacing,
-        prefix_sum_partitions,
+    (Hernández & Stolfo 1995) as plain Spark; operator (with the
+    rank/window machinery and its constructed-input unit pins) in
+    ``operators/blocking.py``."""
+    from tlcn_oer_lakehouse_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
     )
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
 
     part = load(spark, sf, "part").select("p_partkey", "p_name")
-    ranked0 = persist_replacing(
-        "er_sorted_neighborhood/parts",
-        part.repartitionByRange(
-            prefix_sum_partitions(spark), "p_name", "p_partkey"
-        ).withColumn("pid", F.spark_partition_id()),
-    )
-    totals = ranked0.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    running = 0
-    offset_rows = []
-    for row in sorted(totals, key=lambda r: r.pid):
-        offset_rows.append((row.pid, running))
-        running += row.n
-    offsets = spark.createDataFrame(offset_rows, "pid INT, part_offset LONG")
-    w_loc = Window.partitionBy("pid").orderBy("p_name", "p_partkey")
-    base = (
-        ranked0.withColumn("local_rn", F.row_number().over(w_loc) - 1)
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            "p_partkey",
-            (F.col("local_rn") + F.col("part_offset")).alias("rank"),
-            F.array_distinct(F.split("p_name", " ")).alias("toks"),
-        )
-    )
-    w = _SNM_WINDOW
-    probe = base.select(
-        "p_partkey", "rank", "toks",
-        F.explode(F.expr(f"array(rank div {w}, rank div {w} + 1)")).alias("bkt"),
-    )
-    right = base.withColumn("bkt", F.expr(f"rank div {w}"))
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
-    return (
-        probe.alias("a")
-        .join(
-            right.alias("b"),
-            (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("b.rank") - F.col("a.rank")).between(1, w),
-        )
-        .select(
-            F.col("a.p_partkey").alias("id_a"),
-            F.col("b.p_partkey").alias("id_b"),
-            (inter / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    )
+    return sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name",
+        window=_SNM_WINDOW, threshold=0.5,
+        persist=lambda key, frame: persist_replacing(
+            f"er_sorted_neighborhood/{key}", frame
+        ),
+    ).orderBy("id_a", "id_b")
 
 
 ER_SNM_SQL = f"""
@@ -709,23 +672,35 @@ def a_aqp_estimate(spark: SparkSession, sf: str) -> DataFrame:
     Ref: scale op beyond the reference — sample-based approximate
     aggregation (BlinkDB, Agarwal et al. EuroSys'13) as plain Spark."""
     orders = load(spark, sf, "orders")
-    in_sample = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("long") % _AQP_MOD == 0
+    return aqp_group_estimates(
+        orders, "o_orderpriority", "o_orderkey", "o_totalprice", _AQP_MOD
     )
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+
+def aqp_group_estimates(
+    df: DataFrame, group_col: str, key_col: str, value_col: str, mod: int
+) -> DataFrame:
+    """Core of :func:`a_aqp_estimate` — split out so constructed-input
+    unit tests can pin the estimator identity (mod=1 → estimate equals
+    exact, every relative error 0.0) and a hand-checkable mod>1 case
+    (tests/test_queries_r10.py)."""
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % mod == 0
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
     zero = F.lit("0").cast("decimal(18,2)")
-    agg = orders.groupBy("o_orderpriority").agg(
+    agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
         F.sum(dec).alias("rev_exact_dec"),
         F.sum(F.when(in_sample, dec).otherwise(zero)).alias("rev_sample_dec"),
     )
     rev_exact = F.col("rev_exact_dec").cast("string").cast("double")
-    rev_est = (F.col("rev_sample_dec") * _AQP_MOD).cast("string").cast("double")
-    n_est = F.col("n_sampled") * _AQP_MOD
+    rev_est = (F.col("rev_sample_dec") * mod).cast("string").cast("double")
+    n_est = F.col("n_sampled") * mod
     return agg.select(
-        "o_orderpriority",
+        group_col,
         "n_exact",
         n_est.alias("n_est"),
         F.round((n_est - F.col("n_exact")).cast("double") / F.col("n_exact"), 9)
@@ -733,7 +708,7 @@ def a_aqp_estimate(spark: SparkSession, sf: str) -> DataFrame:
         rev_exact.alias("rev_exact"),
         rev_est.alias("rev_est"),
         F.round((rev_est - rev_exact) / rev_exact, 9).alias("rev_rel_err"),
-    ).orderBy("o_orderpriority")
+    ).orderBy(group_col)
 
 
 A_AQP_SQL = f"""

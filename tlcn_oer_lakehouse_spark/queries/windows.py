@@ -1897,14 +1897,22 @@ def ml_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     Ref: scale op beyond the reference — nonparametric distribution
     drift for the pipeline-observability family (PSI = binned shape,
     CUSUM = level, KS = full-CDF)."""
+    ev = load_events(spark, sf).select(
+        "event_type", F.expr("ts_sec div 86400").alias("day_idx"), "value"
+    )
+    return ks_over_events(ev)
+
+
+def ks_over_events(ev: DataFrame) -> DataFrame:
+    """Core of :func:`ml_ks_drift` over an (event_type, day_idx, value)
+    frame — split out so constructed-input unit tests can pin the exact
+    statistic and the argmax tie-break (tests/test_queries_r10.py)."""
     from tlcn_oer_lakehouse_spark.queries.base import (
         persist_replacing,
         prefix_sum_partitions,
     )
 
-    ev = load_events(spark, sf).select(
-        "event_type", F.expr("ts_sec div 86400").alias("day_idx"), "value"
-    )
+    spark = ev.sparkSession
     drange = ev.agg(F.min("day_idx").alias("mn_d"), F.max("day_idx").alias("mx_d"))
     hist = (
         ev.crossJoin(F.broadcast(drange))
