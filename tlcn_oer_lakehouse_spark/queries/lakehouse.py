@@ -731,6 +731,109 @@ ORDER BY part_month, bin_id
 """
 
 
+_SCD2_TS = ("1995-01-01", "1996-01-01", "1997-01-01")
+
+
+def j_scd2_point_in_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time fact join against a REAL SCD2 dimension built by
+    ``operators/scd2.py`` — each order joins the customer-dimension
+    VERSION valid at its order date, the correctness trap every
+    warehouse report over changing dimensions must get right (joining
+    the current row instead silently rewrites history).
+
+    The dimension is built in-plan by the actual operator: init at ts0,
+    then two ``scd2_merge`` batches — at ts1 every key%4==0 customer
+    moves segment (the rest re-send identically and must no-op); at ts2
+    every key%8==0 customer changes balance (a second tracked-attr
+    change on top of the first).  Because every version's validity
+    interval is then fully determined by key arithmetic, the DuckDB
+    oracle can enumerate the version table directly — so the driver
+    green certifies ``scd2_merge``'s change detection, closing, and
+    no-op semantics END-TO-END (previously pytest-gated only), plus the
+    PIT join semantics themselves.
+
+    Scale shape: the PIT join is an EQUI-join on the business key with
+    the validity interval as a residual filter — per-key fan-out is the
+    version count (≤3 here; bounded by change frequency in production),
+    so the plan is one hash/sort-merge join on c_custkey, never a range
+    explosion; the SCD2 build itself is keyed equi-join algebra
+    (operator docstring).  Orders before ts0 predate the dimension and
+    drop from the inner join (documented PIT semantics).
+
+    Ref: reference keeps type-1 dims only (gold_analytics.py dim
+    builds); SCD2 + PIT is the lakehouse upgrade, re-expressed as plain
+    Spark."""
+    from tlcn_oer_lakehouse_spark.operators.scd2 import scd2_init, scd2_merge
+
+    ts0, ts1, ts2 = _SCD2_TS
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+    )
+    moved = F.when(F.col("c_custkey") % 4 == 0, F.lit("MOVED")).otherwise(
+        F.col("c_mktsegment")
+    )
+    b1 = cust.withColumn("c_mktsegment", moved)
+    b2 = b1.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 8 == 0,
+            F.col("c_acctbal") + F.lit("100").cast("decimal(18,2)"),
+        ).otherwise(F.col("c_acctbal")),
+    )
+    dim = scd2_init(cust, ts0)
+    dim = scd2_merge(dim, b1, "c_custkey", ["c_mktsegment", "c_acctbal"], ts1)
+    dim = scd2_merge(dim, b2, "c_custkey", ["c_mktsegment", "c_acctbal"], ts2)
+    orders = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.to_date(F.col("o_orderdate")).cast("timestamp").alias("od"),
+        "o_totalprice",
+    )
+    pit = orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("od") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+    )
+    return (
+        pit.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string").cast("double").alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+SCD2_PIT_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+),
+dim AS (
+  SELECT k, seg AS segment, TIMESTAMP '{_SCD2_TS[0]}' AS vf,
+         CASE WHEN k % 4 = 0 THEN TIMESTAMP '{_SCD2_TS[1]}' END AS vt
+  FROM cust
+  UNION ALL
+  SELECT k, 'MOVED', TIMESTAMP '{_SCD2_TS[1]}',
+         CASE WHEN k % 8 = 0 THEN TIMESTAMP '{_SCD2_TS[2]}' END
+  FROM cust WHERE k % 4 = 0
+  UNION ALL
+  SELECT k, 'MOVED', TIMESTAMP '{_SCD2_TS[2]}', NULL
+  FROM cust WHERE k % 8 = 0
+)
+SELECT d.segment,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM orders o
+JOIN dim d ON o.o_custkey = d.k
+          AND CAST(o.o_orderdate AS TIMESTAMP) >= d.vf
+          AND (d.vt IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.vt)
+GROUP BY d.segment
+ORDER BY d.segment
+"""
+
+
 def dq_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
     """Benford first-digit conformance over order totals — the forensic
     data-quality screen (Benford 1938; Nigrini's audit practice):
@@ -1052,6 +1155,17 @@ SPECS = [
               doc="next-fit-decreasing compaction bins per date "
                   "partition with rewrite manifest",
               tags=("lakehouse",)),
+    QuerySpec("j_scd2_point_in_time", j_scd2_point_in_time, SCD2_PIT_SQL,
+              ref="scale op: SCD2 dimension built by operators/scd2.py "
+                  "(init + two merges: move/no-op/second-change cases) "
+                  "+ point-in-time fact join — equi-join on the "
+                  "business key, validity interval as a bounded-fanout "
+                  "residual; the oracle enumerates the fully-determined "
+                  "version table, driver-certifying scd2_merge "
+                  "end-to-end",
+              doc="orders joined to the customer-dim version valid at "
+                  "order date; revenue per (historical) segment",
+              tags=("lakehouse", "join")),
     QuerySpec("dq_benford_digits", dq_benford_digits, BENFORD_SQL,
               ref="scale op: Benford first-digit forensic DQ screen — "
                   "leading digit from the exact-cents string (no float "
