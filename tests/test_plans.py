@@ -141,6 +141,60 @@ def test_dedup_semdedup_pair_work_is_cluster_bounded(spark):
     assert key_lines, "no equi-join keyed on cluster_id in the plan"
 
 
+def test_ks_drift_windows_are_partition_local(spark):
+    """The KS CDF must come from the GROUPED two-phase prefix sum: every
+    window in the plan is partitioned by (pid, type) — a window with no
+    pid in its partition spec would be the per-type single-partition
+    sort the design exists to avoid."""
+    df = _build(spark, "ml_ks_drift")
+    plan = audit.formatted_plan(df)
+    win_specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln.lower()]
+    assert win_specs, "expected the prefix-sum window"
+    for ln in win_specs:
+        assert "pid" in ln, ln
+
+
+def test_snm_pairing_is_equi_join(spark):
+    """Sorted-neighborhood candidates must come from the rank-bucket
+    equi-join — never a rank-range nested loop."""
+    df = _build(spark, "er_sorted_neighborhood")
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "__bkt" in ln
+    ]
+    assert key_lines, "no equi-join keyed on the rank bucket"
+
+
+def test_scd2_pit_join_is_keyed(spark):
+    """The point-in-time join must be an equi-join on the business key
+    (validity interval as residual) — a pure interval theta-join would
+    be the range-explosion scale killer."""
+    df = _build(spark, "j_scd2_point_in_time")
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln)
+        and ("o_custkey" in ln or "c_custkey" in ln)
+    ]
+    assert key_lines, "no equi-join keyed on the business key"
+
+
+def test_aqp_and_benford_are_single_scan_aggregates(spark):
+    """Both observability aggregates must stay map-side-combine shapes:
+    a bounded number of exchanges, no window, no join against anything
+    data-sized (the 1-row totals ride broadcasts)."""
+    for name, max_exchanges in (("a_aqp_estimate", 2), ("dq_benford_digits", 3)):
+        df = _build(spark, name)
+        plan = audit.formatted_plan(df)
+        assert "Window" not in plan, name
+        assert audit.exchange_count(df) <= max_exchanges, name
+
+
 def test_layout_dpp_star_join_prunes_at_runtime(spark):
     """The registry DPP query's whole point: the fact scan must carry a
     dynamicpruningexpression PartitionFilter injected from the dim-side
