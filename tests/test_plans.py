@@ -278,6 +278,9 @@ _BNLJ_ALLOWED = {
     "q_tiered_search",        # 1-row summary-tier BM25 stats broadcast
     "rag_serve_e2e",          # 1-row stats/maxes/gate broadcasts (composed)
     "rag_serve_ann",          # same 1-row broadcasts + 1-row query vector
+    "ml_ks_drift",            # 1-row day-range broadcast (time split)
+    "dq_benford_digits",      # 1-row total-count broadcast
+    "layout_analyze_stats",   # 1-row min/max/ndv stats broadcast
 }
 
 

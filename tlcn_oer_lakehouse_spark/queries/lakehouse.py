@@ -919,7 +919,8 @@ WITH counts AS (
   HAVING digit >= 1
 ),
 tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts),
-benford(digit, p) AS (VALUES {_BENFORD_P})
+benford_raw(digit, p_dec) AS (VALUES {_BENFORD_P}),
+benford AS (SELECT digit, CAST(p_dec AS DOUBLE) AS p FROM benford_raw)
 SELECT c.digit, c.n_obs,
        round(b.p, 9) AS p_benford,
        round(CAST(c.n_obs AS DOUBLE) / t.n_total, 9) AS p_observed,
