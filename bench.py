@@ -111,6 +111,23 @@ def main() -> None:
         calibration_multi = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
+    # Self-adjudicating comparisons (VERDICT r10 #4): two rounds running,
+    # the 32-thread driver host manufactured 1.14-1.37× apparent
+    # regressions on untouched code that needed an out-of-band 4-core
+    # artifact to refute.  queries_norm divides each per-query median by
+    # this run's multi-stage calibration — a fixed ~10-stage plan timed
+    # under the same protocol in the same process — so BENCH_rN vs
+    # BENCH_rN-1 per-query ratios cancel scheduler/host drift by
+    # construction.  (value_norm is the normalized headline total.)
+    queries_norm: dict[str, float] = {}
+    value_norm = None
+    if isinstance(calibration_multi, float) and calibration_multi > 0:
+        queries_norm = {
+            n: round(t / calibration_multi, 4)
+            for n, t in timings.items()
+            if isinstance(t, float)
+        }
+        value_norm = round(total / calibration_multi, 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -119,6 +136,8 @@ def main() -> None:
         "runs": RUNS,
         "queries": timings,
         "queries_min": minimums,
+        "queries_norm": queries_norm,
+        "value_norm": value_norm,
         "stages": stages,
         "calibration_sec": calibration,
         "calibration_multi_sec": calibration_multi,

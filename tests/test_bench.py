@@ -32,3 +32,6 @@ def test_bench_emits_json_even_when_every_query_fails(tmp_path):
     # every query row is an err object, and the total only sums successes
     assert all(isinstance(v, dict) and "err" in v for v in result["queries"].values())
     assert result["value"] == 0.0
+    # normalization degrades gracefully when the calibration itself errs
+    assert result["queries_norm"] == {}
+    assert result["value_norm"] is None

@@ -281,6 +281,8 @@ _BNLJ_ALLOWED = {
     "ml_ks_drift",            # 1-row day-range broadcast (time split)
     "dq_benford_digits",      # 1-row total-count broadcast
     "layout_analyze_stats",   # 1-row min/max/ndv stats broadcast
+    "layout_write_skew_plan",  # 1-row (n_rows_table, ndv) totals broadcast
+                               # per candidate key column
 }
 
 

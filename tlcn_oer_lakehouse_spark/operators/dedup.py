@@ -336,7 +336,7 @@ def _prefix_rows(ordered: DataFrame, p: int, q: int) -> DataFrame:
     prefix-filter theorem's window), ceil as integer ceil-division."""
     plen = (
         F.col("n")
-        - F.expr(f"({p} * n + {q - 1}) div {q}").cast("int")
+        - F.expr(f"({p}L * n + {q - 1}) div {q}").cast("int")
         + F.lit(1)
     )
     return ordered.select(
@@ -448,7 +448,7 @@ def prefix_filter_jaccard_pairs(
             # required overlap ⌈τ/(1+τ)·(na+nb)⌉ = ⌈p·(na+nb)/(p+q)⌉,
             # again as integer ceil-division
             F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
-            >= F.expr(f"({p} * (na + nb) + {p + q - 1}) div {p + q}")
+            >= F.expr(f"({p}L * (na + nb) + {p + q - 1}) div {p + q}")
         )
         .select("doc_a", "doc_b")
     )
@@ -566,7 +566,7 @@ def prefix_filter_incremental_pairs(
         )
         .filter(
             F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
-            >= F.expr(f"({p} * (na + nb) + {p + q - 1}) div {p + q}")
+            >= F.expr(f"({p}L * (na + nb) + {p + q - 1}) div {p + q}")
         )
         .select("doc_a", "doc_b")
     )
@@ -798,6 +798,7 @@ def minhash_incremental_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    persist=None,
 ) -> DataFrame:
     """Ingest-time near-dup detection: pairs involving the NEW batch only
     (new×existing ∪ new×new) — the incremental form of
@@ -814,8 +815,16 @@ def minhash_incremental_pairs(
     the probe a co-located join; here they are derived in-plan.
 
     Result is identical to the full pipeline's pairs restricted to pairs
-    touching a batch document (pinned by test)."""
-    sh_b = shingle_rows(batch, id_col, text_col, shingle_n).persist()
+    touching a batch document (pinned by test).
+
+    ``persist`` — (key, frame) -> persisted frame, same contract as
+    :func:`prefix_filter_incremental_pairs`: streaming callers pass a
+    tracking callback so per-trigger caches (notably the corpus-sized
+    ``sh_e``) are unpersisted at the end of each micro-batch instead of
+    accumulating for the lifetime of the stream (ADVICE r10)."""
+    if persist is None:
+        persist = lambda _key, frame: frame.persist()  # noqa: E731
+    sh_b = persist("sh_b", shingle_rows(batch, id_col, text_col, shingle_n))
 
     def _sig_cols():
         return [
@@ -828,7 +837,7 @@ def minhash_incremental_pairs(
     sigs_b = sh_b.groupBy("doc").agg(
         *_sig_cols(), F.count(F.lit(1)).alias("n_shingles")
     )
-    sh_e = shingle_rows(existing, id_col, text_col, shingle_n).persist()
+    sh_e = persist("sh_e", shingle_rows(existing, id_col, text_col, shingle_n))
     sigs_e = sh_e.groupBy("doc").agg(
         *_sig_cols(), F.count(F.lit(1)).alias("n_shingles")
     )

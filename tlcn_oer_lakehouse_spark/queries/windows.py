@@ -1918,7 +1918,11 @@ def ks_over_events(ev: DataFrame) -> DataFrame:
         ev.crossJoin(F.broadcast(drange))
         .select(
             "event_type",
-            "value",
+            # Sign-normalize: the group key ships as output (ks_at_value)
+            # and Spark normalizes -0.0 in grouping keys (SPARK-26021)
+            # while DuckDB emits the stored -0.0 — same divergence class
+            # as q10's c_acctbal (ADVICE r10).  +0.0 on BOTH engines.
+            (F.col("value") + F.lit(0.0)).alias("value"),
             (F.col("day_idx") >= F.expr("(mn_d + mx_d + 1) div 2")).alias("is_b"),
         )
         .groupBy("event_type", "value")
@@ -1991,7 +1995,8 @@ def ks_over_events(ev: DataFrame) -> DataFrame:
 
 KS_SQL = """
 WITH ev AS (
-  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day_idx, value
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day_idx,
+         value + 0.0 AS value
   FROM events
 ),
 drange AS (SELECT MIN(day_idx) AS mn_d, MAX(day_idx) AS mx_d FROM ev),

@@ -255,12 +255,24 @@ def near_dup_ingest(
             existing = corpus_table.read().select(id_col, text_col)
         else:
             existing = spark.createDataFrame([], batch.schema)
+        # Per-trigger cache hygiene (ADVICE r10): the operator's internal
+        # persists include frames derived from the GROWING corpus; a
+        # long-running stream that lets them default-persist accumulates
+        # one corpus copy per trigger.  Track and drop them per batch.
+        held: list[DataFrame] = []
+
+        def _track(_key: str, frame: DataFrame) -> DataFrame:
+            held.append(frame.persist())
+            return frame
+
         pairs = minhash_incremental_pairs(
-            existing, batch, id_col, text_col, threshold=threshold
+            existing, batch, id_col, text_col, threshold=threshold, persist=_track
         ).withColumn("batch_id", F.lit(batch_id))
         pairs.write.mode("append").parquet(pairs_dir)
         corpus_table.merge_upsert(batch)
         batch.unpersist()
+        for frame in held:
+            frame.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)
@@ -309,12 +321,24 @@ def exact_dedup_ingest(
             existing = corpus_table.read().select(id_col, text_col)
         else:
             existing = spark.createDataFrame([], batch.schema)
+        # Per-trigger cache hygiene (ADVICE r10): without a tracking
+        # callback the operator caches four frames per trigger — two of
+        # them (sh_e / ordered_e) corpus-sized and re-derived from the
+        # growing standing corpus — and never frees them.
+        held: list[DataFrame] = []
+
+        def _track(_key: str, frame: DataFrame) -> DataFrame:
+            held.append(frame.persist())
+            return frame
+
         pairs = prefix_filter_incremental_pairs(
-            existing, batch, id_col, text_col, threshold=threshold
+            existing, batch, id_col, text_col, threshold=threshold, persist=_track
         ).withColumn("batch_id", F.lit(batch_id))
         pairs.write.mode("append").parquet(pairs_dir)
         corpus_table.merge_upsert(batch)
         batch.unpersist()
+        for frame in held:
+            frame.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)
