@@ -165,6 +165,90 @@ def test_near_dup_ingest_stream_equals_batch_at_sf1(spark, tmp_path):
     )
 
 
+def test_scd2_ingest_stream_equals_batch_at_sf1(spark, tmp_path):
+    """SCD2 stream≡batch at sf1.0 (VERDICT r10 #6): the 1M-event table
+    reduced to 5 TIME-ORDERED per-user attribute snapshots (~15k keys
+    each), drained through ONE ``scd2_ingest`` stream one file per
+    trigger, must yield a version table row-identical to folding the
+    same 5 frames through scd2_init/scd2_merge in batch.  Per-window
+    frames are pre-reduced to one row per user with a deterministic
+    attribute (max event_type at max ts), so the proof pins the MERGE
+    algebra, not latest_wins tie-breaking."""
+    from tlcn_oer_lakehouse_spark.operators.scd2 import scd2_init, scd2_merge
+    from tlcn_oer_lakehouse_spark.queries.base import load_events
+    from tlcn_oer_lakehouse_spark.sinks.merge import ParquetMergeTable
+    from tlcn_oer_lakehouse_spark.streaming.ingest import scd2_ingest
+
+    ev = load_events(spark, SF1).select(
+        "user_id", "event_type", "ts", F.expr("ts_sec div 86400").alias("day")
+    )
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    n_windows = 5
+    span = (hi - lo + n_windows) // n_windows
+    frames = []
+    for w in range(n_windows):
+        frames.append(
+            ev.filter(
+                (F.col("day") >= lo + w * span) & (F.col("day") < lo + (w + 1) * span)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max("ts").alias("event_ts"),
+                F.max("event_type").alias("segment"),
+            )
+            .select("user_id", "segment", "event_ts")
+        )
+
+    landing = str(tmp_path / "landing")
+    for w, f in enumerate(frames):  # sequential writes -> mtime-ordered files
+        f.coalesce(1).write.parquet(f"{landing}/w{w}")
+
+    schema = frames[0].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    table = ParquetMergeTable(spark, str(tmp_path / "dim"), key="user_id")
+    t0 = time.perf_counter()
+    q = scd2_ingest(
+        stream, table, key="user_id", tracked_cols=["segment"],
+        ts_col="event_ts", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        assert q.awaitTermination(1200), "ingest still running after 1200s"
+    finally:
+        q.stop()
+    elapsed = time.perf_counter() - t0
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == n_windows
+
+    dim = None
+    for f in frames:
+        ts = f.agg(F.max("event_ts")).first()[0]
+        rows = f.drop("event_ts")
+        dim = (
+            scd2_init(rows, ts)
+            if dim is None
+            else scd2_merge(dim, rows, "user_id", ["segment"], ts)
+        )
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.segment, str(r.valid_from), str(r.valid_to),
+             r.is_current)
+            for r in df.collect()
+        )
+
+    got, want = canon(table.read()), canon(dim)
+    assert got == want
+    n_keys = ev.select("user_id").distinct().count()
+    assert len(got) >= n_keys  # every user has at least one version
+    print(
+        f"sf1.0 scd2_ingest: {n_keys} keys, {len(got)} version rows, "
+        f"{elapsed:.1f}s over {n_windows} triggers"
+    )
+
+
 def test_exact_dedup_ingest_stream_equals_batch_at_sf1(spark, tmp_path):
     """The EXACT prefix-filter ingest flow at the 50k-doc sf1.0 corpus
     (round 10 — the exact tier's twin of the minhash test above):

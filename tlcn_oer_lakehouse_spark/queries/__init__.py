@@ -186,6 +186,30 @@ _GREEN_VINTAGE: dict[int, frozenset[str]] = {
         "ts_autocorrelation", "ts_cusum_changepoint",
         "w14_association_rules"
     }),
+    10: frozenset({
+        "a_aqp_estimate", "a_countmin_sketch", "a_cube",
+        "dedup_prefix_filter", "dedup_prefix_incremental",
+        "dedup_recall_eval", "dq_benford_digits", "dq_expectations",
+        "er_sorted_neighborhood", "f_array_functions",
+        "ivm_incremental_aggregate", "j_salted_hot_key",
+        "j_scd2_point_in_time", "j_spatial_grid", "k1_merge_upsert",
+        "k2_merge_delete", "layout_analyze_stats",
+        "layout_dpp_star_join", "ml_ks_drift", "mm_gif_decode",
+        "mm_image_decode", "mm_jpeg_decode", "mm_png_decode",
+        "mm_video_frames", "mm_wav_decode", "mm_wav_windows",
+        "qual_boilerplate_strip", "rec_item_item_cf",
+        "st_session_window", "td_bloom_contamination",
+        "td_bpe_merges", "td_bpe_tokenize",
+        "td_domain_caps_scalable", "td_pipeline_e2e",
+        "td_temperature_mixing", "td_weighted_sample",
+        "td_wordpiece_merges", "text_quality_langid",
+        "ts_autocorrelation", "ts_holt_forecast",
+        "ts_mad_anomalies", "ts_subsequence_search",
+        "ts_theilsen_trend", "w10_cooccurrence_pairs",
+        "w11_rfm_segmentation", "w5_funnel", "w6_cohort_retention",
+        "w7_event_transitions", "w8_activity_streaks",
+        "w9_max_concurrency"
+    }),
 }
 
 _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
@@ -193,49 +217,46 @@ _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
 _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 
 
-# Queries whose green driver row predates a material round-10 code
-# change — pinned to the very front of the window so round 10 produces
-# a fresh row for each (all three outputs proven identical via the
-# strict driver sim at sf0.01/0.1 before rotation; the PLANS changed):
+# Queries whose green driver row predates a material round-11 code
+# change — pinned to the very front of the window so round 11 produces
+# a fresh row for each (all outputs proven identical via the strict
+# driver sim at sf0.01/0.1 before rotation):
 #
-#   dedup_prefix_filter's bounds moved from float ceil to exact
-#   integer ceil-division on the threshold's decimal fraction
-#   (ADVICE r9 — float ⌈τ·n⌉ could overshoot and silently shorten
-#   prefixes for τ like 0.55); same output at the registry τ=0.5,
-#   materially different join/filter expressions:
-#     dedup_prefix_filter
-#   j_spatial_grid's cell derivation moved from cast-truncation to
-#   FLOOR division (ADVICE r9 — negative coordinates collapsed cells
-#   −1 and 0); same output on the non-negative md5 layout, changed
-#   scan expressions:
-#     j_spatial_grid
-#   ts_autocorrelation's lag shift was split out of the explode's
-#   select list (ADVICE r9 — it resolved only via Spark 3.4+ lateral
-#   column aliasing); same plan semantics, changed builder subtree:
-#     ts_autocorrelation
-#   dedup_recall_eval's quadratic ground-truth side is now bounded to a
-#   fixed 20k-base-id audit panel on BOTH sides (the r10 sf10 probe
-#   watched the unbounded truth join GC-wedge at 550k docs; the panel
-#   covers the whole corpus at sf ≤ 0.1 so gate-scale values are
-#   unchanged, but the builder and oracle both changed):
-#     dedup_recall_eval
+#   dedup_prefix_filter / dedup_prefix_incremental: (a) the prefix/
+#   overlap ceil bounds widened to BIGINT literals (ADVICE r10 — INT
+#   overflow for large-denominator thresholds), (b) the pair OUTPUT is
+#   now restricted to the fixed 20k-base-id audit panel (VERDICT r10
+#   #2; covers the whole corpus at sf ≤ 0.1, so gate-scale values are
+#   unchanged, but builder and oracle both changed).
+#   er_sorted_neighborhood: verified-pair output restricted to the
+#   ≤200k-key audit panel (sort ranks stay global; covers the whole
+#   part table at sf ≤ 1.0).
+#   ml_ks_drift: the value grouping key is sign-normalized (+0.0) on
+#   both engines (ADVICE r10 — the SPARK-26021 −0.0 divergence class).
+#   layout_dpp_star_join: the scratch store is now (realpath, PID)-
+#   keyed and written once per process (ADVICE r10 race); the probe
+#   plan is unchanged, the builder body is not.
+#   dedup_minhash_incremental: gained the persist-callback parameter
+#   (ADVICE r10 streaming cache hygiene); plan unchanged, builder
+#   signature changed.
 _REVERIFY_FIRST = (
     "dedup_prefix_filter",
-    "j_spatial_grid",
-    "ts_autocorrelation",
-    "dedup_recall_eval",
+    "dedup_prefix_incremental",
+    "er_sorted_neighborhood",
+    "ml_ks_drift",
+    "layout_dpp_star_join",
+    "dedup_minhash_incremental",
 )
 
 
-# Round-10 rotation: greens freshly sampled in ROUND 9 (CORRECTNESS_r09
-# keys) go to the very back; never-sampled round-10 additions
-# (dedup_prefix_incremental, layout_dpp_star_join) rank 1; the
-# remaining ~45 slots refresh the oldest-vintage greens — the 26
-# r4-vintage rows first (w5-w11 event windows, mm_* codecs, td_bpe_*,
-# td_pipeline_e2e, ts_mad/subsequence, rec_item_item_cf,
-# st_session_window, a_countmin_sketch, ...; VERDICT r9 #1), then
-# r5-vintage fills.  After this round no green predates r5.
-_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[9]
+# Round-11 rotation (VERDICT r10 #3 — retire the r5 vintage): greens
+# freshly sampled in ROUND 10 go to the very back; never-sampled
+# round-11 additions (layout_write_skew_plan, ...) rank 1; the spare
+# slots refresh the oldest-vintage greens — all 19 remaining r5 rows
+# (the ml_* stats family, embed_*, mm_phash/wav_quadrature,
+# td_contamination_check, ts_seasonal_decompose, w12/w13, ...) first,
+# then r6 fills.  After this round no green predates r6.
+_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[10]
 
 
 def _collect() -> dict[str, QuerySpec]:
