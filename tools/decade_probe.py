@@ -49,14 +49,18 @@ def main() -> None:
     r["parity_sec"] = round(time.perf_counter() - t0, 2)
     r["sf_dir"] = SF_DIR
 
+    # SPARK_GRAFT_PROBE_REPS=1 for full-registry sweeps, where strict
+    # parity is the point and a single timed rep bounds the wall clock;
+    # default 3 keeps the median protocol for per-query decade rows.
+    n_reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "3"))
     reps = []
-    for _ in range(3):
+    for _ in range(n_reps):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         spec.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         reps.append(time.perf_counter() - t0)
     reps.sort()
-    r["spark_sec"] = round(reps[1], 2)
+    r["spark_sec"] = round(reps[len(reps) // 2], 2)
     r["spark_sec_min"] = round(reps[0], 2)
 
     if spec.oracle and not spark_only:
