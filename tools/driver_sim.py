@@ -112,26 +112,34 @@ def _select(args: list[str]) -> tuple[list[str], int | None, int | None]:
     filters: list[str] = []
     since: int | None = None
     window: int | None = None
+    exact = False
     it = iter(args)
     for a in it:
         if a == "--since-round":
             since = int(next(it))
         elif a == "--window":
             window = int(next(it))
+        elif a == "--exact":
+            # whole-name matching for scripted sweeps (a substring like
+            # "td_domain_caps" would otherwise also select its
+            # "_scalable" superstring sibling)
+            exact = True
         else:
             filters.append(a)
-    return filters, since, window
+    return filters, since, window, exact
 
 
 def main() -> None:
-    filters, since, window = _select(sys.argv[1:])
+    filters, since, window, exact = _select(sys.argv[1:])
     from tlcn_oer_lakehouse_spark.queries import _VINTAGE_OF
 
     spark = get_spark(app_name="driver_sim")
     con = duckdb_con(SF_DIR)
     bad = []
     for pos, (name, spec) in enumerate(REGISTRY.items()):
-        if filters and not any(f in name for f in filters):
+        if filters and not (
+            name in filters if exact else any(f in name for f in filters)
+        ):
             continue
         if window is not None and pos >= window:
             continue
