@@ -272,35 +272,40 @@ def extractive_summary(
         .crossJoin(F.broadcast(n_docs_df))
         .select(
             "tok",
-            # round-12 pins the value so a 1-ulp ln() difference between
-            # engines can't leak into the decimal aggregation
+            # EXACT-INTEGER scoring (r11 — the sf10 sweep caught a 1-ulp
+            # round(double, 9) half-boundary divergence): ln() is pinned
+            # ONCE at pico (1e-12) resolution into a BIGINT, and every
+            # downstream mean/round/sum/rank runs in integer arithmetic;
+            # ln ≤ ~13.2 ⇒ idf_pico ≤ 1.4e13, a 20-token segment sum
+            # ≤ 2.7e14 — far under 2⁶³.  (The old path rounded a double
+            # quotient at 9 dp; DuckDB rounds doubles via ×10⁹ float
+            # arithmetic, so an exact-half quotient could flip.)
             F.round(
-                F.log((F.col("n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)),
-                12,
-            ).alias("idf"),
+                F.log((F.col("n_docs") + 1.0) / (F.col("df").cast("double") + 1.0))
+                * F.lit(1e12)
+            ).cast("long").alias("idf_pico"),
         )
     )
 
     seg_toks = segs.select(
         id_col, "seg_no", "seg_text", F.explode(F.split("seg_text", " ")).alias("tok")
     )
-    # mean IDF via exact decimal sum / count — a plain double avg would be
-    # partition-order dependent
+    # mean IDF at 9 dp as integer half-up ceil-division: score_e9 =
+    # ⌊(2·Σpico + 1000·c) / (2000·c)⌋ — exact, partition-order free
     scored = (
         seg_toks.join(F.broadcast(doc_freq), "tok", "left")
         .groupBy(id_col, "seg_no", "seg_text")
         .agg(
-            F.round(
-                F.sum(
-                    F.coalesce(F.col("idf"), F.lit(0.0)).cast("decimal(28,18)")
-                ).cast("double")
-                / F.count(F.lit(1)),
-                9,
-            ).alias("seg_score")
+            F.sum(F.coalesce(F.col("idf_pico"), F.lit(0))).alias("sum_pico"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            id_col, "seg_no", "seg_text",
+            F.expr("(2 * sum_pico + 1000 * c) div (2000 * c)").alias("score_e9"),
         )
     )
     w_rank = Window.partitionBy(id_col).orderBy(
-        F.col("seg_score").desc(), F.col("seg_no").asc()
+        F.col("score_e9").desc(), F.col("seg_no").asc()
     )
     top = scored.withColumn("rank", F.row_number().over(w_rank)).filter(
         F.col("rank") <= top_k
@@ -313,8 +318,8 @@ def extractive_summary(
                 lambda s: s.getField("seg_text"),
             ),
         ).alias("summary"),
-        F.round(
-            F.sum(F.col("seg_score").cast("decimal(28,9)")).cast("double"), 9
-        ).alias("score_sum"),
+        # ONE final double division of an exact BIGINT — identical IEEE
+        # result on every engine
+        (F.sum("score_e9").cast("double") / F.lit(1e9)).alias("score_sum"),
         F.count(F.lit(1)).alias("n_segments"),
     )

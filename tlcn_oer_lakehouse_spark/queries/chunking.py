@@ -180,7 +180,11 @@ SUMMARY_SQL = f"""
 WITH toks AS (SELECT doc_id, {NORM_TK} AS tk FROM documents),
 n_docs AS (SELECT COUNT(*) AS n_docs FROM documents),
 doc_freq AS (
-  SELECT tok, round(ln((n_docs + 1.0) / (COUNT(*) + 1.0)), 12) AS idf
+  -- EXACT-INTEGER scoring (r11): ln() pinned once at pico resolution
+  -- into a BIGINT; everything downstream is integer arithmetic, so no
+  -- engine's float round() can flip a 9-dp half boundary (the old
+  -- round(double, 9) path diverged by 1 ulp at sf10)
+  SELECT tok, CAST(round(ln((n_docs + 1.0) / (COUNT(*) + 1.0)) * 1e12) AS BIGINT) AS idf_pico
   FROM (SELECT DISTINCT doc_id, unnest(list_distinct(tk)) AS tok FROM toks), n_docs
   GROUP BY tok, n_docs
 ),
@@ -197,25 +201,21 @@ seg_toks AS (
   FROM segs
 ),
 scored AS (
-  -- inner VARCHAR hop: Spark casts double->decimal from the SHORTEST
-  -- decimal repr (BigDecimal.valueOf), DuckDB from the full binary
-  -- expansion; for 12-digit-rounded idf doubles the two differ by up to
-  -- 5e-13 per term, enough to flip round(x, 9) at an exact half
-  -- boundary (sf1.0 doc 1642: ...4235 vs ...42349999).  Casting
-  -- via VARCHAR makes DuckDB sum the same shortest-repr decimals.
+  -- mean IDF at 9 dp as integer half-up ceil-division, exact on both engines
   SELECT st.doc_id, st.seg_no, st.seg_text,
-         round(CAST(CAST(SUM(CAST(CAST(coalesce(df.idf, 0.0) AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS seg_score
+         (2 * CAST(SUM(coalesce(df.idf_pico, 0)) AS BIGINT) + 1000 * COUNT(*))
+           // (2000 * COUNT(*)) AS score_e9
   FROM seg_toks st LEFT JOIN doc_freq df ON st.tok = df.tok
   GROUP BY st.doc_id, st.seg_no, st.seg_text
 ),
 ranked AS (
-  SELECT doc_id, seg_no, seg_text, seg_score,
-         row_number() OVER (PARTITION BY doc_id ORDER BY seg_score DESC, seg_no ASC) AS rank
+  SELECT doc_id, seg_no, seg_text, score_e9,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_e9 DESC, seg_no ASC) AS rank
   FROM scored
 )
 SELECT doc_id,
        array_to_string(array_agg(seg_text ORDER BY seg_no), ' ') AS summary,
-       round(CAST(CAST(SUM(CAST(seg_score AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE), 9) AS score_sum,
+       CAST(SUM(score_e9) AS DOUBLE) / 1e9 AS score_sum,
        COUNT(*) AS n_segments
 FROM ranked
 WHERE rank <= 3

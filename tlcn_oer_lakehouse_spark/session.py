@@ -55,6 +55,13 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Harness collects of data-proportional results (decade-sweep
+        # parity on corpus-sized bridge/chunk tables) exceed the 1g
+        # default at sf10; production writes never driver-collect, so
+        # this only affects the verification harnesses
+        "spark.driver.maxResultSize": os.environ.get(
+            "SPARK_GRAFT_MAX_RESULT", "8g"
+        ),
         # Python DataSource scans (sources/pyds.py) feed pushed filters
         # into manifest file pruning; the gate conf is off by default
         "spark.sql.python.filterPushdown.enabled": "true",
