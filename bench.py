@@ -230,9 +230,13 @@ def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from tlcn_oer_lakehouse_spark.operators.dedup import (
-        jaccard_verify_from,
+        MINHASH_P,
+        _base_hash,
+        _minhash_a,
+        _minhash_b,
+        jaccard_verify_arrays,
+        minhash_doc_arrays,
         minhash_lsh_candidate_pairs,
-        shingle_rows,
     )
     from tlcn_oer_lakehouse_spark.queries.textops import augmented_corpus
     from tlcn_oer_lakehouse_spark.queries.traindata import contamination_check
@@ -244,23 +248,34 @@ def _stage_timings(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, object] = {}
     try:
+        # r11: the probes follow dedup_minhash_lsh's array-form rebuild
+        # (operators/dedup.py:minhash_near_duplicates) — same four stage
+        # keys, now timing the per-doc array build (shingles), the
+        # explode-from-cache signatures, the banded candidates, and the
+        # array-intersect verify.  OPTIMIZATION_r11.md records the
+        # old-shape numbers beside these.
         corpus = augmented_corpus(spark, sf_dir)
-        sh = shingle_rows(corpus, "doc_id", "text", 3).persist()
-        out["minhash.shingles"] = run("shingles", sh)
+        base = minhash_doc_arrays(corpus, "doc_id", "text", 3).persist()
+        out["minhash.shingles"] = run("shingles", base)
+        arr = base.filter(F.size("tok_arr") > 0).select(
+            "doc", "tok_arr", F.size("tok_arr").alias("n_shingles")
+        )
+        sh = arr.select("doc", F.explode("tok_arr").alias("shingle")).select(
+            "doc", _base_hash(F.col("shingle")).alias("bh")
+        )
         sigs = sh.groupBy("doc").agg(
             *[
-                F.min((F.col("bh") * (i * 4097 + 1) + i * 12289) % 2_147_483_647).alias(f"h{i}")
+                F.min(
+                    (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
+                ).alias(f"h{i}")
                 for i in range(16)
-            ],
-            F.count(F.lit(1)).alias("n_shingles"),
+            ]
         ).persist()
         out["minhash.signatures"] = run("signatures", sigs)
         cands = minhash_lsh_candidate_pairs(sigs, 16, 4).persist()
         out["minhash.candidates"] = run("candidates", cands)
-        out["minhash.verify"] = run(
-            "verify", jaccard_verify_from(sh, cands, sizes=sigs.select("doc", "n_shingles"))
-        )
-        for df in (cands, sigs, sh):
+        out["minhash.verify"] = run("verify", jaccard_verify_arrays(cands, arr))
+        for df in (cands, sigs, base):
             df.unpersist()
     except Exception as exc:  # noqa: BLE001
         out["minhash.err"] = f"{type(exc).__name__}: {exc}"[:500]

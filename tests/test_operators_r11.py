@@ -221,3 +221,94 @@ def test_dpp_store_write_once_and_pid_keyed(spark, sf_dir):
     for p, mtime in files.items():
         assert os.path.getmtime(p) == mtime, "second call must not rewrite"
     assert [tuple(r) for r in first] == [tuple(r) for r in second]
+
+
+# --- r11 minhash array-form rework: old-pipeline equivalence ----------------
+
+
+def test_minhash_array_form_matches_exploded_pipeline(spark):
+    """The r11 array-form pipeline (minhash_doc_arrays → fold/explode
+    signatures → jaccard_verify_arrays) must be value-identical to the
+    r7-r10 exploded form (shingle_rows → groupBy signatures →
+    jaccard_verify_from): same candidate pairs, same exact Jaccard, for
+    both hash families."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_a,
+        _minhash_b,
+        jaccard_verify_from,
+        minhash_lsh_candidate_pairs,
+        minhash_near_duplicates,
+        shingle_rows,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " extra tail tokens"),          # near-dup of 1
+        (3, base),                                  # exact dup of 1
+        (4, " ".join(f"z{i}" for i in range(40))),  # unrelated
+        (5, ""),                                    # empty: no shingles
+        (6, "only two"),                            # shorter than shingle_n
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for hash_fn in ("md5", "xxhash64"):
+        sh = shingle_rows(docs, "doc_id", "text", 3, hash_fn=hash_fn).persist()
+        sigs = sh.groupBy("doc").agg(
+            *[
+                F.min(
+                    (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
+                ).alias(f"h{i}")
+                for i in range(16)
+            ],
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        cands = minhash_lsh_candidate_pairs(sigs, 16, 4)
+        old = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_verify_from(
+                sh, cands, sizes=sigs.select("doc", "n_shingles")
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .collect()
+        }
+        new = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_near_duplicates(
+                docs, "doc_id", "text", 3, 16, 4, 0.5, hash_fn=hash_fn
+            ).collect()
+        }
+        sh.unpersist()
+        assert new == old, f"hash_fn={hash_fn}: {new} != {old}"
+        assert (1, 3) in new  # the exact dup must survive either form
+
+
+def test_minhash_doc_arrays_sizes_match_exploded_counts(spark):
+    """size(tok_arr) of the array frame must equal the exploded form's
+    per-doc distinct-shingle count (the n_shingles the verify divides
+    by), and empty/short docs must yield empty arrays, not rows lost to
+    an explode."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        minhash_doc_arrays,
+        shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c"), (2, ""), (3, "x y")],
+        "doc_id long, text string",
+    )
+    arr_sizes = {
+        r.doc: r.n
+        for r in minhash_doc_arrays(docs, "doc_id", "text", 3)
+        .select("doc", F.size("tok_arr").alias("n"))
+        .collect()
+    }
+    exploded = {
+        r.doc: r.n
+        for r in shingle_rows(docs, "doc_id", "text", 3)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert arr_sizes == {1: exploded[1], 2: 0, 3: 0}

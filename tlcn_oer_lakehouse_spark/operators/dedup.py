@@ -208,6 +208,56 @@ def jaccard_verify_from(
     )
 
 
+def minhash_doc_arrays(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc distinct shingle ARRAYS: (doc, tok_arr) — UNFILTERED.
+    The array-form shared intermediate of the minhash pipeline: one
+    tokenize→shingle→distinct pass per document, no explode, no
+    shuffle.  Callers persist this frame and filter empties FROM THE
+    CACHE: a ``filter(size(tok_arr) > 0)`` placed below the persist
+    gets pushed under the projection by Catalyst and re-evaluates the
+    whole array expression a second time per row in the Filter node
+    (measured 1.3 s → 8.3 s at sf0.1 — shingles() contains lambda
+    expressions, which fall back to interpreted evaluation)."""
+    arr = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    return df.select(F.col(id_col).alias("doc"), arr.alias("tok_arr"))
+
+
+def jaccard_verify_arrays(pairs: DataFrame, docs_arr: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-pair array intersection:
+    two doc-keyed equi-joins fetch the distinct-shingle arrays and
+    |A∩B| is a map-side ``array_intersect`` — no exploded-row fan-out
+    joins, no per-pair aggregation shuffle.  Value-identical to
+    :func:`jaccard_verify_from` (same distinct sets, same integer
+    counts, same double division).  ``docs_arr`` must carry
+    (doc, tok_arr, n_shingles)."""
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        pairs.join(
+            docs_arr.select(
+                F.col("doc").alias("doc_a"),
+                F.col("tok_arr").alias("ta"),
+                F.col("n_shingles").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs_arr.select(
+                F.col("doc").alias("doc_b"),
+                F.col("tok_arr").alias("tb"),
+                F.col("n_shingles").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("na") + F.col("nb") - inter)).alias("jaccard"),
+        )
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -217,25 +267,49 @@ def minhash_near_duplicates(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    persist=None,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: shared shingle set (persisted
-    once) → affine-min signatures (+ per-doc shingle counts in the SAME
-    shuffle) → banded candidate pairs → exact Jaccard verify → threshold
-    filter.  ``hash_fn='xxhash64'`` selects the production hash (see
+    """Full MinHash+LSH near-dup pipeline, array form (r11): one
+    persisted per-doc array frame → map-side fold signatures → banded
+    candidate pairs → per-pair ``array_intersect`` exact verify →
+    threshold filter.
+
+    vs the r7-r10 exploded form (shingle explode + groupBy signatures +
+    two exploded-row verify joins + per-pair count aggregate): the
+    tokenize→shingle→distinct pass runs once into the persisted array
+    frame, signatures explode FROM THE CACHE (codegen'd base hash +
+    map-side-combined min aggregate — higher-order per-element hashing
+    measured slower: lambdas evaluate interpreted), and the verify
+    moves one array row per pair side instead of ~|A| skinny rows per
+    candidate.  Output is value-identical (same distinct shingle sets,
+    same affine mins, same integer intersection counts).
+    ``hash_fn='xxhash64'`` selects the production hash (see
     :func:`shingle_rows`)."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n, hash_fn=hash_fn).persist()
-
-    def _sig(i: int) -> Column:
-        return F.min(
-            (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
-        ).alias(f"h{i}")
-
+    if persist is None:
+        persist = lambda _key, frame: frame.persist()  # noqa: E731
+    base = persist("arr", minhash_doc_arrays(df, id_col, text_col, shingle_n))
+    # filter + size evaluate against the CACHED column (see
+    # minhash_doc_arrays on why the filter must sit above the persist)
+    docs_arr = base.filter(F.size("tok_arr") > 0).select(
+        "doc", "tok_arr", F.size("tok_arr").alias("n_shingles")
+    )
+    if hash_fn == "xxhash64":
+        bh = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MINHASH_P)).cast("long")
+    else:
+        bh = _base_hash(F.col("shingle"))
+    sh = docs_arr.select("doc", F.explode("tok_arr").alias("shingle")).select(
+        "doc", bh.alias("bh")
+    )
     sigs = sh.groupBy("doc").agg(
-        *[_sig(i) for i in range(num_hashes)],
-        F.count(F.lit(1)).alias("n_shingles"),
-    ).persist()
+        *[
+            F.min((F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P).alias(
+                f"h{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
     cands = minhash_lsh_candidate_pairs(sigs, num_hashes, bands)
-    verified = jaccard_verify_from(sh, cands, sizes=sigs.select("doc", "n_shingles"))
+    verified = jaccard_verify_arrays(cands, docs_arr)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -57,8 +57,19 @@ def augmented_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # which would serialize the md5-heavy dedup pipelines downstream.
     # Fan out to spark.sql.shuffle.partitions — the per-deployment
     # parallelism knob — a tiny shuffle relative to the compute it unlocks.
+    # HASH-partitioned by doc_id (unique → spreads evenly), not
+    # round-robin: keyless repartition(n) first sorts each input
+    # partition locally (spark.sql.execution.sortBeforeRepartition,
+    # needed so task retries reproduce the assignment — guide §2.5),
+    # which here means one task sorting the whole single-split scan
+    # before anything fans out; a deterministic hash key needs no such
+    # sort and is retry-safe by construction.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = load(spark, sf, "documents").select("doc_id", "text").repartition(n_part)
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+    )
     toks = F.split(F.col("text"), " ")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), F.col("text")
@@ -202,9 +213,14 @@ HAVING COUNT(*) > 1
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
+
     return minhash_near_duplicates(
         augmented_corpus(spark, sf), "doc_id", "text",
         shingle_n=3, num_hashes=16, bands=4, threshold=0.5,
+        persist=lambda key, frame: persist_replacing(
+            f"dedup_minhash_lsh/{key}", frame
+        ),
     )
 
 
