@@ -58,7 +58,11 @@ from tlcn_oer_lakehouse_spark.pipelines.medallion import (
     explode_documents,
     normalize_bronze,
 )
-from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
+from tlcn_oer_lakehouse_spark.queries.base import (
+    QuerySpec,
+    load,
+    persist_replacing,
+)
 
 _BRONZE_SCHEMA = (
     "id string, title string, course_title string, book_title string, "
@@ -174,20 +178,32 @@ def medallion_e2e(spark: SparkSession, sf: str) -> DataFrame:
         ["scraped_at"],
     ).persist()
 
-    changed = changed_rows(normalized, existing, "resource_uid")
+    # Delta-sized frames (bounded by the landing batch, never the full
+    # state) are persisted: each is consumed 2-3× below (merge anti-join
+    # build + union branch + gold roll-up), and uncached every consumer
+    # replays the change-detection join over the cached silver frames
+    # (guide §1.2/§5 — cache only reused-and-expensive, delta-sized).
+    changed = persist_replacing(
+        "medallion_e2e/changed", changed_rows(normalized, existing, "resource_uid")
+    )
     merged = merge_upsert(existing, changed, "resource_uid")
 
     # documents: explode assets, change-detect, merge, delete stale
     docs_old = explode_documents(existing)
     docs_new = explode_documents(normalized)
-    changed_docs = changed_rows(docs_new, docs_old, "asset_uid")
+    changed_docs = persist_replacing(
+        "medallion_e2e/changed_docs", changed_rows(docs_new, docs_old, "asset_uid")
+    )
     upserted_docs = merge_upsert(docs_old, changed_docs, "asset_uid")
     touched = normalized.select("resource_uid")
-    deleted = docs_old.join(touched, "resource_uid", "leftsemi").join(
-        docs_new.select("asset_uid"), "asset_uid", "left_anti"
+    deleted = persist_replacing(
+        "medallion_e2e/deleted",
+        docs_old.join(touched, "resource_uid", "leftsemi").join(
+            docs_new.select("asset_uid"), "asset_uid", "left_anti"
+        ),
     )
     final_docs = upserted_docs.join(
-        deleted.select("asset_uid"), "asset_uid", "left_anti"
+        F.broadcast(deleted.select("asset_uid")), "asset_uid", "left_anti"
     )
 
     # gold: per-source coverage fact + the lifecycle observables, so the
@@ -211,10 +227,15 @@ def medallion_e2e(spark: SparkSession, sf: str) -> DataFrame:
     del_g = deleted.groupBy("source_system").agg(
         F.count(F.lit(1)).alias("documents_deleted")
     )
+    # the roll-up sides are one row per source system (a handful), but
+    # their size ESTIMATES are corpus-scale (aggregates of exploded
+    # frames), so the planner picked SortMergeJoin — 2 Exchange + Sort
+    # pairs for ≤5-row inputs (r11 plan).  Broadcast them explicitly
+    # (guide §3.1: estimates are often badly wrong after aggregation).
     return (
-        res_g.join(doc_g, "source_system", "left")
-        .join(up_g, "source_system", "left")
-        .join(del_g, "source_system", "left")
+        res_g.join(F.broadcast(doc_g), "source_system", "left")
+        .join(F.broadcast(up_g), "source_system", "left")
+        .join(F.broadcast(del_g), "source_system", "left")
         .select(
             "source_system",
             "total_resources",
@@ -419,7 +440,12 @@ def medallion_incremental(spark: SparkSession, sf: str) -> DataFrame:
     old_fact = old_res.join(old_docs, "source_system", "full_outer")
 
     # --- one commit's change feed (what merge_upsert/merge_delete log)
-    changed = changed_rows(normalized, existing, "resource_uid")
+    # delta-sized and consumed twice (preimage semi-join keys + the
+    # resource CDF) — persisted like medallion_e2e's change frames
+    changed = persist_replacing(
+        "medallion_incremental/changed",
+        changed_rows(normalized, existing, "resource_uid"),
+    )
     pre = existing.join(
         changed.select("resource_uid"), "resource_uid", "leftsemi"
     )

@@ -200,7 +200,17 @@ def _pack_context(spark: SparkSession, sf: str, fused: DataFrame) -> DataFrame:
             token_count(F.col("text")).alias("n_tokens"),
         )
     )
-    top = kept.orderBy(F.col("fused_raw").desc(), F.col("doc_id").asc()).limit(10)
+    # persisted: 10 rows — the relevance gate aggregates `top` and the
+    # packed output re-reads it; uncached, the ENTIRE fused-scoring
+    # pipeline upstream replays once per consumer (guide §1.2 — this
+    # was the largest subtree duplication in the serve plan: 36 parquet
+    # scans before, each corpus tokenize ran up to 4×)
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
+
+    top = persist_replacing(
+        "pack_context/top",
+        kept.orderBy(F.col("fused_raw").desc(), F.col("doc_id").asc()).limit(10),
+    )
     gate = top.agg(F.avg("fused_raw").alias("avg_score"))  # Q5 relevance gate
     w = Window.orderBy(F.col("fused_raw").desc(), F.col("doc_id").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
