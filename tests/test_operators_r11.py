@@ -312,3 +312,35 @@ def test_minhash_doc_arrays_sizes_match_exploded_counts(spark):
         .collect()
     }
     assert arr_sizes == {1: exploded[1], 2: 0, 3: 0}
+
+
+def test_minhash_doc_arrays_handoff_matches_internal_build(spark):
+    """minhash_near_duplicates(doc_arrays=...) must emit exactly the
+    pairs of the internal-build form when handed the persisted
+    minhash_doc_arrays frame of the same inputs (the dedup_recall_eval
+    cache-sharing path)."""
+    from tlcn_oer_lakehouse_spark.operators.dedup import (
+        minhash_doc_arrays,
+        minhash_near_duplicates,
+    )
+
+    base_text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base_text), (2, base_text + " tail"), (3, base_text), (4, "")],
+        "doc_id long, text string",
+    )
+    internal = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", 3, 16, 4, 0.5
+        ).collect()
+    }
+    arr = minhash_doc_arrays(docs, "doc_id", "text", 3).persist()
+    handed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", 3, 16, 4, 0.5, doc_arrays=arr
+        ).collect()
+    }
+    arr.unpersist()
+    assert handed == internal and (1, 3, 1.0) in internal

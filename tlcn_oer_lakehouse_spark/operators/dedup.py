@@ -268,6 +268,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     hash_fn: str = "md5",
     persist=None,
+    doc_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline, array form (r11): one
     persisted per-doc array frame → map-side fold signatures → banded
@@ -284,10 +285,16 @@ def minhash_near_duplicates(
     candidate.  Output is value-identical (same distinct shingle sets,
     same affine mins, same integer intersection counts).
     ``hash_fn='xxhash64'`` selects the production hash (see
-    :func:`shingle_rows`)."""
-    if persist is None:
-        persist = lambda _key, frame: frame.persist()  # noqa: E731
-    base = persist("arr", minhash_doc_arrays(df, id_col, text_col, shingle_n))
+    :func:`shingle_rows`).  ``doc_arrays`` lets a caller that already
+    persisted the :func:`minhash_doc_arrays` frame for the SAME
+    (df, id_col, text_col, shingle_n) hand it in, sharing one cache and
+    one tokenize pass (dedup_recall_eval's truth side does)."""
+    if doc_arrays is not None:
+        base = doc_arrays
+    else:
+        if persist is None:
+            persist = lambda _key, frame: frame.persist()  # noqa: E731
+        base = persist("arr", minhash_doc_arrays(df, id_col, text_col, shingle_n))
     # filter + size evaluate against the CACHED column (see
     # minhash_doc_arrays on why the filter must sit above the persist)
     docs_arr = base.filter(F.size("tok_arr") > 0).select(
@@ -333,8 +340,21 @@ def ngram_jaccard_pairs(
     in more than ~100 docs — a pair sharing ONLY ubiquitous shingles is
     overwhelmingly below any useful Jaccard threshold anyway.  The exact
     verify step still uses every shingle, so reported Jaccard values are
-    uncapped; only candidate *generation* is df-limited."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    uncapped; only candidate *generation* is df-limited.
+
+    Array form (r11, same rework as :func:`minhash_near_duplicates`):
+    the persisted intermediate is the per-doc distinct-shingle ARRAY
+    frame; the df aggregate and the rare-shingle pairing explode FROM
+    THE CACHE (they genuinely need exploded rows), but the verify is
+    :func:`jaccard_verify_arrays` — one array row per pair side and a
+    map-side ``array_intersect`` instead of two exploded-row joins plus
+    a per-pair count aggregate.  Value-identical: same distinct sets,
+    same integer counts, same double division."""
+    base = minhash_doc_arrays(df, id_col, text_col, shingle_n).persist()
+    docs_arr = base.filter(F.size("tok_arr") > 0).select(
+        "doc", "tok_arr", F.size("tok_arr").alias("n_shingles")
+    )
+    sh = docs_arr.select("doc", F.explode("tok_arr").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -351,7 +371,9 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates()
     )
-    return jaccard_verify_from(sh, pairs).filter(F.col("jaccard") >= threshold)
+    return jaccard_verify_arrays(pairs, docs_arr).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def _tau_fraction(threshold: float) -> tuple[int, int]:
@@ -894,27 +916,43 @@ def minhash_incremental_pairs(
     ``persist`` — (key, frame) -> persisted frame, same contract as
     :func:`prefix_filter_incremental_pairs`: streaming callers pass a
     tracking callback so per-trigger caches (notably the corpus-sized
-    ``sh_e``) are unpersisted at the end of each micro-batch instead of
-    accumulating for the lifetime of the stream (ADVICE r10)."""
+    ``arr_e``) are unpersisted at the end of each micro-batch instead of
+    accumulating for the lifetime of the stream (ADVICE r10).
+
+    Array form (r11, same rework as :func:`minhash_near_duplicates`):
+    the persisted per-side intermediates are per-doc distinct-shingle
+    ARRAY frames (smaller than the exploded rows they replace — no
+    ~8 B/shingle row overhead), signatures explode FROM THE CACHE with
+    a codegen'd base hash, and the verify is
+    :func:`jaccard_verify_arrays` over batch arrays ∪ semi-join-pruned
+    candidate existing arrays.  Value-identical (same distinct sets,
+    affine mins, integer counts)."""
     if persist is None:
         persist = lambda _key, frame: frame.persist()  # noqa: E731
-    sh_b = persist("sh_b", shingle_rows(batch, id_col, text_col, shingle_n))
 
-    def _sig_cols():
-        return [
-            F.min(
-                (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    def _arr_side(side: DataFrame, key: str) -> DataFrame:
+        base = persist(key, minhash_doc_arrays(side, id_col, text_col, shingle_n))
+        return base.filter(F.size("tok_arr") > 0).select(
+            "doc", "tok_arr", F.size("tok_arr").alias("n_shingles")
+        )
 
-    sigs_b = sh_b.groupBy("doc").agg(
-        *_sig_cols(), F.count(F.lit(1)).alias("n_shingles")
-    )
-    sh_e = persist("sh_e", shingle_rows(existing, id_col, text_col, shingle_n))
-    sigs_e = sh_e.groupBy("doc").agg(
-        *_sig_cols(), F.count(F.lit(1)).alias("n_shingles")
-    )
+    def _sigs(docs_arr: DataFrame) -> DataFrame:
+        sh = docs_arr.select("doc", F.explode("tok_arr").alias("shingle")).select(
+            "doc", _base_hash(F.col("shingle")).alias("bh")
+        )
+        return sh.groupBy("doc").agg(
+            *[
+                F.min(
+                    (F.col("bh") * _minhash_a(i) + _minhash_b(i)) % MINHASH_P
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    docs_b = _arr_side(batch, "arr_b")
+    sigs_b = _sigs(docs_b)
+    docs_e = _arr_side(existing, "arr_e")
+    sigs_e = _sigs(docs_e)
 
     def _banded(sigs: DataFrame) -> DataFrame:
         rows = num_hashes // bands
@@ -952,9 +990,6 @@ def minhash_incremental_pairs(
     cand_docs = cands.select(F.col("doc_a").alias("doc")).unionByName(
         cands.select(F.col("doc_b").alias("doc"))
     ).distinct()
-    sh_needed = sh_b.unionByName(sh_e.join(cand_docs, "doc", "leftsemi"))
-    sizes = sigs_b.select("doc", "n_shingles").unionByName(
-        sigs_e.select("doc", "n_shingles")
-    )
-    verified = jaccard_verify_from(sh_needed, cands, sizes=sizes)
+    docs_needed = docs_b.unionByName(docs_e.join(cand_docs, "doc", "leftsemi"))
+    verified = jaccard_verify_arrays(cands, docs_needed)
     return verified.filter(F.col("jaccard") >= threshold)

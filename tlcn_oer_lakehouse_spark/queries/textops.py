@@ -1092,15 +1092,27 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     Buckets are floor(10·j)/10 on IEEE-identical doubles, so bucket
     edges replay exactly."""
     from tlcn_oer_lakehouse_spark.operators.dedup import (
-        jaccard_verify_from,
+        jaccard_verify_arrays,
+        minhash_doc_arrays,
         minhash_near_duplicates,
-        shingle_rows,
     )
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
 
     corpus = augmented_corpus(spark, sf).filter(
         (F.col("doc_id") % COPY_OFFSET) < _RECALL_PANEL
     )
-    sh = shingle_rows(corpus, "doc_id", "text", 3).persist()
+    # ONE persisted per-doc distinct-shingle array frame shared by the
+    # truth side (candidate self-join + array-intersect verify) AND the
+    # banded index under test (handed in via doc_arrays) — r11 array
+    # form: the panel tokenize runs once, and the truth verify moves
+    # one array row per pair side instead of ~|A| exploded rows.
+    base = persist_replacing(
+        "dedup_recall_eval/arr", minhash_doc_arrays(corpus, "doc_id", "text", 3)
+    )
+    docs_arr = base.filter(F.size("tok_arr") > 0).select(
+        "doc", "tok_arr", F.size("tok_arr").alias("n_shingles")
+    )
+    sh = docs_arr.select("doc", F.explode("tok_arr").alias("shingle"))
     truth_cands = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
@@ -1109,13 +1121,13 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     truth = (
-        jaccard_verify_from(sh, truth_cands)
+        jaccard_verify_arrays(truth_cands, docs_arr)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
     pred = minhash_near_duplicates(
         corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
-        threshold=0.5,
+        threshold=0.5, doc_arrays=base,
     ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
     return (
         truth.join(pred, ["doc_a", "doc_b"], "left")
