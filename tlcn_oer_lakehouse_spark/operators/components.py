@@ -25,6 +25,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _symmetric_edges(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Both orientations of every pair from ONE pass over the input.
+
+    The naive ``p ∪ swap(p)`` union references the pair subtree twice,
+    and the pair input to these operators is typically an expensive,
+    deliberately un-cached pipeline (the full MinHash near-dup plan for
+    the dedup_clusters family) — so the union form paid that pipeline
+    twice per materialization (r11 census: the doubled subtree, not the
+    iterations, dominated dedup_clusters).  Exploding a 2-element
+    struct array emits the same row multiset with a single upstream
+    reference (guide §1.2: don't compute things twice)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src_col).alias("u"), F.col(dst_col).alias("v")),
+                F.struct(F.col(dst_col).alias("u"), F.col(src_col).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -33,14 +54,7 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id reachable from the node."""
-    edges = (
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-        )
-        .distinct()
-        .persist()
-    )
+    edges = _symmetric_edges(pairs, src_col, dst_col).distinct().persist()
     # localCheckpoint, not persist: persist truncates recomputation but
     # NOT lineage — after k rounds the logical plan nests k join+agg
     # layers and AQE's plan-tree handling (re-optimization, tree-string
@@ -161,14 +175,7 @@ def pagerank(
     # Exchange nodes and 9.2 s at sf0.01 for n_iter=2; 5 exchanges and
     # ~1 s after), the same plan-depth rationale as
     # connected_components
-    edges = (
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _symmetric_edges(pairs, src_col, dst_col).distinct().localCheckpoint()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     nodes = edges.select(F.col("u").alias("node")).distinct()
     nst = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
@@ -220,9 +227,21 @@ def triangle_counts(
     looked up by exact (lo, hi) key, which the total (degree, id) order
     makes canonical.
     """
-    p = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).distinct()
-    edges = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # checkpointed: the (often expensive) pair derivation would
+    # otherwise replay per reference — degrees + both degree-attach
+    # joins read it (r11; same guide-§1.2 rationale as `ori` below)
+    p = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # undirected degree without doubling the edge rows: every pair
+    # contributes one endpoint row per side of the SAME physical row
+    deg = (
+        p.select(F.explode(F.array("u", "v")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
     with_deg = (
         p.join(deg.select(F.col("u").alias("_u"), F.col("d").alias("du")),
                F.col("u") == F.col("_u")).drop("_u")
@@ -277,10 +296,7 @@ def k_core(
     set and degrees, which is what makes the operator SQL-replayable.
     """
     p = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).distinct()
-    edges = (
-        p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
-    )
+    edges = _symmetric_edges(p, "u", "v").localCheckpoint()
     prev_nodes = -1
     deg = None
     for _ in range(max_rounds):
@@ -431,10 +447,7 @@ def label_propagation(
     RAISES rather than returning a mid-oscillation labeling.
     """
     p = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).distinct()
-    edges = (
-        p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
-    )
+    edges = _symmetric_edges(p, "u", "v").localCheckpoint()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -515,8 +528,7 @@ def strongly_connected_components(
     # nodes come from the UNFILTERED input: a node appearing only in
     # self-loops is a singleton SCC, not a disappearance
     nodes = (
-        raw.select(F.col("u").alias("node"))
-        .unionByName(raw.select(F.col("v").alias("node")))
+        raw.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
         .localCheckpoint()
     )

@@ -876,10 +876,10 @@ def g_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
-    edges = (
-        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
-    )
+    from tlcn_oer_lakehouse_spark.operators.components import _symmetric_edges
+
+    # one pass over the co-purchase self-join, not one per orientation
+    edges = _symmetric_edges(pairs, "u", "v").localCheckpoint()
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint()
@@ -1031,8 +1031,8 @@ def g_modularity(spark: SparkSession, sf: str) -> DataFrame:
         .persist()
     )
     m_total = pb.agg(F.count(F.lit(1)).alias("m"))
-    edges_sym = pb.select(F.col("brand_u").alias("brand")).unionByName(
-        pb.select(F.col("brand_v").alias("brand"))
+    edges_sym = pb.select(
+        F.explode(F.array("brand_u", "brand_v")).alias("brand")
     )
     d_c = edges_sym.groupBy("brand").agg(F.count(F.lit(1)).alias("degree_sum"))
     e_c = (
@@ -1237,9 +1237,9 @@ def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     # convention): edges feeds the wedge join twice and the degree
     # table, deg feeds centers + both endpoint joins — without this the
     # lineitem scan + co-purchase self-join would replay per reference
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    from tlcn_oer_lakehouse_spark.operators.components import _symmetric_edges
+
+    edges = _symmetric_edges(pairs, "u", "v").localCheckpoint()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     centers = deg.filter(F.col("d") <= _JACC_NBR_CAP).select(
         F.col("u").alias("w")

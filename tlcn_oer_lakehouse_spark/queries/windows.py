@@ -904,9 +904,16 @@ def rec_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sym = co.unionByName(
-        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
-    )
+    # both orientations from ONE pass over the co-occurrence aggregate
+    # (the union form replayed the lineitem self-join + groupBy twice)
+    sym = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v"), F.col("c").alias("c")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v"), F.col("c").alias("c")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v", "e.c")
     scored = (
         sym.join(freq.select(F.col("pk").alias("u"), F.col("n").alias("nu")), "u")
         .join(freq.select(F.col("pk").alias("v"), F.col("n").alias("nv")), "v")
