@@ -1206,10 +1206,11 @@ def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     """Neighbor-set Jaccard similarity — the link-prediction / related-
     items primitive (Liben-Nowell & Kleinberg 2003): for node pairs
     sharing ≥2 common neighbors, J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|,
-    top-100 by (jaccard, u, v).  Common neighbors come from ONE wedge
-    self-join through the center node (the same equi-join-only shape as
-    triangle counting), intersection/union from the degree table —
-    all-integer until one division rounded to 9 dp.
+    top-100 by (jaccard, u, v).  Common neighbors come from per-center
+    wedge enumeration — each center's sorted neighbor array emits its
+    C(d,2) i<j combinations (r11; see inline note) — intersection/union
+    from the degree table, all-integer until one division rounded to
+    9 dp.
 
     100 TB design: wedge volume is Σ_w deg(w)², so hub centers are the
     skew-killer — centers with degree > {cap} are EXCLUDED from wedge
@@ -1233,24 +1234,42 @@ def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
-    # materialize the shared subtrees ONCE (g_kcore's localCheckpoint
-    # convention): edges feeds the wedge join twice and the degree
-    # table, deg feeds centers + both endpoint joins — without this the
-    # lineitem scan + co-purchase self-join would replay per reference
+    # ARRAY-COMBINATION wedge generation (r11): one groupBy collects
+    # each center's sorted neighbor array (checkpointed — it is ALSO the
+    # degree table, so the former separate deg aggregate and the edges
+    # checkpoint both fold into this single frame), and each center's
+    # wedges are emitted as the C(d,2) i<j combinations of that array.
+    # The former e1⋈e2 self-join generated d² rows per center and
+    # filtered half AFTER the join; the combination explode generates
+    # exactly C(d,2) and skips the wedge join machinery entirely —
+    # interleaved A/B at sf0.1: 77-83 s → 43-44 s (1.8×), identical
+    # (count, Σcommon, Σ(nu+nv)) checksums.  The groupBy(nu, nv) count
+    # aggregate — the operator's fundamental Σdeg² shuffle — is
+    # unchanged, as are the cap semantics (degree = array size).
     from tlcn_oer_lakehouse_spark.operators.components import _symmetric_edges
 
-    edges = _symmetric_edges(pairs, "u", "v").localCheckpoint()
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
-    centers = deg.filter(F.col("d") <= _JACC_NBR_CAP).select(
-        F.col("u").alias("w")
+    nbrs = (
+        _symmetric_edges(pairs, "u", "v")
+        .groupBy("u")
+        .agg(F.array_sort(F.collect_list("v")).alias("ns"))
+        .localCheckpoint()
     )
-    e1 = edges.select(F.col("u").alias("w"), F.col("v").alias("x"))
-    e2 = edges.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    deg = nbrs.select("u", F.size("ns").alias("d"))
+    combos = nbrs.filter(F.size("ns") <= _JACC_NBR_CAP).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ns"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                        lambda y: F.struct(x.alias("nu"), y.alias("nv")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     common = (
-        e1.join(centers, "w")
-        .join(e2, "w")
-        .where(F.col("x") < F.col("y"))
-        .groupBy(F.col("x").alias("nu"), F.col("y").alias("nv"))
+        combos.groupBy(F.col("p.nu").alias("nu"), F.col("p.nv").alias("nv"))
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= 2)
     )
