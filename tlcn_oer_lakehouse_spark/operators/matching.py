@@ -40,12 +40,27 @@ def lexical_subject_match(
     ``shingle_n``-gram in the doc) / (total doc ``shingle_n``-grams) —
     an exact integer ratio, deterministic across engines.  Ties break on
     subject_id; rows below ``threshold`` drop before ranking."""
-    doc_shingles = docs.select(
-        F.col(id_col),
-        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    # ONE corpus pass (r11): the doc's shingle count rides the exploded
+    # rows (constant per doc, an extra long on the aggregation key)
+    # instead of a second tokenize+shingle pass + groupBy + re-join —
+    # the former doc_sizes derivation re-ran the whole corpus scan.
+    # The shingle array is STAGED into its own projection so the size()
+    # projection and the explode generator share one evaluation
+    # (GenerateExec does not CSE — the chunking-operator rationale).
+    # explode_OUTER, not explode: InferFiltersFromGenerate would put a
+    # size(__sh)>0 ∧ isnotnull(__sh) filter under the Generate, and
+    # predicate pushdown then substitutes the full tokenize+shingle
+    # expression through the staged projection — re-running it 2× more
+    # per row at the scan (measured 1.8× SLOWER end-to-end).  The rule
+    # skips outer generates; the null/empty rows an outer explode adds
+    # die in the inner broadcast join below (null never equi-matches).
+    staged = docs.select(
+        F.col(id_col), shingles(tokens(F.col(text_col)), shingle_n).alias("__sh")
     )
-    doc_sizes = doc_shingles.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    doc_shingles = staged.select(
+        F.col(id_col),
+        F.size("__sh").alias("n_shingles"),
+        F.explode_outer("__sh").alias("shingle"),
     )
     hits = (
         doc_shingles.join(
@@ -57,10 +72,10 @@ def lexical_subject_match(
             ),
             "shingle",
         )
-        .groupBy(id_col, "subject_id")
+        .groupBy(id_col, "n_shingles", "subject_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    scored = hits.join(doc_sizes, id_col).select(
+    scored = hits.select(
         id_col,
         "subject_id",
         F.round(F.col("n_hits") / F.col("n_shingles"), 9).alias("similarity"),
