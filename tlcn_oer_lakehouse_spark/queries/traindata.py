@@ -1128,6 +1128,7 @@ def bloom_contamination_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     the realized false-positive count is visible.  The oracle replays
     the bit positions hash-for-hash."""
     from tlcn_oer_lakehouse_spark.functions.text import shingles, tokens
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
 
     depth, mbits, n = 3, 1 << 18, 5
     docs = load(spark, sf, "documents")
@@ -1148,29 +1149,38 @@ def bloom_contamination_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             ])
         )
 
-    train = with_split.filter(F.col("is_train"))
-    bloom = (
-        train.select(F.explode(_positions()).alias("pos")).distinct()
+    # ONE train pass (r11): the distinct train shingle set is ALSO the
+    # exact-confirm side, so it persists (the contamination_scalable
+    # train-frame precedent; bounded by the Bloom build side either
+    # way) and the bloom positions derive from the cache — the former
+    # two-branch form re-ran the train tokenize+shingle scan per branch.
+    train_set = persist_replacing(
+        "td_bloom_contamination.train_set",
+        with_split.filter(F.col("is_train")).select("shingle").distinct(),
     )
-    train_set = train.select("shingle").distinct().withColumn("exact_hit", F.lit(1))
+    bloom = train_set.select(F.explode(_positions()).alias("pos")).distinct()
 
-    test = with_split.filter(~F.col("is_train")).select(
-        "doc_id", "shingle", _positions().alias("poss"), F.size(_positions()).alias("n_pos")
-    )
-    hits = (
-        test.select("doc_id", "shingle", "n_pos", F.explode("poss").alias("pos"))
-        .join(F.broadcast(bloom), "pos")
-        .groupBy("doc_id", "shingle", "n_pos")
-        .agg(F.count(F.lit(1)).alias("h"))
+    # ONE test pass: the position count per (doc, shingle) IS the
+    # exploded row count (positions are array_distinct'd, never empty),
+    # so the all-positions-present verdict is one LEFT join against the
+    # broadcast position set + one aggregate — the former form derived
+    # the test side twice (probe + reattach join) and evaluated the
+    # 3-hash position array twice in one projection.
+    test = with_split.filter(~F.col("is_train")).select("doc_id", "shingle")
+    probe = (
+        test.select("doc_id", "shingle", F.explode(_positions()).alias("pos"))
+        .join(F.broadcast(bloom.withColumn("__m", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).alias("h"),
+        )
     )
     verdict = (
-        test.select("doc_id", "shingle", "n_pos")
-        .join(hits.select("doc_id", "shingle", "h"), ["doc_id", "shingle"], "left")
-        .withColumn(
-            "bloom_hit",
-            (F.coalesce(F.col("h"), F.lit(0)) == F.col("n_pos")).cast("int"),
+        probe.withColumn(
+            "bloom_hit", (F.col("h") == F.col("n_pos")).cast("int")
         )
-        .join(train_set, "shingle", "left")
+        .join(train_set.withColumn("exact_hit", F.lit(1)), "shingle", "left")
         .withColumn("exact_hit", F.coalesce(F.col("exact_hit"), F.lit(0)))
     )
     return (
