@@ -191,56 +191,89 @@ def pq_adc_topk(
             F.slice(F.col(vec_col), i * sub_dim + 1, sub_dim).alias(out),
         )
 
-    est = None
-    for i in range(m):
-        cents = kmeans_fit(
+    # Codebook training is unchanged: m deterministic Lloyd runs, each
+    # returning a checkpointed k-row centroid frame.
+    cents = [
+        kmeans_fit(
             _sub(train, i, "__sub").select(id_col, "__sub"),
             id_col, "__sub", k, n_iter,
         )
-        codes = kmeans_assign_once(
-            _sub(corpus, i, "__sub").select(
-                F.col(id_col),
-                F.transform(F.col("__sub"), lambda x: x.cast("double")).alias("__sub"),
-            ),
-            cents, id_col, "__sub",
-        ).select(id_col, F.col("cluster_id"))
-        dtab = (
-            _sub(query, i, "__qsub")
-            .crossJoin(F.broadcast(cents))
-            .select(
-                F.col("centroid_id").alias("cluster_id"),
-                F.round(
-                    _sq_l2(
-                        F.transform(F.col("__qsub"), lambda x: x.cast("double")),
-                        F.col("centroid_vec"),
-                    ),
-                    9,
-                ).alias(f"d{i}"),
+        for i in range(m)
+    ]
+
+    # ONE corpus pass (r11): every per-subspace argmin, its query-side
+    # ADC contribution, and the exact full-dimension distance are all
+    # map-side expressions over broadcast rows (the k-row codebooks
+    # collapse to one array-struct row each; the single query row
+    # broadcasts its m sub-vectors).  The former shape materialized one
+    # corpus-sized contrib frame per subspace and chained them back
+    # with m id-keyed joins plus one more for true_dist — m+1 corpus
+    # shuffles and m+1 corpus scans for a result each row can compute
+    # alone.  The query distance rides the argmin as a THIRD struct
+    # field: struct comparison is lexicographic and centroid_id is
+    # unique, so (dist, centroid_id) always decides before the new
+    # field — the assignment is bit-identical to kmeans_assign_once.
+    q_row = query.select(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), i * sub_dim + 1, sub_dim),
+                lambda x: x.cast("double"),
+            ).alias(f"__q{i}")
+            for i in range(m)
+        ],
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    enc = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).crossJoin(F.broadcast(q_row.select("__qv")))
+    for i, c in enumerate(cents):
+        # the query's distance to each sub-centroid (the old per-subspace
+        # dtab) is computed k times HERE, inside the broadcast row —
+        # never per corpus row
+        enc = enc.crossJoin(
+            F.broadcast(
+                c.crossJoin(F.broadcast(q_row.select(f"__q{i}"))).agg(
+                    F.collect_list(
+                        F.struct(
+                            "centroid_id",
+                            "centroid_vec",
+                            F.round(
+                                _sq_l2(F.col(f"__q{i}"), F.col("centroid_vec")), 9
+                            ).alias("qd"),
+                        )
+                    ).alias(f"__cents{i}")
+                )
             )
         )
-        contrib = codes.join(F.broadcast(dtab), "cluster_id").select(id_col, f"d{i}")
-        est = contrib if est is None else est.join(contrib, id_col)
+    def _scorer(s):
+        return lambda c: F.struct(
+            F.round(_sq_l2(s, c.getField("centroid_vec")), 9).alias("dist"),
+            c.getField("centroid_id").alias("centroid_id"),
+            c.getField("qd").alias("qd"),
+        )
+
+    d_cols = []
+    for i in range(m):
+        sub = F.slice(F.col("__v"), i * sub_dim + 1, sub_dim)
+        best = F.array_min(
+            F.transform(F.col(f"__cents{i}"), _scorer(sub))
+        )
+        d_cols.append(best.getField("qd").alias(f"d{i}"))
+    scored = enc.select(
+        F.col(id_col),
+        *d_cols,
+        F.round(_sq_l2(F.col("__v"), F.col("__qv")), 9).alias("true_dist"),
+    )
     # fixed-order sum (d0 + d1 + ...) — never a SUM over an unordered set,
     # so float addition order is identical in any engine
     total = F.lit(0.0)
     for i in range(m):
         total = total + F.col(f"d{i}")
-    q_full = query.select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv")
-    )
-    true_d = corpus.crossJoin(F.broadcast(q_full)).select(
-        F.col(id_col),
-        F.round(
-            _sq_l2(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                F.col("__qv"),
-            ),
-            9,
-        ).alias("true_dist"),
-    )
     return (
-        est.select(F.col(id_col), F.round(total, 9).alias("est_dist"))
-        .join(true_d, id_col)
+        scored.select(
+            F.col(id_col), F.round(total, 9).alias("est_dist"), "true_dist"
+        )
         .orderBy(F.col("est_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
