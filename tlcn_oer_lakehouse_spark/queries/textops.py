@@ -1092,7 +1092,6 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     Buckets are floor(10·j)/10 on IEEE-identical doubles, so bucket
     edges replay exactly."""
     from tlcn_oer_lakehouse_spark.operators.dedup import (
-        jaccard_verify_arrays,
         minhash_doc_arrays,
         minhash_near_duplicates,
     )
@@ -1113,15 +1112,41 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         "doc", "tok_arr", F.size("tok_arr").alias("n_shingles")
     )
     sh = docs_arr.select("doc", F.explode("tok_arr").alias("shingle"))
-    truth_cands = (
+    # The intersection size falls out of the SAME shared-shingle join
+    # that generates candidates (r11): shingles are distinct per doc, so
+    # count-per-pair IS |A∩B| — the former distinct + two pair-keyed
+    # array-fetch joins + map-side intersect re-shuffled every candidate
+    # pair (with a ~|A|-long array on each side) for a number this join
+    # already knows.  Sizes attach via broadcast: the frame is bounded
+    # by the FIXED audit panel, never the corpus.
+    pair_counts = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
         .where(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = docs_arr.select("doc", "n_shingles")
     truth = (
-        jaccard_verify_arrays(truth_cands, docs_arr)
+        pair_counts.join(
+            F.broadcast(
+                sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
