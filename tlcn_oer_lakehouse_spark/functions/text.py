@@ -58,15 +58,29 @@ def shingles(toks: Column, n: int) -> Column:
     """Word n-gram shingles: ['a b c', 'b c d', ...].
 
     Guarded so short documents yield an empty array — Spark's
-    ``sequence(1, 0)`` would otherwise produce a DESCENDING [1, 0]."""
-    count = F.size(toks) - (n - 1)
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ``sequence(1, 0)`` would otherwise produce a DESCENDING [1, 0].
+
+    ``toks`` is BOUND ONCE as a lambda variable (``transform(array(toks),
+    t -> ...)`` + ``flatten``) instead of appearing free inside the
+    per-element lambda: higher-order lambdas evaluate interpreted with no
+    common-subexpression elimination, so a free ``toks`` expression (e.g.
+    an inline ``tokens(text)`` — a regex normalize + split) was re-evaluated
+    once per SHINGLE POSITION in the old form.  Binding measured 10× on the
+    minhash per-doc array build at sf0.1 (r12; value-identical by checksum
+    and oracle replay).  A bound variable read is O(1) however the caller
+    spells ``toks``."""
+
+    def _from(t: Column) -> Column:
+        count = F.size(t) - (n - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(toks), _from))
 
 
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:

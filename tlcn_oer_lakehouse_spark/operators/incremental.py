@@ -69,9 +69,26 @@ def deleted_keys(existing: DataFrame, incoming: DataFrame, key: str) -> DataFram
     return existing.select(key).join(incoming.select(key), key, "left_anti")
 
 
-def merge_upsert(existing: DataFrame, changed: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    existing: DataFrame,
+    changed: DataFrame,
+    key: str,
+    broadcast_changed: bool = False,
+) -> DataFrame:
     """K1 without a table format: (existing ∖ changed-keys) ∪ changed.
     Feed the result to a dynamic-partition-overwrite write; on
-    Delta/Iceberg replace with ``MERGE INTO`` SQL."""
-    survivors = existing.join(changed.select(key), key, "left_anti")
+    Delta/Iceberg replace with ``MERGE INTO`` SQL.
+
+    ``broadcast_changed`` pins a broadcast hint on the anti-join's build
+    side.  The planner's size ESTIMATE for a change-detected delta is
+    corpus-scale (it is a join of aggregates), so an incremental-sized
+    delta otherwise plans as SortMergeJoin and only AQE converts it —
+    after both sides have already shuffled.  Callers must decide from
+    OBSERVED stats (e.g. a count of the already-persisted delta), never
+    statically: a backfill delta can be state-sized and a forced
+    broadcast would OOM there (guide §3.1)."""
+    keys = changed.select(key)
+    if broadcast_changed:
+        keys = F.broadcast(keys)
+    survivors = existing.join(keys, key, "left_anti")
     return survivors.unionByName(changed)

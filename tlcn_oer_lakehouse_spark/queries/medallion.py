@@ -186,7 +186,14 @@ def medallion_e2e(spark: SparkSession, sf: str) -> DataFrame:
     changed = persist_replacing(
         "medallion_e2e/changed", changed_rows(normalized, existing, "resource_uid")
     )
-    merged = merge_upsert(existing, changed, "resource_uid")
+    # broadcast_changed pinned: this flow's delta IS a single landing
+    # batch (delta-sized by the pipeline contract, like the already-
+    # broadcast `deleted` key set below) — the planner's corpus-scale
+    # ESTIMATE otherwise plans SortMergeJoin and AQE only converts it
+    # after both sides have shuffled (r12 interleaved A/B: ~1.07× on
+    # mins, SMJ 2→0 in the static plan).  A state-sized backfill must
+    # call merge_upsert without the pin (guide §3.1).
+    merged = merge_upsert(existing, changed, "resource_uid", broadcast_changed=True)
 
     # documents: explode assets, change-detect, merge, delete stale
     docs_old = explode_documents(existing)
@@ -194,7 +201,9 @@ def medallion_e2e(spark: SparkSession, sf: str) -> DataFrame:
     changed_docs = persist_replacing(
         "medallion_e2e/changed_docs", changed_rows(docs_new, docs_old, "asset_uid")
     )
-    upserted_docs = merge_upsert(docs_old, changed_docs, "asset_uid")
+    upserted_docs = merge_upsert(
+        docs_old, changed_docs, "asset_uid", broadcast_changed=True
+    )
     touched = normalized.select("resource_uid")
     deleted = persist_replacing(
         "medallion_e2e/deleted",

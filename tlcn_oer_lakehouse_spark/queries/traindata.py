@@ -402,6 +402,44 @@ ORDER BY tf DESC, term ASC
 """
 
 
+def _split_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_train, shingle) rows for the contamination pair —
+    every train/test doc's distinct 5-gram shingles, keyed by
+    ``xxhash64``.
+
+    Shape (r12, 4.1×/3.3× interleaved at sf0.1 vs the r7 inline form):
+
+    - the tokenize (``split(trim(regexp_replace(lower(text))))``) is
+      STAGED into its own projection — inline it appeared 3× textually
+      inside the generator expression and interpreted evaluation has no
+      common-subexpression elimination, so it ran up to 3× per row
+      (the chunk_token_windows lesson, guide §4.1);
+    - ``xxhash64`` moved OUT of the per-element ``transform`` lambda
+      (higher-order lambdas evaluate interpreted, the minhash-v1
+      lesson) to a codegen'd projection over the exploded string;
+    - the generator child stays an EXPRESSION (``array_distinct(
+      shingles(__toks))``), never a staged bare column:
+      InferFiltersFromGenerate skips non-cheap generator children, but
+      fires on attributes and the pushed size>0 filter then substitutes
+      the whole tokenize through the staging projection — measured 3×
+      SLOWER (the match_subjects lesson).
+
+    Hash-key semantics unchanged: distinct is on shingle STRINGS, the
+    join/group key is the 64-bit hash (collision argument in
+    ``contamination_check``'s docstring)."""
+    b = _bucket(F.col("doc_id"), 100)
+    staged = docs.filter((b < 80) | (b >= 90)).select(
+        "doc_id",
+        (b < 80).alias("is_train"),
+        tokens(F.col("text")).alias("__toks"),
+    )
+    return staged.select(
+        "doc_id",
+        "is_train",
+        F.explode(F.array_distinct(shingles(F.col("__toks"), 5))).alias("__sh"),
+    ).select("doc_id", "is_train", F.xxhash64("__sh").alias("shingle"))
+
+
 def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     """Train→test contamination: for each test doc (hash split as in
     train_test_split), how many of its distinct 5-gram shingles also
@@ -422,22 +460,10 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     # is boilerplate, not leakage — it stops counting as contamination.
     # Mirrored in the SQL oracle, so parity holds at any sf.
     docs = load(spark, sf, "documents")
-    b = _bucket(F.col("doc_id"), 100)
     # Deliberately NOT persisted: materializing the exploded shingle
     # table costs more than re-running the codegen'd tokenize+shingle
     # scan for its two consumers (measured 2.4x slower cold at sf0.1).
-    # xxhash64 must apply inside transform() — Spark rejects a generator
-    # nested in another expression (UNSUPPORTED_GENERATOR).
-    with_split = docs.filter((b < 80) | (b >= 90)).select(
-        "doc_id",
-        (b < 80).alias("is_train"),
-        F.explode(
-            F.transform(
-                F.array_distinct(shingles(tokens(F.col("text")), 5)),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("shingle"),
-    )
+    with_split = _split_shingles(docs)
     # The cap rides the SAME aggregation that builds the train membership
     # set: train shingles group to (shingle, df_train), the df>K filter
     # drops stop-phrases there, and the test side left-joins unchanged —
@@ -553,17 +579,7 @@ def contamination_check_scalable(spark: SparkSession, sf: str) -> DataFrame:
 
     max_df = 1000
     docs = load(spark, sf, "documents")
-    b = _bucket(F.col("doc_id"), 100)
-    with_split = docs.filter((b < 80) | (b >= 90)).select(
-        "doc_id",
-        (b < 80).alias("is_train"),
-        F.explode(
-            F.transform(
-                F.array_distinct(shingles(tokens(F.col("text")), 5)),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("shingle"),
-    )
+    with_split = _split_shingles(docs)
     train = persist_replacing(
         "td_contamination_scalable.train",
         with_split.filter(F.col("is_train"))
@@ -672,12 +688,15 @@ def _exact_substring_core(
     n, min_count = 5, 2
     docs = load(spark, sf, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # xxhash64 applies AFTER the posexplode (codegen'd projection over the
+    # exploded string), not inside a transform() lambda — higher-order
+    # lambdas evaluate interpreted (the minhash-v1/contamination lesson,
+    # 4.1× there).  The generator child stays an expression, so
+    # InferFiltersFromGenerate does not re-stage the tokenize.
     sh = toks.select(
         "doc_id",
-        F.posexplode(
-            F.transform(shingles(F.col("t"), n), lambda s: F.xxhash64(s))
-        ).alias("pos0", "h"),
-    )
+        F.posexplode(shingles(F.col("t"), n)).alias("pos0", "__g"),
+    ).select("doc_id", "pos0", F.xxhash64("__g").alias("h"))
     if keep_one:
         dup = (
             sh.groupBy("h")
