@@ -20,6 +20,21 @@ from tlcn_oer_lakehouse_spark.operators.multimodal import (
 from tlcn_oer_lakehouse_spark.queries.base import QuerySpec, load
 
 
+def _doc_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id spine for the synthetic binary fixtures, hash-repartitioned
+    to the session's parallelism (r12).  documents.parquet arrives as 1-2
+    input splits (tiny compressed text table), which serialized the
+    CPU-bound synth+decode mapInPandas fan-out on 2 of N cores — the
+    codec work, not the scan, is these queries' cost.  The exchanged
+    rows are single 8-byte ids (guide §2.3/§8: shuffle keys, never
+    payloads; the payloads are SYNTHESIZED after the exchange), and the
+    partition count tracks ``defaultParallelism``, not a local constant.
+    Hash on the unique doc_id, not round-robin: retry-deterministic with
+    no sortBeforeRepartition pass (the augmented_corpus precedent)."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def mm_binary_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """S7/U4 metadata enrichment: size, checksum, mime — pure column
     expressions over the binary payload."""
@@ -342,7 +357,7 @@ def mm_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_wav(smp, sr))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     wavs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     return wav_features(wavs)
 
@@ -394,7 +409,7 @@ def mm_wav_windows(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_wav(smp, sr))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     wavs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     return wav_window_energy(wavs, window_samples=256)
 
@@ -426,7 +441,7 @@ def mm_wav_quadrature(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_wav(smp, sr))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     wavs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     return wav_quadrature_features(wavs, window_samples=256)
 
@@ -504,7 +519,7 @@ def mm_image_decode(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_pgm(px))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     return image_features(imgs, thumb_side=4).drop("thumb_md5")
 
@@ -563,7 +578,7 @@ def mm_png_decode(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_png(px, filter_mode="mixed"))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     return image_features(imgs, thumb_side=4).drop("thumb_md5")
 
@@ -629,7 +644,7 @@ def mm_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_jpeg(px, quality=50))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     return image_features(imgs, thumb_side=4).drop("thumb_md5")
 
@@ -696,7 +711,7 @@ def mm_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_gif(px))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     return image_features(imgs, thumb_side=4).drop("thumb_md5")
 
@@ -767,9 +782,17 @@ def mm_video_frames(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(write_avi_mjpeg(frames, width=16, height=8))
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     vids = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
-    return video_frame_features(vids).orderBy("doc_id", "frame_no")
+    # persist the (n_frames-sized) feature rows before the global sort:
+    # rangepartitioning SAMPLES its child, so an unpersisted orderBy ran
+    # the whole synth+decode upstream twice (r12; guide §1.2)
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
+
+    feats = persist_replacing(
+        "mm_video_frames/features", video_frame_features(vids)
+    )
+    return feats.orderBy("doc_id", "frame_no")
 
 
 MM_VIDEO_SQL = """
@@ -839,9 +862,15 @@ def mm_mp4_frames(spark: SparkSession, sf: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": b["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     vids = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
-    return mp4_frame_features(vids).orderBy("doc_id", "frame_no")
+    # same persist-before-sort as mm_video_frames (sampling double-eval)
+    from tlcn_oer_lakehouse_spark.queries.base import persist_replacing
+
+    feats = persist_replacing(
+        "mm_mp4_frames/features", mp4_frame_features(vids)
+    )
+    return feats.orderBy("doc_id", "frame_no")
 
 
 def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -903,7 +932,7 @@ def mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
                  "ahash": pd.Series(hashes, dtype="int64")}
             )
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf)
     imgs = docs.mapInPandas(_synth, schema="doc_id long, payload binary")
     hashed = imgs.mapInPandas(_ahash, schema="doc_id long, ahash long")
     return (
