@@ -169,6 +169,16 @@ def pq_adc_topk(
     distance is approximated by summing the query's precomputed distance
     to each assigned sub-centroid.
 
+    CONTRACT: ``query`` must be a SINGLE row (ADVICE r11).  The r11
+    one-pass form packs ``collect_list`` over ``codebook × query`` into
+    one broadcast struct array carrying the query's distance ``qd`` per
+    sub-centroid; with multiple query rows that array would hold k×q
+    structs with duplicate centroid_ids and differing qd, and the
+    lexicographic argmin would fall through to the qd field, breaking
+    the bit-identity with ``kmeans_assign_once`` (the old join form
+    degraded differently, via join fan-out).  Batch multi-query ANN
+    serving goes through ``rag_serve_ann``'s per-query loop instead.
+
     Scale shape: codebooks are m × k rows (broadcast); encoding is a
     broadcast-assign per subspace; the ADC estimate is a broadcast join
     of the m×k distance table against the code columns — the corpus is

@@ -210,6 +210,29 @@ _GREEN_VINTAGE: dict[int, frozenset[str]] = {
         "w7_event_transitions", "w8_activity_streaks",
         "w9_max_concurrency"
     }),
+    11: frozenset({
+        "a_approx_count_distinct", "a_grouping_sets", "a_kmv_distinct",
+        "dedup_minhash_incremental", "dedup_prefix_filter",
+        "dedup_prefix_incremental", "embed_and_rank", "embed_documents",
+        "er_sorted_neighborhood", "j_asof_event_order",
+        "layout_dpp_star_join", "layout_write_skew_plan",
+        "ml_chi2_features", "ml_confusion_metrics",
+        "ml_covariance_block", "ml_feature_scaling", "ml_kaplan_meier",
+        "ml_ks_drift", "ml_lift_gain", "ml_ols_regression",
+        "ml_quantile_bucketize", "ml_welch_ttest", "mm_phash_dedup",
+        "mm_wav_quadrature", "q11_important_parts", "q12_ship_priority",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_variety", "q18_big_orders",
+        "q19_disjunctive_filter", "q1_pricing_summary",
+        "q20_heavy_shippers", "q21_waiting_suppliers",
+        "q22_idle_customers", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "summarize_extractive", "td_contamination_check",
+        "td_unigram_segment", "ts_seasonal_decompose",
+        "w12_attribution_last_touch", "w13_conversion_time_quantiles"
+    }),
 }
 
 _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
@@ -217,11 +240,30 @@ _DRIVER_GREEN = frozenset().union(*_GREEN_VINTAGE.values())
 _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 
 
-# Queries whose green driver row predates a material round-11 code
-# change — pinned to the very front of the window so round 11 produces
-# a fresh row for each (all outputs proven identical via the strict
-# driver sim at sf0.01/0.1 before rotation):
+# Queries whose green driver row predates a material round-12 code
+# change — pinned to the very front of the window so round 12 produces
+# a fresh row for each.  Every output was proven identical BEFORE the
+# rotation (strict driver sim at sf0.01 AND sf0.1, full-result
+# checksums in the interleaved A/B probes — OPTIMIZATION_r12.md):
 #
+#   td_contamination_check / td_contamination_scalable: staged tokenize
+#   + post-explode xxhash64 (the hash left the interpreted transform
+#   lambda); 4.1×/3.3× interleaved.
+#   td_exact_substring_dedup / _keepone: same post-explode hash move.
+#   rec_item_item_cf: co-occurrence pairs now generated as packed
+#   array combinations per order (no ok-self-join); 1.42×.
+#   mm_* decode fixtures: doc_id spine hash-repartitioned to session
+#   parallelism before the synth/decode mapInPandas; video/mp4
+#   additionally persist frame features before the global sort; the
+#   JPEG codec's entropy/DCT internals vectorized byte-identically.
+#   medallion_e2e: broadcast_changed pinned on the landing-batch
+#   merges (SMJ 2→0).
+#   match_subjects / td_bloom_contamination / td_dataset_overlap /
+#   td_repetition_quality / dedup_minhash_lsh: the heaviest consumers
+#   of the rebound shingles() (tokens bound once per row instead of
+#   re-evaluated per shingle position; 8.0×/2.8×/2.5×/6.2×/1.33×).
+#
+# Round-11 list (kept for the record — all sampled green in r11):
 #   dedup_prefix_filter / dedup_prefix_incremental: (a) the prefix/
 #   overlap ceil bounds widened to BIGINT literals (ADVICE r10 — INT
 #   overflow for large-denominator thresholds), (b) the pair OUTPUT is
@@ -240,28 +282,34 @@ _VINTAGE_OF = {n: r for r, names in _GREEN_VINTAGE.items() for n in names}
 #   (ADVICE r10 streaming cache hygiene); plan unchanged, builder
 #   signature changed.
 _REVERIFY_FIRST = (
-    "dedup_prefix_filter",
-    "dedup_prefix_incremental",
-    "er_sorted_neighborhood",
-    "ml_ks_drift",
-    "layout_dpp_star_join",
-    "dedup_minhash_incremental",
-    # the r11 sf10 sweep caught a 1-ulp round(double, 9) half-boundary
-    # divergence in the summarizer's segment score; scoring is now
-    # exact-integer (pico-scaled ln, ceil-division mean) — builder and
-    # oracle both changed
-    "summarize_extractive",
+    "td_contamination_check",
+    "td_contamination_scalable",
+    "rec_item_item_cf",
+    "medallion_e2e",
+    "dedup_minhash_lsh",
+    "match_subjects",
+    "td_bloom_contamination",
+    "td_dataset_overlap",
+    "td_repetition_quality",
+    "td_exact_substring_dedup",
+    "td_exact_substring_keepone",
+    "mm_video_frames",
+    "mm_mp4_frames",
+    "mm_jpeg_decode",
+    "mm_png_decode",
+    "mm_gif_decode",
+    "mm_image_decode",
+    "mm_wav_decode",
+    "mm_wav_windows",
+    "mm_wav_quadrature",
+    "mm_phash_dedup",
 )
 
 
-# Round-11 rotation (VERDICT r10 #3 — retire the r5 vintage): greens
-# freshly sampled in ROUND 10 go to the very back; never-sampled
-# round-11 additions (layout_write_skew_plan, ...) rank 1; the spare
-# slots refresh the oldest-vintage greens — all 19 remaining r5 rows
-# (the ml_* stats family, embed_*, mm_phash/wav_quadrature,
-# td_contamination_check, ts_seasonal_decompose, w12/w13, ...) first,
-# then r6 fills.  After this round no green predates r6.
-_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[10]
+# Round-12 rotation (VERDICT r11 #8): greens freshly sampled in ROUND
+# 11 go to the very back; the 21 r12-changed builders re-verify first;
+# the ~29 spare slots refresh the oldest remaining vintage (r6) first.
+_SAMPLE_LAST: frozenset[str] = _GREEN_VINTAGE[11]
 
 
 def _collect() -> dict[str, QuerySpec]:

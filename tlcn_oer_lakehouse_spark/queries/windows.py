@@ -891,18 +891,51 @@ def rec_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
     the item-based formulation the scale-path over user-based CF."""
     from pyspark.sql import Window
 
-    li = (
+    # ARRAY-COMBINATION pair generation (r12, the g_jaccard_neighbors
+    # wedge precedent): one groupBy(ok) collects each order's sorted
+    # distinct item array (collect_set dedups in the same aggregate the
+    # former separate li.distinct() shuffle paid), and the co-occurrence
+    # pairs are the C(k,2) i<j combinations, emitted PACKED into one
+    # long (shiftleft(u,32)|v — partkeys are < 2^31 at any TPC-H scale
+    # under ~10k, and the packed key halves the pair-aggregate's key
+    # bytes, guide §2.3 narrow types).  This replaces the ok-self-join +
+    # two-long groupBy: interleaved A/B at sf0.1 min 4.48 → 3.16 s
+    # (1.42×), identical checksums.  The per-order frame feeds both the
+    # frequency aggregate and the pair explode — localCheckpoint, the
+    # same contract as the g_jaccard neighbor arrays.
+    orders = (
         load(spark, sf, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("pk")).alias("items"))
+        .localCheckpoint()
     )
-    freq = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
-    a, b = li.alias("a"), li.alias("b")
+    freq = (
+        orders.select(F.explode("items").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     co = (
-        a.join(b, "ok")
-        .where(F.col("a.pk") < F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        orders.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                            lambda y: F.shiftleft(x, 32).bitwiseOR(y),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p")
         .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.shiftrightunsigned("p", 32).alias("u"),
+            F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("v"),
+            "c",
+        )
     )
     # both orientations from ONE pass over the co-occurrence aggregate
     # (the union form replayed the lineitem self-join + groupBy twice)

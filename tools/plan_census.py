@@ -27,7 +27,6 @@ from tlcn_oer_lakehouse_spark.session import get_spark  # noqa: E402
 
 def census_row(name: str, df) -> dict:
     simple = audit.simple_plan(df)
-    formatted = audit.formatted_plan(df)
     return {
         "name": name,
         "exchanges": audit.exchange_count(df),
@@ -40,10 +39,11 @@ def census_row(name: str, df) -> dict:
         "cartesian": len(re.findall(r"CartesianProduct", simple)),
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", simple)),
         # WindowExec over an un-partitioned spec serializes to 1 task
+        # ADVICE r11: the second term used to scan the empty string (a
+        # dead always-0 term); the single plan-shape pattern suffices
         "global_window": len(
             re.findall(r"Window \[[^\]]*\], \[\]", simple)
-        )
-        + len(re.findall(r"windowspecdefinition\(([a-z_]+#\d+ (?:ASC|DESC))", "")),
+        ),
         "in_memory_scans": len(re.findall(r"InMemoryTableScan", simple)),
         "plan_lines": simple.count("\n"),
     }

@@ -27,8 +27,12 @@ def main() -> None:
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     spark = get_spark(app_name="registry_timing")
     done = set()
-    if os.path.exists(out_path):  # resumable
-        done = {json.loads(l)["name"] for l in open(out_path)}
+    if os.path.exists(out_path):  # resumable; retry rows that errored
+        done = {
+            row["name"]
+            for row in map(json.loads, open(out_path))
+            if "err" not in row
+        }
     with open(out_path, "a") as f:
         for name, spec in sorted(REGISTRY.items()):
             if name in done:
