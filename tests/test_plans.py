@@ -467,10 +467,14 @@ def test_bpe_tokenize_apply_is_one_keyed_join(spark):
 
 
 def test_video_decode_is_shuffle_free(spark):
-    """Container walk + frame decode is mapInPandas over the scan —
-    the only exchange allowed is the final presentation sort."""
+    """Container walk + frame decode is mapInPandas with no data-sized
+    shuffle: the only exchanges allowed are the 8-byte doc-id spine
+    repartition BELOW the synth/decode (r12 — the documents scan is 1–2
+    input splits, which serialized the decode on 2 of 32 cores; payloads
+    are synthesized after the exchange so only ids cross it) and the
+    final presentation sort."""
     df = _build(spark, "mm_video_frames")
-    assert audit.exchange_count(df) <= 1
+    assert audit.exchange_count(df) <= 2
 
 
 def test_gopher_rules_map_only(spark):
